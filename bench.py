@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}.
+
+Timing method: each query is built lazily and timed around a count()
+-style materialization (we use a no-op write via collect of an
+aggregated footprint — .count() on the result), after one warm-up of
+the JVM + parquet footer reads on the smallest query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from form700_etl_spark.registry import all_queries
+from form700_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_nation_revenue",
+    "flagship_mktsegment_revenue",
+    "join_left_customer_orders",
+    "window_top3_customers_per_nation",
+    "sessionize_user_events",
+    "events_tumbling_hourly",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "text_quality_score",
+    "ann_cosine_topk_bruteforce",
+    "asof_last_purchase_per_event",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("form700-etl-spark-bench")
+    queries = all_queries()
+
+    # warm up the JVM / parquet footers
+    queries["flagship_mktsegment_revenue"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name].fn
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Test-table loaders.
+
+The driver fixtures (TESTDATA.md) are one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}``.  Loading goes through
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition-sized splits for free — at 100 TB these would be
+directories of many row-grouped files and the same code holds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it as
+        # int64 nanos (legacy.parquet.nanosAsLong) — truncate to micros,
+        # exactly what DuckDB's microsecond TIMESTAMP does on read.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register each fixture table as a temp view (the engine's catalog —
+    the Spark analog of the reference's dict-of-DataFrames, SURVEY §1.1)."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

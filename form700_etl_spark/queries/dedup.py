@@ -1,0 +1,343 @@
+"""Deduplication operators over the ``documents`` table (build plan M5).
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle on
+  the fingerprint, map-side partial dedup first.
+- n-gram Jaccard: shuffle by shingle (inverted index), pair-count, then
+  per-pair verify.  At scale you add a document-frequency cap on hot
+  shingles before the pair join (noted inline).
+- MinHash+LSH: fixed-width signature computed in ONE aggregation pass
+  (K min-aggregates), banded into LSH keys; only band-collisions are
+  verified — the candidate set, not the n² pair space, is shuffled.
+- SimHash: 16-bit signatures, banded blocking on bytes, Hamming
+  verification via bit_count(xor).
+
+Determinism: all hashing is md5 (identical hex output in Spark and
+DuckDB); min-over-hex-strings is a valid random-permutation min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# ------------------------------------------------------------- shared pieces
+
+# Distinct word-3-gram shingles per document, as portable SQL and as a
+# DataFrame builder.  Tokens are space-separated in the fixture corpus.
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i+1],
+                                       string_split(text, ' ')[i+2])
+               )) AS shingle
+        FROM documents
+    ) t
+"""
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # guard: sequence(0, -1) would generate a DESCENDING sequence in Spark,
+    # so short texts (<3 tokens) must map to an empty array explicitly
+    shingles = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])) "
+        "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    SELECT f.doc_id, f.fingerprint,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           CAST(g.canonical_id AS BIGINT) AS canonical_id,
+           f.doc_id <> g.canonical_id AS is_duplicate
+    FROM fp f JOIN (
+        SELECT fingerprint, COUNT(*) AS group_size, MIN(doc_id) AS canonical_id
+        FROM fp GROUP BY fingerprint
+    ) g ON f.fingerprint = g.fingerprint
+    """,
+    tags=("dedup",),
+    doc="Exact dedup: md5 fingerprint, min-doc_id canonical representative.",
+)
+def dedup_exact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fingerprint"))
+    groups = d.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return d.join(groups, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        "group_size",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM fp GROUP BY fingerprint
+    """,
+    tags=("dedup",),
+    doc="Exact dedup after normalization (lower/trim/whitespace-collapse).",
+)
+def dedup_exact_normalized(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc1, p.doc2,
+           round(CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.doc1 = s1.doc_id
+    JOIN sizes s2 ON p.doc2 = s2.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.1
+    """,
+    tags=("dedup",),
+    doc=(
+        "Near-dup via word-3-gram Jaccard: inverted-index pair join. At 100 TB "
+        "add a doc-frequency cap on hot shingles before the self-join."
+    ),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    pairs = (
+        a.join(b, (a.shingle == b.shingle) & (a.doc1 < b.doc2))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(jac >= 0.1)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------- MinHash-LSH
+
+_N_HASHES = 12
+_BAND_ROWS = 3  # -> 4 bands
+
+
+def _minhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5(concat('{k}|', shingle))) AS h{k}" for k in range(_N_HASHES)
+    )
+    bands = []
+    for b in range(_N_HASHES // _BAND_ROWS):
+        cols = ", ".join(f"h{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS))
+        bands.append(f"struct_pack(band := {b}, key := md5(concat_ws(',', {cols})))")
+    return f"""
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(bands)}]) AS bk
+        FROM sigs
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b
+          ON a.bk.band = b.bk.band AND a.bk.key = b.bk.key AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_minhash_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc1, c.doc2, COUNT(*) AS common
+        FROM candidates c
+        JOIN shingles a ON a.doc_id = c.doc1
+        JOIN shingles b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+        GROUP BY c.doc1, c.doc2
+    )
+    SELECT v.doc1, v.doc2,
+           round(CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common), 6) AS jaccard
+    FROM verified v
+    JOIN sizes s1 ON v.doc1 = s1.doc_id
+    JOIN sizes s2 ON v.doc2 = s2.doc_id
+    """,
+    tags=("dedup", "lsh"),
+    doc=(
+        "MinHash(12 perms as md5-keyed min-hex)+LSH(4 bands of 3): only band "
+        "collisions are verified with exact Jaccard — the scalable near-dup path."
+    ),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = _shingles(spark, sf_dir).cache()
+    # one aggregation pass computes the whole K-wide signature
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(_N_HASHES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
+            ).alias("key"),
+        )
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    b1 = bands.select(F.col("doc_id").alias("doc1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc2"), "band", "key")
+    candidates = (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    # candidates ⋈ doc1-shingles ⋈ doc2-shingles on (doc2, shingle):
+    # the second join hits only shared shingles (intersection), no per-pair scan
+    common = (
+        candidates.join(a, "doc1")
+        .join(b, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "doc1").join(s2, "doc2").select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_select_sql() -> str:
+    # bit j of a token = high bit of hex digit j of md5(token):
+    # (strpos('0123456789abcdef', substr(md5(tok), j+1, 1)) - 1) >= 8
+    terms = []
+    for j in range(_SIMHASH_BITS):
+        bit = f"CASE WHEN strpos('0123456789abcdef', substr(md5(token), {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END"
+        terms.append(f"CASE WHEN SUM({bit}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_simhash_select_sql()} AS BIGINT) AS simhash
+        FROM tokens GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND (a.simhash // 256 = b.simhash // 256 OR a.simhash % 256 = b.simhash % 256)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "lsh"),
+    doc=(
+        "SimHash(16-bit, md5-derived bits) near-dup: byte-banded blocking "
+        "(a pair within Hamming<=3 must agree on one byte half), verified by "
+        "bit_count(xor)."
+    ),
+)
+def dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    # build per-bit +1/-1 contributions, then the signed majority per bit
+    contribs = []
+    for j in range(_SIMHASH_BITS):
+        digit = F.conv(F.substring(F.md5("token"), j + 1, 1), 16, 10).cast("int")
+        contribs.append(F.when(digit >= 8, 1).otherwise(-1).alias(f"b{j}"))
+    per_tok = tokens.select("doc_id", *contribs)
+    sig_expr = None
+    aggs = [F.sum(F.col(f"b{j}")).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    sums = per_tok.groupBy("doc_id").agg(*aggs)
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else (sig_expr + term)
+    sigs = sums.select("doc_id", sig_expr.cast("long").alias("simhash"))
+    a = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sh1"))
+    b = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2"))
+    ham = F.expr("bit_count(sh1 ^ sh2)")
+    return (
+        a.join(
+            b,
+            (F.col("doc1") < F.col("doc2"))
+            & (
+                (F.floor(F.col("sh1") / 256) == F.floor(F.col("sh2") / 256))
+                | (F.col("sh1") % 256 == F.col("sh2") % 256)
+            ),
+        )
+        .filter(ham <= 3)
+        .select("doc1", "doc2", ham.cast("int").alias("hamming"))
+    )

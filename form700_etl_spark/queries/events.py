@@ -1,0 +1,229 @@
+"""Event-table surface: JSON extraction, epoch-aligned time windows,
+as-of joins, range/band joins (build plan M3/M5).
+
+The batch time-window queries here are semantically identical to their
+Structured Streaming twins in :mod:`form700_etl_spark.streaming` —
+``F.window`` produces the same epoch-aligned buckets in both modes, so
+the DuckDB oracle validates the streaming logic too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+    doc="get_json_object over the props JSON-string column, aggregated per type.",
+)
+def events_json_extract(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "time", "streaming-twin"),
+    doc="Tumbling 1-hour windows (epoch-aligned, identical to streaming window()).",
+)
+def events_tumbling_hourly(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH starts AS (
+        SELECT event_id, value, unnest([
+            make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+            make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+        ]) AS w_start, ts
+        FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM starts
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    tags=("window", "time", "streaming-twin"),
+    doc="Sliding 1h windows hopping every 30min — each event lands in 2 buckets.",
+)
+def events_sliding_1h_30m(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "n_distinct",
+        )
+    )
+
+
+@register(
+    "asof_last_purchase_per_event",
+    oracle="""
+    WITH purchases AS (
+        -- dedup to one purchase per (user, ts) so the as-of pick is total-ordered
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    latest AS (
+        SELECT e.event_id, MAX(p.ts) AS p_ts
+        FROM events e JOIN purchases p
+          ON e.user_id = p.user_id AND p.ts <= e.ts
+        GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(p.purchase_id AS BIGINT) AS last_purchase_id,
+           CAST(date_diff('second', l.p_ts, e.ts) AS BIGINT) AS secs_since_purchase
+    FROM events e
+    LEFT JOIN latest l ON e.event_id = l.event_id
+    LEFT JOIN purchases p ON p.user_id = e.user_id AND p.ts = l.p_ts
+    """,
+    tags=("asof", "join"),
+    doc=(
+        "As-of join (latest purchase at/before each event). Spark-first plan: "
+        "no join at all — a single shuffle by user_id + ordered window with "
+        "last(ignoreNulls), the scalable as-of pattern (vs the reference "
+        "engine family's dedicated as-of operators)."
+    ),
+)
+def asof_last_purchase_per_event(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    # one purchase per (user, ts): keep max event_id (same rule as the oracle)
+    purchase_id_here = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    ).over(W.partitionBy("user_id", "ts"))
+    marked = e.withColumn("purchase_id_here", purchase_id_here)
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    enriched = marked.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last("purchase_id_here", ignorenulls=True).over(w).alias("last_purchase_id"),
+        F.last(
+            F.when(F.col("purchase_id_here").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_purchase_ts"),
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("last_purchase_id").cast("long"),
+        (F.col("ts").cast("long") - F.col("last_purchase_ts").cast("long"))
+        .cast("long")
+        .alias("secs_since_purchase"),
+    )
+
+
+@register(
+    "range_join_lineitems_within_30d",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_linenumber) AS BIGINT) AS n_shipped_30d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range"),
+    doc="Equi + range-predicate join: lineitems shipped within 30 days of order date.",
+)
+def range_join_lineitems_within_30d(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.date_add(o.o_orderdate, 30).cast("timestamp"))
+    )
+    return (
+        o.join(l, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_linenumber").alias("n_shipped_30d"))
+    )
+
+
+@register(
+    "band_join_value_buckets",
+    oracle="""
+    WITH buckets(bucket, lo, hi) AS (
+        VALUES ('tiny', 0.0, 1.0), ('small', 1.0, 10.0),
+               ('medium', 10.0, 100.0), ('large', 100.0, 1000.0)
+    )
+    SELECT b.bucket, CAST(COUNT(e.event_id) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM buckets b LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket
+    """,
+    tags=("join", "range"),
+    doc="Band join against a broadcast interval table (BNL on a tiny side — the scalable plan).",
+)
+def band_join_value_buckets(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("tiny", 0.0, 1.0), ("small", 1.0, 10.0), ("medium", 10.0, 100.0), ("large", 100.0, 1000.0)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        F.broadcast(buckets)
+        .join(e, (e.value >= buckets.lo) & (e.value < buckets.hi), "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,0 +1,418 @@
+"""Reference-parity operators (SURVEY §2 inventory, build plan M2).
+
+Each query reconstructs a reference operator's exact semantics on
+deterministic synthetic inputs derived from the fixture tables, so the
+DuckDB oracle can verify behavior cell-by-cell:
+
+  ref_number_cast_dirty      C2  letters/% -> '0', unparseable -> 0   (Form700.py:261-273)
+  ref_text_clean_newlines    C3+C7 null->'' + newline strip           (Form700.py:274-279,296-298)
+  ref_checkbox_cast          C4  null -> False                        (Form700.py:280-284)
+  ref_date_cast              C5  yyyyMMdd -> DATE (engine mode)       (Form700.py:285-288)
+  ref_snake_case_rename      C9  camelCase -> snake_case              (Form700.py:464-468)
+  ref_schema_projection      P1  schema-ordered projection            (Form700.py:253)
+  ref_stringify_structs      N2  array<struct> -> "k:v,k:v|..."       (Form700.py:306-323)
+  ref_explode_outer_tokens   E1  explode keeps empty-array parents    (Form700.py:354-383)
+  ref_explode_prefix_rename  E1+E2 explode + prefixed child columns   (Form700.py:356-362)
+  ref_enrichment_join        J1  broadcast left enrichment join       (Form700.py:346-352)
+  ref_union_pages            A4  page-slice UNION ALL                 (Form700.py:140-142)
+  ref_count_audit            A1/A3 row-count reconciliation           (Form700.py:473-474,611-618)
+  ref_group_counts           A5  per-parent child counts              (form700_cover_schema.csv:42-48)
+  ref_fillna_multitype       C8  per-dtype null fills                 (Form700.py:269-283,470)
+  ref_chunking_audit         K1  fixed-size chunk assignment          (Form700.py:505-506)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import checkbox_cast, number_cast, snake_case, strip_newlines, text_cast
+from ..functions.money import cents, cents_sql
+from ..functions.nested import stringify_structs
+from ..io import table
+from ..registry import register
+
+# Dirty-value construction shared by Spark and SQL (identical CASE logic).
+_DIRTY_SQL = """
+    CASE CAST(p_partkey % 5 AS INT)
+        WHEN 0 THEN concat(p_brand, '-', CAST(p_size AS VARCHAR))
+        WHEN 1 THEN CAST(p_size AS VARCHAR)
+        WHEN 2 THEN NULL
+        WHEN 3 THEN concat(CAST(p_size AS VARCHAR), '%')
+        ELSE concat('x', CAST(p_size AS VARCHAR), 'y')
+    END
+"""
+
+
+def _dirty_col():
+    p5 = (F.col("p_partkey") % 5).cast("int")
+    size_s = F.col("p_size").cast("string")
+    return (
+        F.when(p5 == 0, F.concat(F.col("p_brand"), F.lit("-"), size_s))
+        .when(p5 == 1, size_s)
+        .when(p5 == 2, F.lit(None).cast("string"))
+        .when(p5 == 3, F.concat(size_s, F.lit("%")))
+        .otherwise(F.concat(F.lit("x"), size_s, F.lit("y")))
+    )
+
+
+@register(
+    "ref_number_cast_dirty",
+    oracle=f"""
+    SELECT p_partkey,
+           {_DIRTY_SQL} AS raw_value,
+           COALESCE(TRY_CAST(regexp_replace(CAST({_DIRTY_SQL} AS VARCHAR), '[a-zA-Z%]', '0', 'g') AS DOUBLE), 0.0)
+             AS number_value
+    FROM part
+    """,
+    tags=("refparity", "cleaning"),
+    doc="C2 number cast: letters/% become '0' chars, unparseable/NULL -> 0.0.",
+)
+def ref_number_cast_dirty(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    dirty = _dirty_col()
+    return p.select(
+        "p_partkey",
+        dirty.alias("raw_value"),
+        number_cast(dirty).alias("number_value"),
+    )
+
+
+@register(
+    "ref_text_clean_newlines",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(
+               COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL
+                             ELSE concat(c_name, chr(10), c_mktsegment) END, ''),
+               chr(10), '', 'g') AS cleaned
+    FROM customer
+    """,
+    tags=("refparity", "cleaning"),
+    doc="C3 text cast (null->'') composed with C7 newline strip.",
+)
+def ref_text_clean_newlines(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    raw = F.when(
+        F.col("c_custkey") % 7 == 0, F.lit(None).cast("string")
+    ).otherwise(F.concat(F.col("c_name"), F.lit("\n"), F.col("c_mktsegment")))
+    return c.select("c_custkey", strip_newlines(text_cast(raw)).alias("cleaned"))
+
+
+@register(
+    "ref_checkbox_cast",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal > 0 END, FALSE)
+             AS is_positive
+    FROM customer
+    """,
+    tags=("refparity", "cleaning"),
+    doc="C4 checkbox cast: NULL -> False.",
+)
+def ref_checkbox_cast(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    raw = F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("boolean")).otherwise(
+        F.col("c_acctbal") > 0
+    )
+    return c.select("c_custkey", checkbox_cast(raw).alias("is_positive"))
+
+
+@register(
+    "ref_date_cast",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m%d') AS raw_date,
+           strftime(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d'), '%Y-%m-%d') AS parsed_date
+    FROM orders
+    """,
+    tags=("refparity", "cleaning"),
+    doc="C5 date cast, engine mode: yyyyMMdd text -> DATE (reference leaves text).",
+)
+def ref_date_cast(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    raw = F.date_format("o_orderdate", "yyyyMMdd")
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        # formatted back to string: engines disagree on DATE wire repr
+        # (DuckDB->pandas widens DATE to datetime64) — string is stable
+        F.date_format(F.to_date(raw, "yyyyMMdd"), "yyyy-MM-dd").alias("parsed_date"),
+    )
+
+
+_SNAKE_SOURCE_COLS = ["filingId", "filerName", "departmentName", "periodStart.date"]
+
+
+@register(
+    "ref_snake_case_rename",
+    oracle="""
+    SELECT c_custkey AS filing_id,
+           c_name AS filer_name,
+           c_mktsegment AS department_name,
+           strftime(DATE '1995-01-01', '%Y-%m-%d') AS period_startdate
+    FROM customer
+    """,
+    tags=("refparity", "cleaning"),
+    doc="C9 snake_case rename: dots dropped, camelCase underscored (inflection algorithm).",
+)
+def ref_snake_case_rename(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    src = c.select(
+        F.col("c_custkey").alias("filingId"),
+        F.col("c_name").alias("filerName"),
+        F.col("c_mktsegment").alias("departmentName"),
+        F.lit("1995-01-01").alias("periodStart.date"),
+    )
+    return src.toDF(*(snake_case(col) for col in _SNAKE_SOURCE_COLS))
+
+
+@register(
+    "ref_schema_projection",
+    oracle="SELECT c_name, c_custkey, c_mktsegment FROM customer",
+    tags=("refparity", "projection"),
+    doc="P1: select exactly the declared schema columns, in schema order.",
+)
+def ref_schema_projection(spark, sf_dir):
+    from ..functions.cleaning import schema_projection
+
+    c = table(spark, sf_dir, "customer")
+    return schema_projection(c, ["c_name", "c_custkey", "c_mktsegment"])
+
+
+@register(
+    "ref_stringify_structs",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(
+               list_transform(
+                   list_sort(list(struct_pack(id := o_orderkey, status := o_orderstatus))),
+                   s -> concat('id:', CAST(s.id AS VARCHAR), ',', 'status:', CAST(s.status AS VARCHAR))
+               ), '|') AS orders_str
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("refparity", "nested"),
+    doc="N2: array<struct> -> 'k:v,k:v|k:v,...' via higher-order functions (no UDF).",
+)
+def ref_stringify_structs(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("status")))
+    )
+    return o.groupBy("o_custkey").agg(
+        stringify_structs(arr, ["id", "status"]).alias("orders_str")
+    )
+
+
+@register(
+    "ref_explode_outer_tokens",
+    oracle="""
+    WITH arr AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 10 = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE string_split(p_type, ' ') END AS tokens
+        FROM part
+    )
+    SELECT p_partkey, unnest(CASE WHEN len(tokens) = 0 THEN [NULL] ELSE tokens END) AS token
+    FROM arr
+    """,
+    tags=("refparity", "nested"),
+    doc="E1 explode_outer: empty-array parents keep one NULL-child row (reference left merge).",
+)
+def ref_explode_outer_tokens(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    tokens = F.when(
+        F.col("p_partkey") % 10 == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("p_type"), " "))
+    return p.select("p_partkey", tokens.alias("tokens")).select(
+        "p_partkey", F.explode_outer("tokens").alias("token")
+    )
+
+
+@register(
+    "ref_explode_prefix_rename",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           l.l_linenumber AS itemLinenumber,
+           CAST(l.l_quantity AS BIGINT) AS itemQuantity
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("refparity", "nested"),
+    doc=(
+        "E1+E2 round-trip: nest lineitems under their order as array<struct>, "
+        "explode_outer back out with prefixed child names (renameRealPropertyCols)."
+    ),
+)
+def ref_explode_prefix_rename(spark, sf_dir):
+    from ..functions.nested import explode_outer_flat
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    nested = (
+        l.groupBy(F.col("l_orderkey"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("linenumber"),
+                    F.col("l_quantity").cast("long").alias("quantity"),
+                )
+            ).alias("items")
+        )
+    )
+    parent = o.join(nested, o.o_orderkey == nested.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "items"
+    )
+    flat = explode_outer_flat(parent, "items", prefix="item")
+    return flat.select("o_orderkey", "o_orderstatus", "itemLinenumber", "itemQuantity")
+
+
+@register(
+    "ref_enrichment_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_custkey, o.o_orderpriority,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("refparity", "join"),
+    doc="J1: broadcast left enrichment join — attach parent (cover) columns to every child row.",
+)
+def ref_enrichment_join(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    return l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+@register(
+    "ref_union_pages",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS checksum_total
+    FROM (
+        SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL SELECT * FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL SELECT * FROM orders WHERE o_orderkey % 3 = 2
+    ) pages
+    """,
+    tags=("refparity", "setop"),
+    doc="A4: page-sliced extraction reassembled with UNION ALL, audited by count+checksum.",
+)
+def ref_union_pages(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    pages = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    out = pages[0]
+    for pg in pages[1:]:
+        out = out.unionByName(pg)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("checksum_total"),
+    )
+
+
+@register(
+    "ref_count_audit",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customer,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_supplier
+    """,
+    tags=("refparity", "agg"),
+    doc="A1/A3: per-table row-count audit in one row (the reference's SUCCESS check).",
+)
+def ref_count_audit(spark, sf_dir):
+    counts = [
+        table(spark, sf_dir, name).agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        for name in ("customer", "orders", "lineitem", "supplier")
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+@register(
+    "ref_group_counts",
+    oracle="""
+    SELECT c.c_custkey AS filer_id,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS schedule_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("refparity", "agg"),
+    doc="A5: derive the per-parent child counts the reference trusts its API for.",
+)
+def ref_group_counts(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("filer_id"))
+        .agg(F.count("o_orderkey").alias("schedule_count"))
+    )
+
+
+@register(
+    "ref_fillna_multitype",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END, '') AS name_filled,
+           COALESCE(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE CAST(c_nationkey AS BIGINT) END, 0) AS nation_filled,
+           COALESCE(CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled
+    FROM customer
+    """,
+    tags=("refparity", "cleaning"),
+    doc="C8: per-dtype null fills ('' / 0 / 0.0) done as one na.fill pass.",
+)
+def ref_fillna_multitype(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    withnulls = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, None).otherwise(F.col("c_name")).alias("name_filled"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey").cast("long"))
+        .alias("nation_filled"),
+        F.when(F.col("c_custkey") % 6 == 0, None).otherwise(F.col("c_acctbal")).alias("bal_filled"),
+    )
+    return withnulls.na.fill({"name_filled": "", "nation_filled": 0, "bal_filled": 0.0})
+
+
+@register(
+    "ref_chunking_audit",
+    oracle="""
+    WITH numbered AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT CAST((rn - 1) // 1000 AS INT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS chunk_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+    FROM numbered GROUP BY 1
+    """,
+    tags=("refparity", "sink"),
+    doc="K1: fixed-size (1000-row) chunk assignment over a total order, audited per chunk.",
+)
+def ref_chunking_audit(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    rn = F.row_number().over(W.orderBy("o_orderkey"))
+    return (
+        o.select("o_orderkey", rn.alias("rn"))
+        .select("o_orderkey", (((F.col("rn") - 1) / 1000).cast("int")).alias("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_rows"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )

@@ -1,0 +1,719 @@
+"""Core relational surface: scans, filters, the full join family,
+aggregation (incl. rollup/cube/grouping sets), sorts, set ops, scalar
+functions.  SURVEY §2.2/§2.3/§2.6 + build-plan M1/M3.
+
+Scale notes (100 TB design point):
+- Dimension sides (region/nation/customer aggregates) are broadcast —
+  ``F.broadcast`` hints where Catalyst's size estimate might not see it.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
+  aggregations reuse that partitioning where possible.
+- All money arithmetic is exact integer cents (see functions/money.py)
+  — cheaper than DECIMAL and reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..io import table
+from ..registry import register
+
+# ---------------------------------------------------------------- M1 flagship
+
+
+@register(
+    "flagship_mktsegment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM({rev}) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """.format(rev=f"{cents_sql('l.l_extendedprice')} * (100 - {cents_sql('l.l_discount')})"),
+    tags=("join", "agg", "flagship"),
+    doc="Revenue per market segment: 3-way join + filter + group-by (M1 flagship).",
+)
+def flagship_mktsegment_revenue(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ------------------------------------------------------------- TPC-H-flavored
+
+_Q1_DISC = f"{cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})"
+_Q1_CHARGE = f"{_Q1_DISC} * (100 + {cents_sql('l_tax')})"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM({cents_sql('l_extendedprice')}) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM({_Q1_CHARGE}) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM({cents_sql('l_extendedprice')}) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+           CAST(SUM({cents_sql('l_discount')}) AS DOUBLE) / COUNT(*) / 100.0 AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+    doc="TPC-H Q1-style pricing summary: wide aggregate over the fact table.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    qty = F.col("l_quantity").cast("long")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    disc_price = price_c * (F.lit(100) - disc_c)
+    charge = disc_price * (F.lit(100) + tax_c)
+    n = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_price) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(charge) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / n / F.lit(100.0)).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / n / F.lit(100.0)).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_unshipped_orders",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY CAST(SUM({_Q1_DISC}) AS BIGINT) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    doc="TPC-H Q3-style: segment filter, 3-way join, group, exact top-10 by revenue.",
+)
+def q3_top_unshipped_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_c).alias("_rev_c"))
+        .orderBy(F.col("_rev_c").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("_rev_c") / F.lit(10000.0)).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_region_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY CAST(SUM({_Q1_DISC}) AS BIGINT) DESC, n.n_name
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q5-style: 6-way star join with broadcast dims, revenue per nation.",
+)
+def q5_region_nation_revenue(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_c).alias("_rev_c"))
+        .orderBy(F.col("_rev_c").desc(), F.col("n_name"))
+        .select("n_name", (F.col("_rev_c") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- join family
+
+
+@register(
+    "join_left_customer_orders",
+    oracle=f"""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           COALESCE(CAST(SUM({cents_sql('o.o_totalprice')}) AS BIGINT), 0) / 100.0 AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+    doc="LEFT outer join: customers keep a row (0 orders) when unmatched.",
+)
+def join_left_customer_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum(cents("o_totalprice")), F.lit(0)) / F.lit(100.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+    doc="LEFT SEMI join (EXISTS): customers having at least one >400k order.",
+)
+def join_semi_big_spenders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti_orderless_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+    doc="LEFT ANTI join (NOT EXISTS): customers with no orders at all.",
+)
+def join_anti_orderless_customers(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer_nation_counts",
+    oracle="""
+    WITH cu AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         su AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cu.nk, su.nk) AS nationkey,
+           COALESCE(cu.n_customers, 0) AS n_customers,
+           COALESCE(su.n_suppliers, 0) AS n_suppliers
+    FROM cu FULL OUTER JOIN su ON cu.nk = su.nk
+    """,
+    tags=("join",),
+    doc="FULL OUTER join of two aggregates with COALESCE'd keys.",
+)
+def join_full_outer_nation_counts(spark, sf_dir):
+    cu = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    su = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cu.join(su, cu.nk == su.nk, "full_outer").select(
+        F.coalesce(cu.nk, su.nk).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join",),
+    doc="CROSS join of two tiny relations (the only safe cartesian).",
+)
+def join_cross_region_status(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+# ------------------------------------------------------- grouping aggregation
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INT) AS g_region,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg",),
+    doc="ROLLUP hierarchy totals with GROUPING() markers to disambiguate NULLs.",
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+    ).select("r_name", "n_name", "g_region", "g_nation", "n_customers")
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+    doc="CUBE over two dimensions with exact money totals.",
+)
+def agg_cube_status_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "total_price")
+
+
+@register(
+    "agg_distinct_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+    doc="COUNT(DISTINCT) per group (exact distinct shuffles on (group, key)).",
+)
+def agg_distinct_per_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_stats_acctbal_by_nation",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN({cents_sql('c_acctbal')}) AS BIGINT) / 100.0 AS min_bal,
+           CAST(MAX({cents_sql('c_acctbal')}) AS BIGINT) / 100.0 AS max_bal,
+           round(CAST(SUM({cents_sql('c_acctbal')}) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_bal,
+           round((CAST(SUM({cents_sql('c_acctbal')} * {cents_sql('c_acctbal')}) AS DOUBLE)
+                  - CAST(SUM({cents_sql('c_acctbal')}) AS DOUBLE) * CAST(SUM({cents_sql('c_acctbal')}) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1) / 10000.0, 4) AS var_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 1
+    """,
+    tags=("agg",),
+    doc="min/max/avg/sample-variance from exact integer moments (deterministic).",
+)
+def agg_stats_acctbal_by_nation(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    n = F.count(F.lit(1))
+    s1 = F.sum(bal)
+    s2 = F.sum(bal * bal)
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            n.alias("n"),
+            (F.min(bal) / F.lit(100.0)).alias("min_bal"),
+            (F.max(bal) / F.lit(100.0)).alias("max_bal"),
+            F.round(s1.cast("double") / n / F.lit(100.0), 4).alias("avg_bal"),
+            F.round(
+                (s2.cast("double") - s1.cast("double") * s1.cast("double") / n)
+                / (n - F.lit(1))
+                / F.lit(10000.0),
+                4,
+            ).alias("var_bal"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+# --------------------------------------------------------- sorts / set ops
+
+
+@register(
+    "sort_top25_orders",
+    oracle=f"""
+    SELECT o_orderkey, {cents_sql('o_totalprice')} / 100.0 AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderstatus
+    FROM orders
+    ORDER BY {cents_sql('o_totalprice')} DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "topk"),
+    doc="Global top-N via total order + limit (Spark: TakeOrderedAndProject).",
+)
+def sort_top25_orders(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(cents("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            (cents("o_totalprice") / F.lit(100.0)).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderstatus",
+        )
+    )
+
+
+@register(
+    "distinct_status_priority",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("setop",),
+    doc="DISTINCT projection (hash-dedup with map-side partial).",
+)
+def distinct_status_priority(spark, sf_dir):
+    return table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "set_union_all_parties",
+    oracle="""
+    SELECT side, nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+    ) u GROUP BY side, nationkey
+    """,
+    tags=("setop",),
+    doc="UNION ALL of two conformed projections, then aggregate (reference A4).",
+)
+def set_union_all_parties(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("side", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="INTERSECT (distinct semantics) of two key sets.",
+)
+def set_intersect_nations(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="EXCEPT (distinct semantics): nations with customers but no suppliers.",
+)
+def set_except_nations(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+# --------------------------------------------------- scalar-function surface
+
+
+@register(
+    "case_when_price_bands",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS total
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar", "agg"),
+    doc="CASE WHEN bucketization feeding an aggregate.",
+)
+def case_when_price_bands(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("band")
+    )
+    return o.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total"),
+    )
+
+
+@register(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 5) AS type_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           concat(p_brand, '/', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           trim(concat('  ', p_name, '  ')) AS name_trimmed,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="String-function surface: upper/lower/substr/length/lpad/concat/replace/trim/instr.",
+)
+def string_funcs_part(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+    tags=("scalar",),
+    doc="Date-function surface: parts, interval add, diff, trunc, last_day.",
+)
+def date_funcs_orders(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch0"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "math_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 910.0) AS abs_diff,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+           CAST(p_size % 7 AS INT) AS size_mod7
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="Math-function surface: abs/ceil/floor/sqrt/ln/pow/mod (rounded for FP parity).",
+)
+def math_funcs_part(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 910.0).alias("abs_diff"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2.0), 1).alias("size_sq"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod7"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+    doc="PIVOT (conditional aggregation) of order status counts per priority.",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.na.fill(0, ["O", "F", "P"])
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    ) u
+    """,
+    tags=("pivot",),
+    doc="UNPIVOT (stack) wide columns into (metric, value) rows.",
+)
+def unpivot_part_metrics(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)"),
+    )
+
+
+@register(
+    "subquery_orders_above_cust_avg",
+    oracle=f"""
+    WITH cavg AS (
+        SELECT o_custkey,
+               CAST(SUM({cents_sql('o_totalprice')}) AS DOUBLE) / COUNT(*) AS avg_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           {cents_sql('o.o_totalprice')} / 100.0 AS totalprice
+    FROM orders o JOIN cavg ON o.o_custkey = cavg.o_custkey
+    WHERE {cents_sql('o.o_totalprice')} > cavg.avg_cents
+    """,
+    tags=("join", "subquery"),
+    doc="Correlated-style comparison against a per-group aggregate (decorrelated join).",
+)
+def subquery_orders_above_cust_avg(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cavg = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (F.sum(cents("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    return (
+        o.join(cavg, o.o_custkey == cavg.ck)
+        .filter(cents("o_totalprice").cast("double") > F.col("avg_cents"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (cents("o_totalprice") / F.lit(100.0)).alias("totalprice"),
+        )
+    )

@@ -1,0 +1,225 @@
+"""Similarity search over the ``embeddings`` table (build plan M5).
+
+Cosine math is done in DOUBLE end to end (the float32 vectors are
+promoted first) with a sequential fold, so Spark and DuckDB produce
+bit-identical similarities; ranking keys round to 6 decimals with a
+vec_id tie-break for full determinism.
+
+Scale design (100 TB / billions of vectors):
+- brute-force top-k: O(Q*N) — kept as the exactness baseline; at scale
+  Q is a small broadcast side, so the plan is a broadcast
+  nested-loop + per-partition partial top-k (TakeOrderedAndProject),
+  no shuffle of the big side.
+- sign-bit LSH: hyperplane-sign buckets (here: the signs of 8 fixed
+  dims) shrink the candidate set to one bucket; the same plan shape
+  holds for learned IVF centroids (bucket id = argmin centroid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_COS_SQL = """
+    round(
+        list_dot_product(a.vec, b.vec)
+        / sqrt(list_dot_product(a.vec, a.vec))
+        / sqrt(list_dot_product(b.vec, b.vec)), 6)
+"""
+
+_VEC_DOUBLE_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _vec_double():
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "ann_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec FROM embeddings),
+    sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_COS_SQL} AS cosine
+        FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, neighbor_label, cosine
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("similarity", "topk"),
+    doc="Exact cosine top-5 neighbors for the query subset (brute-force baseline).",
+)
+def ann_cosine_topk_bruteforce(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    v = table(spark, sf_dir, "embeddings").select("vec_id", "label", _vec_double().alias("vec"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("vec").alias("nvec"),
+    )
+    joined = F.broadcast(q).join(cand, F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("nvec"))
+        / F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+        / F.sqrt(_dot(F.col("nvec"), F.col("nvec"))),
+        6,
+    )
+    sims = joined.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "neighbor_label", "cosine")
+    )
+
+
+_BUCKET_SQL = (
+    "("
+    + " + ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8))
+    + ")"
+)
+
+
+@register(
+    "ann_lsh_signbit_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec,
+               CAST({_BUCKET_SQL} AS INT) AS bucket
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % 50 = 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, bucket, CAST(rk AS INT) AS rk, neighbor_id, cosine
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("similarity", "lsh"),
+    doc=(
+        "Sign-bit LSH ANN: 8 hyperplane-sign bits bucket the space; search only "
+        "the query's bucket (the IVF-style scale path), exact rerank inside."
+    ),
+)
+def ann_lsh_signbit_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    bucket = None
+    for i in range(8):
+        term = F.when(F.col("embedding").getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else (bucket + term)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("vec"), bucket.cast("int").alias("bucket")
+    )
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("nbucket"), F.col("vec").alias("nvec")
+    )
+    joined = F.broadcast(q).join(
+        cand, (F.col("bucket") == F.col("nbucket")) & (F.col("query_id") != F.col("neighbor_id"))
+    )
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("nvec"))
+        / F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+        / F.sqrt(_dot(F.col("nvec"), F.col("nvec"))),
+        6,
+    )
+    sims = joined.select("query_id", "bucket", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "bucket", "rk", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT label, sqrt(list_dot_product({_VEC_DOUBLE_SQL}, {_VEC_DOUBLE_SQL})) AS norm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(MIN(norm), 6) AS min_norm,
+           round(MAX(norm), 6) AS max_norm
+    FROM v GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+    doc="Per-label vector-norm stats (embedding-space health check).",
+)
+def embedding_label_stats(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select(
+        "label", F.sqrt(_dot(_vec_double(), _vec_double())).alias("norm")
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+@register(
+    "dedup_embedding_near",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec,
+               CAST({_BUCKET_SQL} AS INT) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2, {_COS_SQL} AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.5
+    """,
+    tags=("similarity", "dedup"),
+    doc=(
+        "Embedding near-duplicate pairs: sign-bit-bucket blocking, exact cosine "
+        "verify >= 0.5 inside each bucket (only same-bucket pairs are compared)."
+    ),
+)
+def dedup_embedding_near(spark, sf_dir):
+    bucket = None
+    for i in range(8):
+        term = F.when(F.col("embedding").getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else (bucket + term)
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("vec"), bucket.cast("int").alias("bucket")
+    )
+    a = v.select(F.col("vec_id").alias("vec1"), F.col("vec").alias("v1"), "bucket")
+    b = v.select(F.col("vec_id").alias("vec2"), F.col("vec").alias("v2"), F.col("bucket").alias("b2"))
+    cos = F.round(
+        _dot(F.col("v1"), F.col("v2"))
+        / F.sqrt(_dot(F.col("v1"), F.col("v1")))
+        / F.sqrt(_dot(F.col("v2"), F.col("v2"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("vec1") < F.col("vec2")))
+        .select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )

@@ -1,0 +1,235 @@
+"""Text-analysis operators over ``documents`` (build plan M5).
+
+All pure built-in-function pipelines: tokenization by regex/split,
+counting via array ops, scoring via arithmetic — JVM-side end to end,
+no Python UDFs, so the same expressions run unchanged over 100 TB of
+text shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "es"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS type_token_ratio,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           length(text) = n_chars AS n_chars_ok
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Token counting + type/token ratio + metadata audit (n_chars check).",
+)
+def text_token_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_unique.cast("int").alias("n_unique"),
+        F.round(n_unique.cast("double") / n_tokens, 6).alias("type_token_ratio"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tok,
+               length(text) AS n_ch,
+               len(list_filter(string_split(text, ' '),
+                               w -> list_contains({list(_STOPWORDS)!r}, w))) AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INT) AS n_tokens,
+           round(CAST(n_ch AS DOUBLE) / n_tok, 6) AS avg_token_len,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+           round(CAST(n_punct AS DOUBLE) / n_ch, 6) AS punct_ratio,
+           round(CAST(n_digit AS DOUBLE) / n_ch, 6) AS digit_ratio,
+           round(least(CAST(n_tok AS DOUBLE) / 100, 1.0) * 0.5
+                 + CAST(n_stop AS DOUBLE) / n_tok * 0.3
+                 + (1.0 - CAST(n_punct AS DOUBLE) / n_ch) * 0.2, 6) AS quality_score
+    FROM t
+    """,
+    tags=("text",),
+    doc="Quality scoring: length/stopword/punct/digit signals + composite score.",
+)
+def text_quality_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_ch = F.length("text").cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    n_punct = (n_ch - F.length(F.regexp_replace("text", "[.,;:!?]", ""))).cast("long")
+    n_digit = (n_ch - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("long")
+    q = (
+        F.least(n_tok.cast("double") / 100, F.lit(1.0)) * 0.5
+        + n_stop.cast("double") / n_tok * 0.3
+        + (F.lit(1.0) - n_punct.cast("double") / n_ch) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(n_ch.cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / n_ch, 6).alias("punct_ratio"),
+        F.round(n_digit.cast("double") / n_ch, 6).alias("digit_ratio"),
+        F.round(q, 6).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = _LANG_MARKERS[lang]
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains({list(words)!r}, w)))"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(s_en, s_es, s_de, s_fr)
+                WHEN 0 THEN 'und'
+                WHEN s_en THEN 'en'
+                WHEN s_es THEN 'es'
+                WHEN s_de THEN 'de'
+                ELSE 'fr' END AS predicted_lang,
+           CAST(greatest(s_en, s_es, s_de, s_fr) AS INT) AS best_score
+    FROM scores
+    """,
+    tags=("text",),
+    doc=(
+        "Language-ID heuristic: stopword-marker hit counts per language, argmax "
+        "with fixed priority order (en>es>de>fr) on ties, 'und' when no hits."
+    ),
+)
+def text_language_id(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    def hit_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        # NB: the lambda must be single-arg — a second arg would be
+        # interpreted by F.filter as the element index
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: hit_count(words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(best == scores["en"], "en")
+        .when(best == scores["es"], "es")
+        .when(best == scores["de"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("int").alias("best_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(ntext) AS content_fp,
+           list_min(list_transform(
+               range(1, greatest(len(string_split(ntext, ' ')) - 2, 1)),
+               i -> md5(concat_ws(' ', string_split(ntext, ' ')[i],
+                                       string_split(ntext, ' ')[i+1],
+                                       string_split(ntext, ' ')[i+2],
+                                       string_split(ntext, ' ')[i+3]))
+           )) AS winnow_fp
+    FROM norm
+    """,
+    tags=("text",),
+    doc=(
+        "Document fingerprinting: exact content fp (md5 of normalized text) + "
+        "winnowing-style fp (min hash over 4-gram windows — a rolling-hash analog)."
+    ),
+)
+def text_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    ntext = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    win_fp = F.expr(
+        "array_min(CASE WHEN size(split(ntext, ' ')) >= 4 THEN "
+        "transform(sequence(0, size(split(ntext, ' ')) - 4), "
+        "i -> md5(concat_ws(' ', split(ntext, ' ')[i], split(ntext, ' ')[i+1], "
+        "split(ntext, ' ')[i+2], split(ntext, ' ')[i+3]))) "
+        "ELSE CAST(array() AS array<string>) END)"
+    )
+    return d.select("doc_id", ntext.alias("ntext")).select(
+        "doc_id",
+        F.md5("ntext").alias("content_fp"),
+        win_fp.alias("winnow_fp"),
+    )
+
+
+@register(
+    "doc_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "agg"),
+    doc="Corpus composition stats per (lang, source) — the pipeline-health dashboard query.",
+)
+def doc_corpus_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return d.groupBy("lang", "source").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / n, 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,227 @@
+"""Window-function surface: ranking, lag/lead, running frames, ntile,
+sessionization (build plan M3; no reference analog — SURVEY §2.6).
+
+Every ORDER BY inside a window includes a unique tie-break key so row-
+based frames are deterministic across engines and across partitionings
+— mandatory for a distributed engine (row order within equal keys is
+otherwise plan-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "window_top3_customers_per_nation",
+    oracle=f"""
+    SELECT c_nationkey, c_custkey, {cents_sql('c_acctbal')} / 100.0 AS acctbal, rn
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                                       ORDER BY {cents_sql('c_acctbal')} DESC, c_custkey) AS INT) AS rn
+        FROM customer
+    ) t WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    doc="Top-K per group via row_number window (no global sort).",
+)
+def window_top3_customers_per_nation(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(cents("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", (cents("c_acctbal") / F.lit(100.0)).alias("acctbal"), "rn")
+    )
+
+
+@register(
+    "window_rank_parts_in_brand",
+    oracle=f"""
+    SELECT p_brand, p_partkey,
+           CAST(rank() OVER (PARTITION BY p_brand ORDER BY {cents_sql('p_retailprice')} DESC) AS INT) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY {cents_sql('p_retailprice')} DESC) AS INT) AS price_dense_rank,
+           round(percent_rank() OVER (PARTITION BY p_brand ORDER BY {cents_sql('p_retailprice')} DESC), 6) AS price_pct_rank
+    FROM part
+    """,
+    tags=("window",),
+    doc="rank / dense_rank / percent_rank (peer-aware, deterministic on value ties).",
+)
+def window_rank_parts_in_brand(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(cents("p_retailprice").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
+@register(
+    "window_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_orderdate,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_orderdate,
+           CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+    doc="lag/lead across a per-customer order timeline with day gaps.",
+)
+def window_lag_lead_order_gaps(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.date_format(prev, "yyyy-MM-dd").alias("prev_orderdate"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_orderdate"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).cast("int").alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_running_supplier_revenue",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM({cents_sql('l_extendedprice')})
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+             AS running_revenue
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    """,
+    tags=("window",),
+    doc="Running total with an explicit ROWS frame and unique ordering.",
+)
+def window_running_supplier_revenue(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(cents("l_extendedprice")).over(w) / F.lit(100.0)).alias("running_revenue"),
+    )
+
+
+@register(
+    "window_range_frame_cumulative",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderkey,
+           CAST(SUM({cents_sql('o_totalprice')})
+                OVER (PARTITION BY o_orderstatus
+                      ORDER BY {cents_sql('o_totalprice')}
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+             AS cume_price
+    FROM orders
+    WHERE o_custkey <= 50
+    """,
+    tags=("window",),
+    doc="RANGE frame: peers (equal order values) aggregate together — deterministic on ties.",
+)
+def window_range_frame_cumulative(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(cents("o_totalprice"))
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias("cume_price"),
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle=f"""
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN({cents_sql('c_acctbal')}) AS BIGINT) / 100.0 AS min_bal,
+           CAST(MAX({cents_sql('c_acctbal')}) AS BIGINT) / 100.0 AS max_bal
+    FROM (
+        SELECT c_acctbal,
+               CAST(ntile(4) OVER (ORDER BY {cents_sql('c_acctbal')}, c_custkey) AS INT) AS quartile
+        FROM customer
+    ) t GROUP BY quartile
+    """,
+    tags=("window", "agg"),
+    doc="ntile bucketing over a unique total order, then per-bucket stats.",
+)
+def window_ntile_quartiles(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    w = W.orderBy(cents("c_acctbal"), F.col("c_custkey"))
+    bal = cents("c_acctbal")
+    return (
+        c.select(F.col("c_acctbal"), F.ntile(4).over(w).cast("int").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min(bal) / F.lit(100.0)).alias("min_bal"),
+            (F.max(bal) / F.lit(100.0)).alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "sessionize_user_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+    doc="Batch sessionization: lag-gap > 30 min starts a session; cumulative sum labels it.",
+)
+def sessionize_user_events(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_s"),
+    )

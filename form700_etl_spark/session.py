@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+Local-mode settings mirror what we would set fleet-wide on a real
+cluster: AQE on (runtime coalesce, skew-join handling), shuffle
+partitions sized to the executor-core count instead of the 200
+default, UTC session timezone (so timestamp semantics match the
+UTC-naive DuckDB oracle), and Arrow enabled for every pandas-UDF
+exchange.  On a 1000-executor cluster the only knobs that change are
+master/memory/shuffle-partitions — nothing in the engine code assumes
+local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpu_count()
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read the raw int64 nanos instead (io.table
+        # converts to a microsecond timestamp, matching DuckDB truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
