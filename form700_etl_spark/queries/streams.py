@@ -1,0 +1,75 @@
+"""Structured-Streaming queries (build plan M5).
+
+Each entry actually runs a streaming job (parquet file source →
+memory sink, driven to completion) and returns the materialized
+result.  Because the streaming semantics are batch-equivalent on
+static input, these get REAL DuckDB oracles — the strongest check a
+streaming operator can have.
+"""
+
+from __future__ import annotations
+
+from ..registry import register
+from ..streaming.events_stream import (
+    stream_dedup_events,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+from .events import events_tumbling_hourly  # noqa: F401  (oracle twin)
+
+register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+    doc="Tumbling-window streaming agg run to completion; oracle = its batch twin.",
+)(stream_tumbling_counts)
+
+
+register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "sessionization"),
+    doc=(
+        "session_window(30 min gap) streaming agg; oracle = lag/cumsum "
+        "sessionization with the same gap>=30min boundary semantics."
+    ),
+)(stream_session_windows)
+
+
+register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+    doc=(
+        "dropDuplicates over a deliberately doubled stream collapses to one "
+        "row per event_id; oracle = batch distinct count."
+    ),
+)(stream_dedup_events)

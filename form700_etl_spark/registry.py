@@ -53,9 +53,12 @@ def _load_all() -> None:
     from .queries import (  # noqa: F401
         dedup,
         events,
+        multimodal,
         refparity,
         relational,
         similarity,
+        sqlapi,
+        streams,
         textops,
         windows,
     )

@@ -1,0 +1,155 @@
+"""Chunked replace/upsert sink — the reference's load path, re-planned.
+
+Reference behavior (SURVEY §2.7, /root/reference/Form700.py):
+- K1 fixed 1000-row chunks (:505-506), K2 row-dict conversion (:473),
+- K4 chunk 0 via ``client.replace`` (truncate+insert) then upserts
+  (:479-489), K5 ``@retry(tries=10, delay=1, backoff=2)`` + 0.25 s
+  throttle per chunk (:491-502),
+- A2/A3 audit: accumulated inserted-row counts reconciled against the
+  input count (:494, :611-618).
+
+Spark re-plan, designed to be **idempotent under retry** (the
+reference can double-count when a retry follows a partial success —
+SURVEY §7 "hard parts" says design that out, not port it):
+
+1. the *replace* step is a driver-side truncate issued exactly once,
+   BEFORE any executor writes — not "first chunk replaces", which
+   races under task retry;
+2. executors write via ``foreachPartition``; each chunk is tagged with
+   a deterministic ``(partition_id, chunk_index)`` id and delivered
+   with ``upsert(chunk_id, rows)`` so a re-executed task overwrites
+   rather than duplicates (client contract: upsert by chunk id is
+   idempotent);
+3. per-chunk retry with exponential backoff + per-chunk throttle;
+4. audit via a Spark accumulator (A2), reconciled on the driver (A3).
+
+The client is an injectable protocol; ``LocalDirClient`` (one JSON
+file per chunk id — naturally idempotent) serves tests and local runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+
+class SinkClient(Protocol):
+    def truncate(self) -> None: ...
+
+    def upsert(self, chunk_id: str, rows: list[dict]) -> int:
+        """Idempotently write one chunk; returns rows written."""
+        ...
+
+
+class LocalDirClient:
+    """Filesystem-backed client: chunk id -> one JSON file (atomic
+    rename), so task retries overwrite instead of duplicating."""
+
+    def __init__(self, path: str, fail_times: int = 0):
+        self.path = path
+        self.fail_times = fail_times  # test hook: fail the first N calls
+        os.makedirs(path, exist_ok=True)
+
+    def truncate(self) -> None:
+        for f in os.listdir(self.path):
+            if f.endswith(".json"):
+                os.unlink(os.path.join(self.path, f))
+
+    def upsert(self, chunk_id: str, rows: list[dict]) -> int:
+        marker = os.path.join(self.path, "_failures_remaining")
+        if self.fail_times:
+            # simulate a flaky endpoint across processes via a marker file
+            try:
+                with open(marker, "x") as fh:
+                    fh.write(str(self.fail_times - 1))
+                raise IOError("injected transient failure")
+            except FileExistsError:
+                with open(marker) as fh:
+                    remaining = int(fh.read() or 0)
+                if remaining > 0:
+                    with open(marker, "w") as fh:
+                        fh.write(str(remaining - 1))
+                    raise IOError("injected transient failure")
+        tmp = os.path.join(self.path, f".{chunk_id}.tmp")
+        final = os.path.join(self.path, f"{chunk_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh, default=str)
+        os.replace(tmp, final)
+        return len(rows)
+
+
+@dataclass(frozen=True)
+class ChunkedSinkConfig:
+    chunk_size: int = 1000  # reference chunkSize, Form700.py:397
+    tries: int = 10  # reference retry policy, Form700.py:491
+    delay_s: float = 1.0
+    backoff: float = 2.0
+    throttle_s: float = 0.25  # reference throttle, Form700.py:495
+    mode: str = "replace"  # 'replace' | 'upsert'
+
+
+@dataclass
+class SinkReport:
+    dataset: str
+    total_records: int
+    rows_inserted: int
+
+    @property
+    def success(self) -> bool:  # A3 reconciliation, Form700.py:611-618
+        return self.total_records == self.rows_inserted
+
+
+class ChunkedSink:
+    def __init__(self, client: SinkClient, config: ChunkedSinkConfig = ChunkedSinkConfig()):
+        self.client = client
+        self.config = config
+
+    def write(self, df: DataFrame, dataset: str = "dataset") -> SinkReport:
+        spark = df.sparkSession
+        config, client = self.config, self.client
+        inserted = spark.sparkContext.accumulator(0)
+
+        if config.mode == "replace":
+            client.truncate()  # once, on the driver, before any writes
+
+        def write_partition(rows_iter) -> None:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            chunk: list[dict] = []
+            chunk_idx = 0
+
+            def flush() -> None:
+                nonlocal chunk_idx
+                if not chunk:
+                    return
+                chunk_id = f"{dataset}-p{pid:05d}-c{chunk_idx:05d}"
+                delay = config.delay_s
+                for attempt in range(config.tries):
+                    try:
+                        inserted.add(client.upsert(chunk_id, list(chunk)))
+                        break
+                    except Exception:
+                        if attempt == config.tries - 1:
+                            raise
+                        time.sleep(delay)
+                        delay *= config.backoff
+                if config.throttle_s:
+                    time.sleep(config.throttle_s)
+                chunk.clear()
+                chunk_idx += 1
+
+            for row in rows_iter:
+                chunk.append(row.asDict(recursive=True))
+                if len(chunk) >= config.chunk_size:
+                    flush()
+            flush()
+
+        total = df.count()
+        df.foreachPartition(write_partition)
+        return SinkReport(dataset=dataset, total_records=total, rows_inserted=inserted.value)

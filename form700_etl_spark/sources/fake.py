@@ -1,0 +1,37 @@
+"""Deterministic in-process fake of a paginated filings API.
+
+Serves tests, demos and offline benchmarking of the REST source — the
+page shape mirrors the reference API (``totalMatchingPages`` +
+``filings`` list; see /root/reference/Form700.py:129-151 semantics).
+Lives in the package (not in tests/) so executor workers can unpickle
+it when it ships inside a ``mapInPandas`` closure.
+"""
+
+from __future__ import annotations
+
+from .rest import RestSourceConfig
+
+N_PAGES = 5
+PAGE_SIZE = 7
+
+FILING_SCHEMA = (
+    "filingId long, filerName string, amount string, "
+    "offices array<struct<office:string, position:string>>"
+)
+
+
+def fake_fetch_page(config: RestSourceConfig, page: int) -> dict:
+    assert 1 <= page <= N_PAGES, f"page {page} out of range"
+    base = (page - 1) * PAGE_SIZE
+    return {
+        "totalMatchingPages": N_PAGES,
+        "filings": [
+            {
+                "filingId": base + i,
+                "filerName": f"filer-{(base + i) % 3}",
+                "amount": f"{base + i}k" if i % 2 else str(base + i),
+                "offices": [{"office": f"o{i}", "position": "p"}],
+            }
+            for i in range(PAGE_SIZE)
+        ],
+    }

@@ -1,0 +1,108 @@
+"""Structured Streaming variants of the event-table operators.
+
+The reference is pure batch (SURVEY §1.5) — streaming is the
+engine-extension surface.  Design rules:
+
+- every streaming query has batch-equivalent semantics on static
+  input, so the DuckDB oracle that checks the batch twin also checks
+  the streaming run (``F.window`` buckets are epoch-aligned in both
+  modes; ``session_window`` merges on gap < gapDuration);
+- local tests drive a parquet file source to completion with
+  ``processAllAvailable`` + a memory sink — on a real cluster the same
+  code points at Kafka + a real sink, with watermarks bounding state.
+
+State-at-scale notes: tumbling/sliding aggs keep one row of state per
+open (window, key); the watermark closes windows so state is O(open
+windows), not O(stream).  Session windows and dropDuplicates keep
+per-key state likewise bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# raw parquet schema of events.parquet: ts is TIMESTAMP(NANOS) which the
+# reader surfaces as int64 nanos under legacy.parquet.nanosAsLong
+_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file stream source requires a directory; glob-filter to the
+    # events file inside the fixture dir
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming frame over the static fixture to completion
+    through a memory sink; returns the materialized batch result."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries.events.events_tumbling_hourly (same oracle)."""
+    from ..functions.money import cents
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap.
+
+    ``session_window`` merges events whose gap is < 30 min, i.e. a new
+    session starts at gap >= 30 min — the batch-SQL equivalent is the
+    lag/cumsum sessionization with ``>=`` gap semantics.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: a doubled stream (self-union) collapses
+    back to one row per event_id via dropDuplicates within the
+    watermark horizon; returns per-type counts for audit."""
+    events = read_events_stream(spark, sf_dir)
+    doubled = events.unionByName(events)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = run_to_completion(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,122 @@
+"""Unit + property tests for the expression library (SURVEY §5.2:
+explode row-count law, cast semantics, snake_case, stringify edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from form700_etl_spark.functions.cleaning import (
+    cast_fields,
+    number_cast,
+    snake_case,
+    text_cast,
+)
+from form700_etl_spark.functions.nested import explode_outer_flat, prefix_rename, stringify_structs
+
+
+def test_snake_case_matches_inflection_semantics():
+    # cases from the reference's rename path (Form700.py:464-468)
+    assert snake_case("filingId") == "filing_id"
+    assert snake_case("loan.address") == "loanaddress"
+    assert snake_case("realPropertyFairMarketValue") == "real_property_fair_market_value"
+    assert snake_case("HTMLParser") == "html_parser"
+    assert snake_case("already_snake") == "already_snake"
+
+
+def test_prefix_rename():
+    assert prefix_rename("fairMarketValue", "realProperty") == "realPropertyFairMarketValue"
+    assert prefix_rename("x", "") == "x"
+
+
+def test_number_cast_reference_semantics(spark):
+    rows = [("12",), ("12k",), ("1.5",), ("a%b",), (None,), ("",), ("Brand#3",)]
+    df = spark.createDataFrame(rows, "raw string").select(number_cast("raw").alias("v"))
+    got = [r.v for r in df.collect()]
+    #                12     12k->120   1.5   a%b->000  NULL  ''   '00000#3'
+    assert got == [12.0, 120.0, 1.5, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_number_cast_idempotent_on_clean_numbers(spark):
+    df = spark.createDataFrame([("42",), ("0.5",)], "raw string")
+    once = df.select(number_cast("raw").alias("v"))
+    twice = once.select(number_cast(F.col("v").cast("string")).alias("v"))
+    assert [r.v for r in once.collect()] == [r.v for r in twice.collect()]
+
+
+def test_text_cast_fills_null(spark):
+    df = spark.createDataFrame([(None,), ("x",)], "raw string")
+    assert [r.v for r in df.select(text_cast("raw").alias("v")).collect()] == ["", "x"]
+
+
+def test_cast_fields_unknown_type_raises(spark):
+    df = spark.createDataFrame([("1",)], "a string")
+    try:
+        cast_fields(df, {"a": "geometry"})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "geometry" in str(e)
+
+
+def test_explode_outer_row_count_law(spark):
+    # law: rows_out == sum(greatest(size(arr), 1))
+    rows = [(1, ["a", "b"]), (2, []), (3, None), (4, ["x"])]
+    df = spark.createDataFrame(rows, "id int, arr array<string>")
+    exploded = df.withColumn("tok", F.explode_outer("arr"))
+    expected = df.select(
+        F.sum(F.greatest(F.size(F.coalesce("arr", F.array())), F.lit(1)))
+    ).collect()[0][0]
+    assert exploded.count() == expected == 5  # 2 + 1 + 1 + 1
+
+
+def test_explode_outer_flat_prefix_and_null_children(spark):
+    rows = [(1, [{"a": "x", "b": "y"}]), (2, [])]
+    df = spark.createDataFrame(rows, "id int, items array<struct<a:string,b:string>>")
+    flat = explode_outer_flat(df, "items", prefix="item")
+    assert set(flat.columns) == {"id", "itemA", "itemB"}
+    by_id = {r.id: r for r in flat.collect()}
+    assert by_id[1].itemA == "x"
+    assert by_id[2].itemA is None  # empty array keeps parent with NULL child
+
+
+def test_stringify_structs_reference_format(spark):
+    rows = [
+        (1, [{"k": "v", "m": "w"}, {"k": "q", "m": None}]),
+        (2, [{"k": "", "m": "only"}]),  # empty string -> dropped pair (ref :314-315)
+        (3, []),
+    ]
+    df = spark.createDataFrame(rows, "id int, arr array<struct<k:string,m:string>>")
+    out = {
+        r.id: r.s
+        for r in df.select("id", stringify_structs("arr", ["k", "m"]).alias("s")).collect()
+    }
+    assert out[1] == "k:v,m:w|k:q"
+    assert out[2] == "m:only"
+    assert out[3] == ""
+
+
+def test_join_key_preservation(spark, sf_dir):
+    # enrichment join must not change child row count (left join on unique key)
+    from form700_etl_spark.io import table
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    joined = l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey, "left")
+    assert joined.count() == l.count()
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    from form700_etl_spark.queries.sqlapi import approx_distinct_and_quantiles
+
+    for row in approx_distinct_and_quantiles(spark, sf_dir).collect():
+        rel_err = abs(row.approx_customers - row.exact_customers) / max(row.exact_customers, 1)
+        assert rel_err < 0.1, row
+        assert row.approx_median_price > 0
+
+
+def test_multimodal_frame_digests_deterministic(spark, sf_dir):
+    from form700_etl_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, sf_dir)
+    f1 = {(r.doc_id, r.frame_index): r.frame_sha for r in sample_frames(media).collect()}
+    f2 = {(r.doc_id, r.frame_index): r.frame_sha for r in sample_frames(media).collect()}
+    assert f1 == f2 and len(f1) > 0
