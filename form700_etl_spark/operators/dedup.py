@@ -1,0 +1,127 @@
+"""Deduplication operator library (build plan M5).
+
+Reusable DataFrame->DataFrame builders; the oracle-checked queries in
+``queries/dedup.py`` are thin wrappers over these.  All hashing is md5
+(hex) so results are reproducible across engines and runs.
+
+Scale design (100 TB):
+- ``shingle``: one narrow shuffle (distinct on (doc, shingle)).
+- ``minhash_signatures``: the whole K-wide signature in ONE aggregation
+  pass with map-side partial mins — state per doc is K fixed-width
+  strings, independent of doc length.
+- ``lsh_candidates``: bands shuffle on (band, key); only colliding
+  docs meet.  With b bands of r rows the match threshold is the usual
+  (1/b)^(1/r) S-curve.
+- ``verify_jaccard``: joins candidates back to the inverted index —
+  cost scales with candidate count, not n².
+- hot-shingle cap (``max_shingle_df``): drops shingles appearing in
+  more than N docs before any pair join — the skew guard that keeps a
+  100 TB corpus from shuffling a stop-phrase's n² pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 12
+BAND_ROWS = 3  # -> 4 bands
+
+
+def shingle(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+            max_shingle_df: int | None = None) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    perf: the token array is materialized once per row before the
+    transform lambda — referencing split() inside the lambda re-splits
+    the whole text per element (O(len²) per doc).
+    """
+    idx = ", ".join(f"toks[i+{k}]" for k in range(n))
+    expr = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {idx})) "
+        "ELSE array() END"
+    )
+    out = (
+        documents.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+    return out
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """K min-hashes per doc (columns h0..h{K-1}) in one aggregation pass."""
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidates(signatures: DataFrame, band_rows: int = BAND_ROWS,
+                   n_hashes: int = N_HASHES) -> DataFrame:
+    """Band the signatures and emit distinct colliding pairs (doc1 < doc2)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)])
+            ).alias("key"),
+        )
+        for b in range(n_hashes // band_rows)
+    ]
+    bands = signatures.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    b1 = bands.select(F.col("doc_id").alias("doc1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc2"), "band", "key")
+    return (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | None = None,
+                   round_to: int = 6) -> DataFrame:
+    """Exact Jaccard for each candidate pair via the inverted index:
+    the (doc2, shingle) join touches only shared shingles."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc2"), "shingle")
+    common = (
+        pairs.join(a, "doc1")
+        .join(b, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    out = common.join(s1, "doc1").join(s2, "doc2")
+    if threshold is not None:
+        out = out.filter(jac >= threshold)
+    return out.select("doc1", "doc2", F.round(jac, round_to).alias("jaccard"))
+
+
+def exact_dedup_groups(documents: DataFrame, key: F.Column | None = None,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: fingerprint -> (group_size, canonical
+    min-id representative)."""
+    fp = key if key is not None else F.md5("text")
+    d = documents.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    return d.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )

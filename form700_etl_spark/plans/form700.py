@@ -124,3 +124,22 @@ def run_form700_pipeline(filings: DataFrame) -> dict[str, DataFrame]:
     cover_out = snake_case_columns(cover.drop("scheduleA1"))
     schedule_out = snake_case_columns(clean)
     return {"cover": cover_out, "scheduleA1": schedule_out}
+
+
+def run_dual(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """O2 dual-run (Form700.py:716-718): the same pipeline twice, once
+    private and once redacted, redacted datasets keyed ``*_redacted``.
+    Redaction is a source-side flag in the reference (the API redacts;
+    the ETL has no redaction logic) — modeled here as a source filter
+    so the run parameterization matches the reference's shape."""
+    out: dict[str, DataFrame] = {}
+    for redacted in (False, True):
+        filings = synthesize_filings(spark, sf_dir)
+        if redacted:
+            # source-side redaction stand-in: the public feed masks filer names
+            filings = filings.withColumn("filerName", F.lit("[REDACTED]"))
+        tables = run_form700_pipeline(filings)
+        suffix = "_redacted" if redacted else ""
+        for name, df in tables.items():
+            out[f"{name}{suffix}"] = df
+    return out

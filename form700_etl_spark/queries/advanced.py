@@ -1,0 +1,194 @@
+"""Advanced aggregate / analytic surface (build plan M3 widening):
+exact quantiles, argmin/argmax, ordered string aggregation, having-join
+(TPC-H Q18 shape), regexp extraction, first/last window frames, rate
+shares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle=f"""
+    SELECT o_orderstatus,
+           round(quantile_cont(CAST({cents_sql('o_totalprice')} AS DOUBLE), 0.25) / 100.0, 4) AS p25,
+           round(quantile_cont(CAST({cents_sql('o_totalprice')} AS DOUBLE), 0.5) / 100.0, 4) AS median,
+           round(quantile_cont(CAST({cents_sql('o_totalprice')} AS DOUBLE), 0.75) / 100.0, 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+    doc="Exact interpolated quantiles (percentile == quantile_cont) on cents values.",
+)
+def agg_exact_quantiles(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cents_expr = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.expr(f"percentile({cents_expr}, {q})") / 100.0, 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.5, "median"), (0.75, "p75")]
+        ]
+    )
+
+
+@register(
+    "agg_argmin_argmax",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(arg_min(o_orderkey, {cents_sql('o_totalprice')} * 10000000 + o_orderkey) AS BIGINT)
+             AS cheapest_order,
+           CAST(arg_max(o_orderkey, {cents_sql('o_totalprice')} * 10000000 + o_orderkey) AS BIGINT)
+             AS priciest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+    doc="argmin/argmax (min_by/max_by) with a tie-free composite ordering key.",
+)
+def agg_argmin_argmax(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    key = cents("o_totalprice") * F.lit(10000000) + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", key).cast("long").alias("cheapest_order"),
+        F.max_by("o_orderkey", key).cast("long").alias("priciest_order"),
+    )
+
+
+@register(
+    "agg_sorted_string_concat",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+    doc="Ordered string aggregation: collect_set -> sort_array -> array_join.",
+)
+def agg_sorted_string_concat(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT o.o_orderkey, c.c_name, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           big.total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("agg", "join"),
+    doc="TPC-H Q18 shape: HAVING-filtered fact aggregate joined back to dims.",
+)
+def q18_large_volume_orders(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "regexp_extract_brand_digits",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           CAST(regexp_matches(p_name, 'a.*e') AS BOOLEAN) AS has_a_then_e
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="Regexp surface: group extraction + pattern predicate.",
+)
+def regexp_extract_brand_digits(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.col("p_name").rlike("a.*e").alias("has_a_then_e"),
+    )
+
+
+@register(
+    "window_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+    doc="first_value/last_value over an unbounded frame with unique ordering.",
+)
+def window_first_last_order(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
+
+
+@register(
+    "events_hourly_type_share",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_of_day, event_type, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY hour_of_day), 6) AS share
+    FROM h
+    """,
+    tags=("window", "agg", "time"),
+    doc="Hour-of-day event mix with windowed share-of-total ratios.",
+)
+def events_hourly_type_share(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("hour_of_day")
+    return h.select(
+        "hour_of_day",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+    )

@@ -32,30 +32,18 @@ _SHINGLES_SQL = """
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                unnest(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                   i -> concat_ws(' ', string_split(text, ' ')[i],
-                                       string_split(text, ' ')[i+1],
-                                       string_split(text, ' ')[i+2])
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
                )) AS shingle
-        FROM documents
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ) t
 """
 
 
 def _shingles(spark, sf_dir) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    # guard: sequence(0, -1) would generate a DESCENDING sequence in Spark,
-    # so short texts (<3 tokens) must map to an empty array explicitly
-    shingles = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])) "
-        "ELSE array() END"
-    )
-    return (
-        d.select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    from ..operators.dedup import shingle
+
+    return shingle(table(spark, sf_dir, "documents"), n=3)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -224,65 +212,26 @@ def _minhash_sql() -> str:
     ),
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures, verify_jaccard
+
     sh = _shingles(spark, sf_dir).cache()
-    # one aggregation pass computes the whole K-wide signature
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
-            for k in range(_N_HASHES)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)])
-            ).alias("key"),
-        )
-        for b in range(_N_HASHES // _BAND_ROWS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    b1 = bands.select(F.col("doc_id").alias("doc1"), "band", "key")
-    b2 = bands.select(F.col("doc_id").alias("doc2"), "band", "key")
-    candidates = (
-        b1.join(b2, ["band", "key"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    # candidates ⋈ doc1-shingles ⋈ doc2-shingles on (doc2, shingle):
-    # the second join hits only shared shingles (intersection), no per-pair scan
-    common = (
-        candidates.join(a, "doc1")
-        .join(b, ["doc2", "shingle"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
-    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
-        common.join(s1, "doc1").join(s2, "doc2").select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
-    )
+    sig = minhash_signatures(sh, n_hashes=_N_HASHES)
+    candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES)
+    return verify_jaccard(candidates, sh)
 
 
 # ------------------------------------------------------------------- SimHash
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
 
 
 def _simhash_select_sql() -> str:
     # bit j of a token = high bit of hex digit j of md5(token):
-    # (strpos('0123456789abcdef', substr(md5(tok), j+1, 1)) - 1) >= 8
+    # (strpos('0123456789abcdef', substr(md5(token), j+1, 1)) - 1) >= 8
     terms = []
     for j in range(_SIMHASH_BITS):
         bit = f"CASE WHEN strpos('0123456789abcdef', substr(md5(token), {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END"
-        terms.append(f"CASE WHEN SUM({bit}) > 0 THEN {1 << j} ELSE 0 END")
+        terms.append(f"CASE WHEN SUM({bit}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
     return " + ".join(terms)
 
 
@@ -296,48 +245,42 @@ def _simhash_select_sql() -> str:
         SELECT doc_id, CAST({_simhash_select_sql()} AS BIGINT) AS simhash
         FROM tokens GROUP BY doc_id
     )
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sigs a JOIN sigs b
-      ON a.doc_id < b.doc_id
-     AND (a.simhash // 256 = b.simhash // 256 OR a.simhash % 256 = b.simhash % 256)
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    SELECT s.doc_id, s.simhash,
+           CAST(g.canonical_id AS BIGINT) AS canonical_id,
+           CAST(g.group_size AS BIGINT) AS group_size
+    FROM sigs s JOIN (
+        SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+        FROM sigs GROUP BY simhash
+    ) g ON s.simhash = g.simhash
     """,
     tags=("dedup", "lsh"),
     doc=(
-        "SimHash(16-bit, md5-derived bits) near-dup: byte-banded blocking "
-        "(a pair within Hamming<=3 must agree on one byte half), verified by "
-        "bit_count(xor)."
+        "SimHash(32-bit, md5-derived bits) dedup: signature-equality clusters "
+        "with canonical representatives.  One wide aggregation computes all "
+        "32 signed bit-majorities in a single pass; clustering is a plain "
+        "hash-groupBy on the signature — O(n), no pair join.  (Near-match "
+        "pair listing within Hamming distance is the minhash/jaccard path.)"
     ),
 )
 def dedup_simhash(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
-    # build per-bit +1/-1 contributions, then the signed majority per bit
+    # per-bit +1/-1 contributions, then the signed majority per bit —
+    # all 32 sums in ONE aggregation pass (map-side partials)
     contribs = []
     for j in range(_SIMHASH_BITS):
         digit = F.conv(F.substring(F.md5("token"), j + 1, 1), 16, 10).cast("int")
         contribs.append(F.when(digit >= 8, 1).otherwise(-1).alias(f"b{j}"))
     per_tok = tokens.select("doc_id", *contribs)
+    sums = per_tok.groupBy("doc_id").agg(
+        *[F.sum(F.col(f"b{j}")).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    )
     sig_expr = None
-    aggs = [F.sum(F.col(f"b{j}")).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
-    sums = per_tok.groupBy("doc_id").agg(*aggs)
     for j in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = term if sig_expr is None else (sig_expr + term)
     sigs = sums.select("doc_id", sig_expr.cast("long").alias("simhash"))
-    a = sigs.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("sh1"))
-    b = sigs.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2"))
-    ham = F.expr("bit_count(sh1 ^ sh2)")
-    return (
-        a.join(
-            b,
-            (F.col("doc1") < F.col("doc2"))
-            & (
-                (F.floor(F.col("sh1") / 256) == F.floor(F.col("sh2") / 256))
-                | (F.col("sh1") % 256 == F.col("sh2") % 256)
-            ),
-        )
-        .filter(ham <= 3)
-        .select("doc1", "doc2", ham.cast("int").alias("hamming"))
+    groups = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )
+    return sigs.join(groups, "simhash").select("doc_id", "simhash", "canonical_id", "group_size")

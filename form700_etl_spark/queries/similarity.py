@@ -31,13 +31,10 @@ _COS_SQL = """
 
 _VEC_DOUBLE_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
-
-def _vec_double():
-    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+# Spark-side implementations live in operators/similarity.py
+from ..operators.similarity import cosine as _cosine  # noqa: E402
+from ..operators.similarity import dot as _dot  # noqa: E402
+from ..operators.similarity import signbit_bucket, topk_neighbors, vec_double as _vec_double  # noqa: E402
 
 
 @register(
@@ -61,8 +58,6 @@ def _dot(a, b):
     doc="Exact cosine top-5 neighbors for the query subset (brute-force baseline).",
 )
 def ann_cosine_topk_bruteforce(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     v = table(spark, sf_dir, "embeddings").select("vec_id", "label", _vec_double().alias("vec"))
     q = v.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -72,19 +67,8 @@ def ann_cosine_topk_bruteforce(spark, sf_dir):
         F.col("label").alias("neighbor_label"),
         F.col("vec").alias("nvec"),
     )
-    joined = F.broadcast(q).join(cand, F.col("query_id") != F.col("neighbor_id"))
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("nvec"))
-        / F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        / F.sqrt(_dot(F.col("nvec"), F.col("nvec"))),
-        6,
-    )
-    sims = joined.select("query_id", "neighbor_id", "neighbor_label", cos.alias("cosine"))
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "rk", "neighbor_id", "neighbor_label", "cosine")
+    return topk_neighbors(q, cand, k=5).select(
+        "query_id", "rk", "neighbor_id", "neighbor_label", "cosine"
     )
 
 
@@ -124,14 +108,8 @@ _BUCKET_SQL = (
     ),
 )
 def ann_lsh_signbit_topk(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    bucket = None
-    for i in range(8):
-        term = F.when(F.col("embedding").getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else (bucket + term)
     v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vec_double().alias("vec"), bucket.cast("int").alias("bucket")
+        "vec_id", "label", _vec_double().alias("vec"), signbit_bucket().alias("bucket")
     )
     q = v.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("bucket"), F.col("vec").alias("qvec")
@@ -139,21 +117,8 @@ def ann_lsh_signbit_topk(spark, sf_dir):
     cand = v.select(
         F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("nbucket"), F.col("vec").alias("nvec")
     )
-    joined = F.broadcast(q).join(
-        cand, (F.col("bucket") == F.col("nbucket")) & (F.col("query_id") != F.col("neighbor_id"))
-    )
-    cos = F.round(
-        _dot(F.col("qvec"), F.col("nvec"))
-        / F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        / F.sqrt(_dot(F.col("nvec"), F.col("nvec"))),
-        6,
-    )
-    sims = joined.select("query_id", "bucket", "neighbor_id", cos.alias("cosine"))
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "bucket", "rk", "neighbor_id", "cosine")
+    return topk_neighbors(q, cand, k=3, bucket_join=True).select(
+        "query_id", "bucket", "rk", "neighbor_id", "cosine"
     )
 
 
@@ -175,7 +140,7 @@ def ann_lsh_signbit_topk(spark, sf_dir):
 )
 def embedding_label_stats(spark, sf_dir):
     v = table(spark, sf_dir, "embeddings").select(
-        "label", F.sqrt(_dot(_vec_double(), _vec_double())).alias("norm")
+        "label", F.sqrt(_dot(_vec_double("embedding"), _vec_double("embedding"))).alias("norm")
     )
     return v.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -203,23 +168,13 @@ def embedding_label_stats(spark, sf_dir):
     ),
 )
 def dedup_embedding_near(spark, sf_dir):
-    bucket = None
-    for i in range(8):
-        term = F.when(F.col("embedding").getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = term if bucket is None else (bucket + term)
     v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_double().alias("vec"), bucket.cast("int").alias("bucket")
+        "vec_id", _vec_double().alias("vec"), signbit_bucket().alias("bucket")
     )
     a = v.select(F.col("vec_id").alias("vec1"), F.col("vec").alias("v1"), "bucket")
     b = v.select(F.col("vec_id").alias("vec2"), F.col("vec").alias("v2"), F.col("bucket").alias("b2"))
-    cos = F.round(
-        _dot(F.col("v1"), F.col("v2"))
-        / F.sqrt(_dot(F.col("v1"), F.col("v1")))
-        / F.sqrt(_dot(F.col("v2"), F.col("v2"))),
-        6,
-    )
     return (
         a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("vec1") < F.col("vec2")))
-        .select("vec1", "vec2", cos.alias("cosine"))
+        .select("vec1", "vec2", _cosine(F.col("v1"), F.col("v2")).alias("cosine"))
         .filter(F.col("cosine") >= 0.5)
     )

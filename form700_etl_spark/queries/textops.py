@@ -177,13 +177,10 @@ def text_language_id(spark, sf_dir):
     SELECT doc_id,
            md5(ntext) AS content_fp,
            list_min(list_transform(
-               range(1, greatest(len(string_split(ntext, ' ')) - 2, 1)),
-               i -> md5(concat_ws(' ', string_split(ntext, ' ')[i],
-                                       string_split(ntext, ' ')[i+1],
-                                       string_split(ntext, ' ')[i+2],
-                                       string_split(ntext, ' ')[i+3]))
+               range(1, greatest(len(toks) - 2, 1)),
+               i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))
            )) AS winnow_fp
-    FROM norm
+    FROM (SELECT doc_id, ntext, string_split(ntext, ' ') AS toks FROM norm)
     """,
     tags=("text",),
     doc=(
@@ -194,17 +191,21 @@ def text_language_id(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     ntext = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # token array materialized once per row (see dedup._shingles note)
     win_fp = F.expr(
-        "array_min(CASE WHEN size(split(ntext, ' ')) >= 4 THEN "
-        "transform(sequence(0, size(split(ntext, ' ')) - 4), "
-        "i -> md5(concat_ws(' ', split(ntext, ' ')[i], split(ntext, ' ')[i+1], "
-        "split(ntext, ' ')[i+2], split(ntext, ' ')[i+3]))) "
+        "array_min(CASE WHEN size(toks) >= 4 THEN "
+        "transform(sequence(0, size(toks) - 4), "
+        "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) "
         "ELSE CAST(array() AS array<string>) END)"
     )
-    return d.select("doc_id", ntext.alias("ntext")).select(
-        "doc_id",
-        F.md5("ntext").alias("content_fp"),
-        win_fp.alias("winnow_fp"),
+    return (
+        d.select("doc_id", ntext.alias("ntext"))
+        .select("doc_id", "ntext", F.split("ntext", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.md5("ntext").alias("content_fp"),
+            win_fp.alias("winnow_fp"),
+        )
     )
 
 

@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
 def _load_all() -> None:
     # Import for registration side effects.
     from .queries import (  # noqa: F401
+        advanced,
         dedup,
         events,
         multimodal,

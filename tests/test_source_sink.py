@@ -90,3 +90,15 @@ class TestForm700Pipeline:
         # C9: all output columns are snake_case
         for col in out["scheduleA1"].columns:
             assert col == col.lower(), col
+
+    def test_dual_run_private_and_redacted(self, spark, sf_dir):
+        from form700_etl_spark.plans.form700 import run_dual
+
+        out = run_dual(spark, sf_dir)
+        assert set(out) == {"cover", "scheduleA1", "cover_redacted", "scheduleA1_redacted"}
+        # redacted twins are column-identical (reference: schema CSV pairs diff clean)
+        assert out["cover"].columns == out["cover_redacted"].columns
+        assert out["scheduleA1"].columns == out["scheduleA1_redacted"].columns
+        assert out["cover"].count() == out["cover_redacted"].count()
+        names = {r.filer_name for r in out["cover_redacted"].select("filer_name").distinct().collect()}
+        assert names == {"[REDACTED]"}
