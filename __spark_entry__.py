@@ -11,7 +11,13 @@ a thin adapter over its query registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust to
+# whatever cwd the harness driver uses
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -31,9 +31,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make the engine's semantics independent of who built the
+    SparkSession (the harness driver builds its own): these are
+    runtime-settable SQL confs, applied idempotently on every table
+    access.
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which the
+      parquet reader otherwise rejects outright;
+    - UTC session timezone: timestamp rendering must match the
+      UTC-naive DuckDB oracle;
+    - AQE on: runtime coalesce + skew handling (Spark 4 default, pinned).
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it as

@@ -30,6 +30,9 @@ _RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value do
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import ensure_session_confs
+
+    ensure_session_confs(spark)
     # the file stream source requires a directory; glob-filter to the
     # events file inside the fixture dir
     raw = (
