@@ -57,6 +57,7 @@ def _load_all() -> None:
         multimodal,
         refparity,
         relational,
+        scale,
         similarity,
         sqlapi,
         streams,

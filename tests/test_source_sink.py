@@ -73,6 +73,25 @@ class TestChunkedSink:
             assert not os.path.exists(stale)
 
 
+class TestParquetSink:
+    def test_partitioned_write_roundtrip(self, spark, sf_dir):
+        import tempfile
+
+        o = table(spark, sf_dir, "orders")
+        with tempfile.TemporaryDirectory() as tmp:
+            out = f"{tmp}/orders_by_status"
+            o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+            back = spark.read.parquet(out)
+            assert back.count() == o.count()
+            # partition pruning: reading one status touches only its directory
+            one = back.filter(back.o_orderstatus == "O")
+            assert one.count() == o.filter(o.o_orderstatus == "O").count()
+            import os as _os
+
+            dirs = [d for d in _os.listdir(out) if d.startswith("o_orderstatus=")]
+            assert len(dirs) >= 2
+
+
 class TestForm700Pipeline:
     def test_pipeline_tables_and_row_counts(self, spark, sf_dir):
         from form700_etl_spark.plans.form700 import run_form700_pipeline, synthesize_filings
