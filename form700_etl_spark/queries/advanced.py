@@ -166,6 +166,95 @@ def window_first_last_order(spark, sf_dir):
 
 
 @register(
+    "window_moving_average",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(AVG(CAST({cents_sql('l_extendedprice')} AS DOUBLE))
+                 OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0, 4) AS ma5_price
+    FROM lineitem
+    WHERE l_suppkey <= 2
+    """,
+    tags=("window",),
+    doc="Bounded moving-average frame (ROWS 4 PRECEDING) with unique ordering.",
+)
+def window_moving_average(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 2)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.avg(cents("l_extendedprice").cast("double")).over(w) / F.lit(100.0), 4
+        ).alias("ma5_price"),
+    )
+
+
+@register(
+    "events_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50) AS BIGINT) AS n_high_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+    doc="from_json with an explicit struct schema (vs path extraction) feeding aggregates.",
+)
+def events_from_json_struct(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count_if(F.col("p.k") > 50).alias("n_high_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
+@register(
+    "set_intersect_except_all",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0),
+         b AS (SELECT s_nationkey AS nk FROM supplier)
+    SELECT 'intersect_all' AS op, nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT nk FROM a INTERSECT ALL SELECT nk FROM b
+    ) GROUP BY nk
+    UNION ALL
+    SELECT 'except_all' AS op, nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT nk FROM b EXCEPT ALL SELECT nk FROM a
+    ) GROUP BY nk
+    """,
+    tags=("setop",),
+    doc="Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) with multiplicity counts.",
+)
+def set_intersect_except_all(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nk", "n")
+    )
+    ea = (
+        s.exceptAll(c)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nk", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@register(
     "events_hourly_type_share",
     oracle="""
     WITH h AS (

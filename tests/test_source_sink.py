@@ -39,6 +39,39 @@ class TestPaginatedRestSource:
         assert pages == [1, 2, 3, 4, 5]
 
 
+class TestPaginatedRestDataSource:
+    """The same scan through Spark 4's Python DataSource V2 API."""
+
+    def test_read_via_datasource_api(self, spark):
+        from form700_etl_spark.sources.rest_datasource import register_rest_datasource
+
+        register_rest_datasource(spark)
+        df = (
+            spark.read.format("paginated_rest")
+            .schema(FILING_SCHEMA)
+            .option("transport", "form700_etl_spark.sources.fake:fake_fetch_page")
+            .option("url", "fake://filings")
+            .option("key_to_pluck", "filings")
+            .load()
+        )
+        rows = df.collect()
+        assert sorted(r.filingId for r in rows) == list(range(N_PAGES * PAGE_SIZE))
+        assert df.rdd.getNumPartitions() == N_PAGES  # one task per page
+        assert rows[0].offices[0].position == "p"  # nested structs survive
+
+    def test_datasource_requires_explicit_schema(self, spark):
+        from form700_etl_spark.sources.rest_datasource import register_rest_datasource
+
+        register_rest_datasource(spark)
+        try:
+            spark.read.format("paginated_rest").option(
+                "transport", "form700_etl_spark.sources.fake:fake_fetch_page"
+            ).load().collect()
+            raise AssertionError("expected schema-inference refusal")
+        except Exception as e:
+            assert "schema" in str(e).lower()
+
+
 class TestChunkedSink:
     def test_replace_write_and_audit(self, spark, sf_dir):
         df = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
