@@ -29,12 +29,17 @@ BAND_ROWS = 3  # -> 4 bands
 
 
 def shingle(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
-            max_shingle_df: int | None = None) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
+            max_shingle_df: int | None = None, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (doc_id, shingle).
 
     perf: the token array is materialized once per row before the
     transform lambda — referencing split() inside the lambda re-splits
     the whole text per element (O(len²) per doc).
+
+    ``distinct=False`` skips the corpus-wide dedup shuffle — correct for
+    consumers that are duplicate-insensitive (min-hash signatures) and
+    the single biggest cost at scale; set-semantics consumers (Jaccard)
+    should dedup AFTER restricting to the docs they actually touch.
     """
     idx = ", ".join(f"toks[i+{k}]" for k in range(n))
     expr = (
@@ -45,8 +50,9 @@ def shingle(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     out = (
         documents.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("toks"))
         .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
-        .distinct()
     )
+    if distinct:
+        out = out.distinct()
     if max_shingle_df is not None:
         hot = (
             out.groupBy("shingle")
@@ -94,9 +100,21 @@ def lsh_candidates(signatures: DataFrame, band_rows: int = BAND_ROWS,
 
 
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | None = None,
-                   round_to: int = 6) -> DataFrame:
+                   round_to: int = 6, shingles_distinct: bool = True) -> DataFrame:
     """Exact Jaccard for each candidate pair via the inverted index:
-    the (doc2, shingle) join touches only shared shingles."""
+    the (doc2, shingle) join touches only shared shingles.
+
+    With ``shingles_distinct=False`` the input may carry duplicate
+    (doc, shingle) rows; they are deduped HERE, after a broadcast
+    semi-join down to the candidate docs — at scale this replaces a
+    corpus-wide distinct shuffle with one over a few hundred docs."""
+    if not shingles_distinct:
+        cand_docs = (
+            pairs.select(F.col("doc1").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+        )
+        shingles = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc1"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc2"), "shingle")

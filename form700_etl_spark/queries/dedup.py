@@ -212,12 +212,15 @@ def _minhash_sql() -> str:
     ),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    from ..operators.dedup import lsh_candidates, minhash_signatures, verify_jaccard
+    from ..operators.dedup import lsh_candidates, minhash_signatures, shingle, verify_jaccard
 
-    sh = _shingles(spark, sf_dir).cache()
-    sig = minhash_signatures(sh, n_hashes=_N_HASHES)
+    # raw (non-distinct) shingles: min() is duplicate-insensitive, so the
+    # signature pass skips the corpus-wide dedup shuffle; the Jaccard
+    # verify dedups only the candidate docs' shingles (broadcast semi-join)
+    raw = shingle(table(spark, sf_dir, "documents"), n=3, distinct=False)
+    sig = minhash_signatures(raw, n_hashes=_N_HASHES)
     candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES)
-    return verify_jaccard(candidates, sh)
+    return verify_jaccard(candidates, raw, shingles_distinct=False)
 
 
 # ------------------------------------------------------------------- SimHash

@@ -198,6 +198,117 @@ def q5_region_nation_revenue(spark, sf_dir):
 
 
 @register(
+    "q7_nation_trade_flows",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND n1.n_nationkey <= 3 AND n2.n_nationkey <= 3
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q7 shape: cross-nation trade flows, two roles of the same dim table.",
+)
+def q7_nation_trade_flows(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= 3)
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        F.broadcast(s)
+        .join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS revenue,
+           n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+    ORDER BY CAST(SUM({_Q1_DISC}) AS BIGINT) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+    doc="TPC-H Q10 shape: top returned-revenue customers in a date window.",
+)
+def q10_returned_items(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", (F.col("_rev") / F.lit(10000.0)).alias("revenue"),
+                "n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_Q1_DISC} ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_Q1_DISC}) AS DOUBLE), 6) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q14 shape: conditional revenue share (LIKE-predicated numerator).",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
     "join_left_customer_orders",
     oracle=f"""
     SELECT c.c_custkey,

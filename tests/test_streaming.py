@@ -1,0 +1,69 @@
+"""Structured Streaming semantics tests beyond the oracle-checked
+queries: watermark late-data dropping across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(rows, "event_time string, k string").select(
+            F.to_timestamp("event_time").alias("event_time"), "k"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/_tmp_{name}")
+        # move the part file in with a controlled name + mtime so the file
+        # source processes files in the intended order
+        part = next(
+            f for f in os.listdir(f"{src}/_tmp_{name}") if f.endswith(".parquet")
+        )
+        final = f"{src}/{name}.parquet"
+        os.rename(f"{src}/_tmp_{name}/{part}", final)
+        os.utime(final, (mtime, mtime))
+        import shutil
+
+        shutil.rmtree(f"{src}/_tmp_{name}")
+
+    base = time.time() - 1000
+    stream = spark.readStream.schema("event_time timestamp, k string").parquet(src)
+    agg = (
+        stream.withWatermark("event_time", "30 minutes")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "watermark_test_out"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        # batch 1: on-time events 10:00-10:59 -> watermark advances to 10:29
+        write_file(
+            "b1",
+            [("2024-03-01 10:05:00", "a"), ("2024-03-01 10:40:00", "a"), ("2024-03-01 10:59:00", "b")],
+            base,
+        )
+        q.processAllAvailable()
+        # batch 2: one VERY late row (08:10 < watermark 10:29) must be
+        # dropped; one in-horizon row (10:50) must be counted
+        write_file("b2", [("2024-03-01 08:10:00", "a"), ("2024-03-01 10:50:00", "b")], base + 10)
+        q.processAllAvailable()
+        # batch 3: flush event far ahead so the 10:00 window finalizes in append mode
+        write_file("b3", [("2024-03-01 13:00:00", "z")], base + 20)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        (r.w.start.strftime("%H:%M"), r.k): r.n
+        for r in spark.table(name).collect()
+    }
+    # the 10:00-11:00 window finalized: a=2 (10:05, 10:40 — NOT the late 08:10),
+    # b=2 (10:59 + the in-horizon 10:50)
+    assert out.get(("10:00", "a")) == 2, out
+    assert out.get(("10:00", "b")) == 2, out
+    # the very-late 08:00 window must NOT appear — the row was dropped
+    assert not any(k[0] == "08:00" for k in out), out
