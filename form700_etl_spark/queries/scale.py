@@ -131,6 +131,151 @@ def asof_operator_signup_value(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_equivalence",
+    oracle=f"""
+    WITH src AS (
+        SELECT c_custkey + 1000000 * (c_custkey % 3 = 0)::INT AS c_custkey,
+               'UPDATED' AS c_mktsegment,
+               {cents_sql('c_acctbal')} / 100.0 + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    tgt AS (SELECT c_custkey, c_mktsegment, {cents_sql('c_acctbal')} / 100.0 AS c_acctbal
+            FROM customer)
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+    FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+    tags=("scale", "merge"),
+    doc=(
+        "MERGE INTO emulation (anti-join + union upsert) — source rows win, "
+        "unmatched sources insert; oracle is the full-outer COALESCE form."
+    ),
+)
+def merge_upsert_equivalence(spark, sf_dir):
+    from ..operators.merge import merge_upsert
+
+    c = table(spark, sf_dir, "customer")
+    tgt = c.select(
+        "c_custkey", "c_mktsegment", (cents("c_acctbal") / F.lit(100.0)).alias("c_acctbal")
+    )
+    src = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            (
+                F.col("c_custkey")
+                + F.lit(1000000) * (F.col("c_custkey") % 3 == 0).cast("int")
+            ).alias("c_custkey"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+            (cents("c_acctbal") / F.lit(100.0) + 100.0).alias("c_acctbal"),
+        )
+    )
+    return merge_upsert(tgt, src, "c_custkey")
+
+
+@register(
+    "scd2_history_equivalence",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment, '2020-01-01' AS valid_from, '9999-12-31' AS valid_to
+        FROM customer
+    ),
+    chg AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment, '2024-06-01' AS change_date
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           CASE WHEN g.c_custkey IS NOT NULL THEN '2024-06-01' ELSE c.valid_to END AS valid_to
+    FROM cur c LEFT JOIN chg g ON c.c_custkey = g.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, change_date AS valid_from, '9999-12-31' AS valid_to
+    FROM chg
+    """,
+    tags=("scale", "merge"),
+    doc="SCD type-2 apply: close matched open versions, append new open versions.",
+)
+def scd2_history_equivalence(spark, sf_dir):
+    from ..operators.merge import scd2_apply
+
+    c = table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("2024-06-01").alias("change_date"),
+    )
+    return scd2_apply(current, changes, "c_custkey")
+
+
+@register(
+    "correlated_min_per_part",
+    oracle=f"""
+    SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+           {cents_sql('l.l_extendedprice')} / 100.0 AS price
+    FROM lineitem l
+    WHERE {cents_sql('l.l_extendedprice')} = (
+        SELECT MIN({cents_sql('l2.l_extendedprice')})
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    tags=("subquery", "join"),
+    doc="TPC-H Q2 shape: correlated MIN subquery (cheapest lineitem per part).",
+)
+def correlated_min_per_part(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    mins = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min(cents("l_extendedprice")).alias("min_c")
+    )
+    return (
+        l.join(mins, (l.l_partkey == mins.pk) & (cents("l_extendedprice") == mins.min_c))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            (cents("l_extendedprice") / F.lit(100.0)).alias("price"),
+        )
+    )
+
+
+@register(
+    "profile_table_columns",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(c_name) AS BIGINT) AS nulls_name,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS distinct_nations,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS distinct_segments,
+           CAST(MIN({cents_sql('c_acctbal')}) AS BIGINT) / 100.0 AS min_bal,
+           CAST(MAX({cents_sql('c_acctbal')}) AS BIGINT) / 100.0 AS max_bal,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS negative_balances
+    FROM customer
+    """,
+    tags=("profiling", "agg"),
+    doc=(
+        "Single-pass table profiling (null counts, cardinalities, ranges, "
+        "rule violations) — the data-quality audit the reference does by "
+        "row-count reconciliation only."
+    ),
+)
+def profile_table_columns(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("c_name")).alias("nulls_name"),
+        F.countDistinct("c_nationkey").alias("distinct_nations"),
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        (F.min(bal) / F.lit(100.0)).alias("min_bal"),
+        (F.max(bal) / F.lit(100.0)).alias("max_bal"),
+        F.count_if(F.col("c_acctbal") < 0).alias("negative_balances"),
+    )
+
+
+@register(
     "scalar_collection_funcs",
     oracle="""
     SELECT p_partkey,

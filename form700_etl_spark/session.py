@@ -43,6 +43,11 @@ def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | Non
         # converts to a microsecond timestamp, matching DuckDB truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # static conf: managed/bucketed tables (saveAsTable) land here
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

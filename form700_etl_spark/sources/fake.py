@@ -20,6 +20,22 @@ FILING_SCHEMA = (
 )
 
 
+def flaky_fetch_page(config: RestSourceConfig, page: int) -> dict:
+    """Fails the FIRST attempt for every page (marker files under
+    ``config.extra['fail_dir']`` track attempts across executor
+    processes), then succeeds — exercises the per-page retry path."""
+    import os
+
+    fail_dir = config.extra["fail_dir"]
+    marker = os.path.join(fail_dir, f"attempted-{page}")
+    try:
+        with open(marker, "x"):
+            pass
+        raise IOError(f"injected transient failure for page {page}")
+    except FileExistsError:
+        return fake_fetch_page(config, page)
+
+
 def fake_fetch_page(config: RestSourceConfig, page: int) -> dict:
     assert 1 <= page <= N_PAGES, f"page {page} out of range"
     base = (page - 1) * PAGE_SIZE

@@ -49,6 +49,25 @@ class RestSourceConfig:
     password: str | None = None
     extra: dict = field(default_factory=dict)
     max_parallel_pages: int = 16
+    # per-page retry (reference K5-style policy on the source side)
+    tries: int = 5
+    retry_delay_s: float = 0.2
+    retry_backoff: float = 2.0
+
+
+def _fetch_with_retry(fetch_page: FetchPage, config: RestSourceConfig, page: int) -> dict:
+    import time
+
+    delay = config.retry_delay_s
+    for attempt in range(config.tries):
+        try:
+            return fetch_page(config, page)
+        except Exception:
+            if attempt == config.tries - 1:
+                raise
+            time.sleep(delay)
+            delay *= config.retry_backoff
+    raise AssertionError("unreachable")
 
 
 def requests_fetch_page(config: RestSourceConfig, page: int) -> dict:
@@ -86,7 +105,7 @@ class PaginatedRestSource:
 
     def probe(self) -> tuple[int, dict]:
         """Driver-side page-1 probe: returns (total_pages, first_page)."""
-        first = self.fetch_page(self.config, 1)
+        first = _fetch_with_retry(self.fetch_page, self.config, 1)
         return int(first.get("totalMatchingPages", 1)), first
 
     def read_pages(self, spark: SparkSession, key_to_pluck: str | None = None) -> DataFrame:
@@ -107,7 +126,7 @@ class PaginatedRestSource:
             for pdf in batches:
                 out: list[tuple[int, str]] = []
                 for page_idx in pdf["id"].tolist():
-                    body = fetch_page(config, int(page_idx))
+                    body = _fetch_with_retry(fetch_page, config, int(page_idx))
                     out.extend(records_of(body, int(page_idx)))
                 yield pd.DataFrame(out, columns=["page", "value"])
 

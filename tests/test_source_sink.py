@@ -30,6 +30,19 @@ class TestPaginatedRestSource:
         # nesting survives as a real Spark array<struct>
         assert rows[0].offices[0].position == "p"
 
+    def test_per_page_retry_recovers(self, spark, tmp_path):
+        from form700_etl_spark.sources.fake import flaky_fetch_page
+
+        config = RestSourceConfig(
+            url="fake://x",
+            tries=3,
+            retry_delay_s=0.01,
+            extra={"fail_dir": str(tmp_path)},
+        )
+        src = PaginatedRestSource(config, flaky_fetch_page)
+        df = src.read(spark, FILING_SCHEMA, key_to_pluck="filings")
+        assert df.count() == N_PAGES * PAGE_SIZE  # every page recovered
+
     def test_pages_fetched_in_parallel_partitions(self, spark):
         src = PaginatedRestSource(
             RestSourceConfig(url="fake://x", max_parallel_pages=4), fake_fetch_page
