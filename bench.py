@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "text_quality_score",
     "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_matmul",
     "asof_last_purchase_per_event",
 ]
 

@@ -17,6 +17,12 @@ Scale design (100 TB):
 - hot-shingle cap (``max_shingle_df``): drops shingles appearing in
   more than N docs before any pair join — the skew guard that keeps a
   100 TB corpus from shuffling a stop-phrase's n² pairs.
+
+Algorithms from the public literature: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3); SimHash (Charikar, "Similarity estimation techniques from
+rounding algorithms", STOC 2002).
 """
 
 from __future__ import annotations

@@ -45,6 +45,55 @@ def signbit_bucket(col: str | Column = "embedding", bits: int = 8) -> Column:
     return bucket.cast("int")
 
 
+def topk_neighbors_matmul(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: the query matrix broadcasts to
+    every partition; each ``mapInPandas`` batch computes a numpy
+    (batch × queries) similarity block and emits its partial top-k, then
+    a per-query window keeps the global top-k.
+
+    This is the genuine pandas-UDF fast path (BLAS matmul ≫ per-element
+    expression eval for dense vectors).  numpy's pairwise summation
+    differs from a sequential fold in the last ulps, so this variant is
+    registered rows-only; tests assert neighbor-set agreement with the
+    exact JVM plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("query_id", "qvec").collect()
+    q_ids = [r.query_id for r in q_rows]
+    q_mat = np.array([r.qvec for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    def block_topk(batches):
+        ids, qn = bc.value
+        for pdf in batches:
+            n_mat = np.array(list(pdf["nvec"]), dtype=np.float64)
+            n_mat = n_mat / np.linalg.norm(n_mat, axis=1, keepdims=True)
+            sims = n_mat @ qn.T  # (batch, queries)
+            out = []
+            for qi, qid in enumerate(ids):
+                col = sims[:, qi]
+                take = min(k + 1, len(col))  # +1 in case self is in the batch
+                idx = np.argpartition(-col, take - 1)[:take]
+                for j in idx:
+                    nid = int(pdf["neighbor_id"].iloc[j])
+                    if nid != qid:
+                        out.append((qid, nid, round(float(col[j]), 6)))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = corpus.select("neighbor_id", "nvec").mapInPandas(
+        block_topk, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def topk_neighbors(queries: DataFrame, corpus: DataFrame, k: int,
                    bucket_join: bool = False) -> DataFrame:
     """Top-k cosine neighbors per query.

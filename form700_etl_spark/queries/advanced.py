@@ -255,6 +255,80 @@ def set_intersect_except_all(spark, sf_dir):
 
 
 @register(
+    "monthly_revenue_pct_change",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    )
+    SELECT month, rev_c / 100.0 AS revenue,
+           round((CAST(rev_c AS DOUBLE) - CAST(lag(rev_c) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(rev_c) OVER (ORDER BY month) AS DOUBLE) * 100, 6) AS pct_change
+    FROM m
+    """,
+    tags=("window", "agg", "time"),
+    doc="Month-over-month revenue % change: time-bucketed agg + lag window.",
+)
+def monthly_revenue_pct_change(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_c")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return m.select(
+        "month",
+        (F.col("rev_c") / F.lit(100.0)).alias("revenue"),
+        F.round(
+            (F.col("rev_c").cast("double") - prev.cast("double")) / prev.cast("double") * 100, 6
+        ).alias("pct_change"),
+    )
+
+
+@register(
+    "calendar_zero_fill",
+    oracle="""
+    WITH months AS (
+        SELECT strftime(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                                               INTERVAL 1 MONTH)), '%Y-%m') AS month
+    ),
+    m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+    )
+    SELECT months.month, COALESCE(m.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN m ON months.month = m.month
+    """,
+    tags=("join", "time"),
+    doc=(
+        "Generated calendar dimension (sequence + explode) left-joined to "
+        "sparse monthly counts — zero-filled gaps, the dense-timeline pattern."
+    ),
+)
+def calendar_zero_fill(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM").alias("month"))
+    m = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return months.join(m, "month", "left").select(
+        "month", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+@register(
     "events_hourly_type_share",
     oracle="""
     WITH h AS (

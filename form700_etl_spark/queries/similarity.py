@@ -34,7 +34,31 @@ _VEC_DOUBLE_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 # Spark-side implementations live in operators/similarity.py
 from ..operators.similarity import cosine as _cosine  # noqa: E402
 from ..operators.similarity import dot as _dot  # noqa: E402
-from ..operators.similarity import signbit_bucket, topk_neighbors, vec_double as _vec_double  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    signbit_bucket,
+    topk_neighbors,
+    topk_neighbors_matmul,
+    vec_double as _vec_double,
+)
+
+
+@register(
+    "ann_cosine_topk_matmul",
+    oracle=None,  # numpy pairwise summation differs in final ulps: rows-only
+    tags=("similarity", "topk", "pandas-udf"),
+    doc=(
+        "Arrow-vectorized brute-force top-5 (numpy matmul per batch + partial "
+        "top-k): the pandas-UDF fast path; neighbor-set agreement with the "
+        "exact JVM plan is asserted in tests."
+    ),
+)
+def ann_cosine_topk_matmul(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("vec"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    return topk_neighbors_matmul(q, cand, k=5)
 
 
 @register(

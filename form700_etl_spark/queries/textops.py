@@ -185,7 +185,9 @@ def text_language_id(spark, sf_dir):
     tags=("text",),
     doc=(
         "Document fingerprinting: exact content fp (md5 of normalized text) + "
-        "winnowing-style fp (min hash over 4-gram windows — a rolling-hash analog)."
+        "winnowing-style fp (min hash over 4-gram windows — a rolling-hash "
+        "analog; cf. Schleimer/Wilkerson/Aiken, 'Winnowing: Local Algorithms "
+        "for Document Fingerprinting', SIGMOD 2003)."
     ),
 )
 def text_fingerprint(spark, sf_dir):

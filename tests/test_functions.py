@@ -113,6 +113,23 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
         assert row.approx_median_price > 0
 
 
+def test_matmul_topk_agrees_with_exact_plan(spark, sf_dir):
+    from form700_etl_spark.queries.similarity import (
+        ann_cosine_topk_bruteforce,
+        ann_cosine_topk_matmul,
+    )
+
+    exact = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in ann_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in ann_cosine_topk_matmul(spark, sf_dir).collect()
+    }
+    assert exact == fast  # same neighbors, same order (rounded-tie-broken)
+
+
 def test_multimodal_frame_digests_deterministic(spark, sf_dir):
     from form700_etl_spark.operators.multimodal import sample_frames, synthesize_media
 
