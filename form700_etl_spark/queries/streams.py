@@ -13,6 +13,7 @@ from ..registry import register
 from ..streaming.events_stream import (
     stream_dedup_events,
     stream_session_windows,
+    stream_stateful_user_stats,
     stream_tumbling_counts,
 )
 from .events import events_tumbling_hourly  # noqa: F401  (oracle twin)
@@ -59,6 +60,22 @@ register(
         "sessionization with the same gap>=30min boundary semantics."
     ),
 )(stream_session_windows)
+
+
+register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(MAX(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+    doc=(
+        "applyInPandasWithState custom stateful operator (running per-user "
+        "count + max in GroupState); final state equals the batch aggregate."
+    ),
+)(stream_stateful_user_stats)
 
 
 register(

@@ -100,6 +100,55 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + max value, carried in explicit GroupState
+    across micro-batches.  On the static fixture the final state equals
+    the batch aggregate, so this is DuckDB-oracle-checkable.
+
+    At scale: state is per-key and lives in the state store (RocksDB on
+    a real cluster); the watermark/timeout policy bounds it — the
+    pattern for sessionizers, counters and anomaly detectors that
+    built-in windows can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 2)]}
+        )
+
+    out = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, max_value double",
+            stateStructType="n long, vmax double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    latest = run_to_completion(out, "update")
+    # keep the last emitted state per user (single batch here, but the
+    # dedup makes the result well-defined under any batching)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: a doubled stream (self-union) collapses
     back to one row per event_id via dropDuplicates within the

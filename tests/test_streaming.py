@@ -9,6 +9,28 @@ import time
 from pyspark.sql import functions as F
 
 
+def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the exactly-once sink pattern — each epoch writes a
+    parquet partition keyed by batch id (idempotent re-run target)."""
+    from form700_etl_spark.streaming.events_stream import read_events_stream
+
+    out_dir = str(tmp_path / "epochs")
+
+    def write_epoch(df, epoch_id: int):
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    events = read_events_stream(spark, sf_dir)
+    q = events.writeStream.foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out_dir}/epoch=0")
+    from form700_etl_spark.io import table
+
+    assert back.count() == table(spark, sf_dir, "events").count()
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src, exist_ok=True)
