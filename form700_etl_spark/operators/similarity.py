@@ -45,6 +45,109 @@ def signbit_bucket(col: str | Column = "embedding", bits: int = 8) -> Column:
     return bucket.cast("int")
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
+                     id_col: str = "neighbor_id", vec_col: str = "nvec") -> list:
+    """Deterministic Lloyd's k-means entirely in DataFrame ops:
+    init = the ``n_centroids`` lowest-id vectors; assign = argmin
+    squared distance (broadcast centroid literals); update = per-
+    dimension mean via posexplode + groupBy.  Returns driver-side
+    [(cluster_id, [float,...])] — centroids are tiny by construction.
+
+    At 100 TB this is the standard IVF training loop: each iteration is
+    one broadcast + one (cluster, dim)-keyed aggregation; only K×dim
+    floats ever reach the driver."""
+    init = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(corpus.orderBy(id_col).limit(n_centroids).collect())
+    ]
+    centroids = init
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, centroids, vec_col=vec_col)
+        dims = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            dims.groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("vec"))
+        )
+        centroids = [
+            (int(r.cluster), [float(x) for x in r.vec]) for r in means.collect()
+        ]
+        centroids.sort()
+    return centroids
+
+
+def assign_clusters(df: DataFrame, centroids: list, vec_col: str = "nvec") -> DataFrame:
+    """Nearest-centroid assignment via an Arrow-batched numpy pass (no
+    join, no shuffle; centroids broadcast).  A folded Column-expression
+    variant works too but K×dim literal trees blow up codegen — the
+    vectorized distance matrix is the practical IVF assignment."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids = [cid for cid, _ in centroids]
+    c_mat = [vec for _, vec in centroids]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", cluster int"
+
+    def assign(batches):
+        ids, mat = bc.value
+        cm = np.array(mat, dtype=np.float64)  # (K, dim)
+        id_arr = np.array(ids)
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over c
+            d = -2.0 * (v @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+            yield pdf.assign(cluster=id_arr[np.argmin(d, axis=1)].astype("int32"))
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 8,
+             n_probe: int = 2, iters: int = 2) -> DataFrame:
+    """IVF ANN: train centroids, bucket the corpus by nearest centroid,
+    probe each query's ``n_probe`` nearest clusters, exact-rerank inside.
+    Scanned fraction ≈ n_probe / n_centroids of the corpus."""
+    import numpy as np
+
+    centroids = kmeans_centroids(corpus, n_centroids=n_centroids, iters=iters)
+    bucketed = assign_clusters(corpus, centroids)
+    # queries are tiny (the broadcast side): probe sets computed driver-side
+    spark = queries.sparkSession
+    q_rows = queries.select("query_id", "qvec").collect()
+    cm = np.array([vec for _, vec in centroids], dtype=np.float64)
+    c_ids = np.array([cid for cid, _ in centroids])
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r.qvec, dtype=np.float64)
+        d = ((cm - qv[None, :]) ** 2).sum(axis=1)
+        for cid in c_ids[np.argsort(d)[:n_probe]]:
+            probe_rows.append((r.query_id, [float(x) for x in r.qvec], int(cid)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, cluster int"
+    )
+    joined = F.broadcast(probes).join(bucketed, "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = joined.withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cosine")
+    )
+
+
 def topk_neighbors_matmul(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     """Arrow-vectorized brute-force top-k: the query matrix broadcasts to
     every partition; each ``mapInPandas`` batch computes a numpy

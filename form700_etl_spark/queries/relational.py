@@ -309,6 +309,41 @@ def q14_promo_revenue_share(spark, sf_dir):
 
 
 @register(
+    "q19_disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("join", "agg"),
+    doc=(
+        "TPC-H Q19 shape: OR-of-ANDs join predicate — Catalyst pushes the "
+        "common join key and factors the disjunction into scan filters."
+    ),
+)
+def q19_disjunctive_predicate_revenue(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cond = (
+        ((p.p_brand == "Brand#1") & p.p_size.between(1, 15) & l.l_quantity.between(1, 20))
+        | ((p.p_brand == "Brand#2") & p.p_size.between(10, 30) & l.l_quantity.between(10, 35))
+        | ((p.p_brand == "Brand#3") & p.p_size.between(20, 50) & l.l_quantity.between(20, 50))
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+@register(
     "join_left_customer_orders",
     oracle=f"""
     SELECT c.c_custkey,

@@ -43,6 +43,28 @@ from ..operators.similarity import (  # noqa: E402
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=None,  # ANN with approximate recall: rows-only; recall tested vs exact
+    tags=("similarity", "topk", "ivf"),
+    doc=(
+        "IVF ANN: distributed Lloyd k-means centroids (10 clusters, 2 "
+        "iterations; numpy-assign + JVM per-dimension mean update), corpus "
+        "bucketed by nearest centroid, 3-probe search with exact rerank — "
+        "scans ~30% of the corpus per query."
+    ),
+)
+def ann_ivf_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("vec"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    return ivf_topk(q, cand, k=5, n_centroids=10, n_probe=3)
+
+
+@register(
     "ann_cosine_topk_matmul",
     oracle=None,  # numpy pairwise summation differs in final ulps: rows-only
     tags=("similarity", "topk", "pandas-udf"),

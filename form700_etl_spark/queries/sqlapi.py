@@ -11,6 +11,7 @@ carries the exact value alongside for sanity bounds, covered by tests.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type hints resolve via module globals
 from pyspark.sql import functions as F
 
 from ..functions.money import cents_sql
@@ -128,6 +129,35 @@ def sql_scalar_subquery(spark, sf_dir):
                (SELECT COUNT(*) FROM orders) AS total_orders
         FROM nation n
         """
+    )
+
+
+@register(
+    "pandas_udf_scalar_normalize",
+    oracle="""
+    SELECT c_custkey,
+           replace(lower(trim(c_name)), 'customer#', 'cust-') AS normalized,
+           CAST(length(replace(lower(trim(c_name)), 'customer#', 'cust-')) AS INT) AS n_len
+    FROM customer
+    """,
+    tags=("udf", "scalar"),
+    doc=(
+        "Scalar pandas_udf (Arrow-vectorized Python) doing deterministic "
+        "string normalization — the §2.8 UDF surface; oracle recomputes in SQL."
+    ),
+)
+def pandas_udf_scalar_normalize(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace("customer#", "cust-", regex=False)
+
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        normalize("c_name").alias("normalized"),
+        F.length(normalize("c_name")).cast("int").alias("n_len"),
     )
 
 

@@ -130,6 +130,23 @@ def test_matmul_topk_agrees_with_exact_plan(spark, sf_dir):
     assert exact == fast  # same neighbors, same order (rounded-tie-broken)
 
 
+def test_ivf_recall_against_exact(spark, sf_dir):
+    from form700_etl_spark.queries.similarity import (
+        ann_cosine_topk_bruteforce,
+        ann_ivf_topk,
+    )
+
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf_dir).collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    # deterministic pipeline -> fixed recall; 3-probe of 10 clusters scans
+    # ~30% of the corpus and must recover well over half the true top-5
+    assert recall >= 0.5, f"recall@5={recall:.3f}"
+
+
 def test_multimodal_frame_digests_deterministic(spark, sf_dir):
     from form700_etl_spark.operators.multimodal import sample_frames, synthesize_media
 

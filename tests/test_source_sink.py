@@ -138,6 +138,35 @@ class TestParquetSink:
             assert len(dirs) >= 2
 
 
+class TestChunkedDirDataSource:
+    """The chunked sink through Spark's Python DataSource V2 write path
+    (task commit messages -> driver commit -> manifest)."""
+
+    def test_write_commit_manifest(self, spark, sf_dir, tmp_path):
+        from form700_etl_spark.sinks.chunked_datasource import register_chunked_datasource
+
+        register_chunked_datasource(spark)
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        out = str(tmp_path / "chunks")
+        (
+            o.write.format("chunked_dir")
+            .option("path", out)
+            .option("chunk_size", "100")
+            .mode("append")
+            .save()
+        )
+        manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+        assert manifest["rows_inserted"] == o.count()  # A3 reconciliation
+        total = sum(
+            len(json.load(open(os.path.join(out, f)))) for f in manifest["files"]
+        )
+        assert total == manifest["rows_inserted"]
+        # every committed chunk respects the chunk-size bound (K1)
+        assert all(
+            len(json.load(open(os.path.join(out, f)))) <= 100 for f in manifest["files"]
+        )
+
+
 class TestForm700Pipeline:
     def test_pipeline_tables_and_row_counts(self, spark, sf_dir):
         from form700_etl_spark.plans.form700 import run_form700_pipeline, synthesize_filings
