@@ -22,30 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import cast_fields, snake_case_columns, strip_newlines
+from ..functions.cleaning import (
+    cast_fields,
+    schema_projection,
+    snake_case_columns,
+    strip_newlines,
+)
 from ..functions.nested import explode_outer_flat, stringify_structs
 from ..io import table
 
-# schema contract of the flat schedule output (P1 projection order)
-SCHEDULE_FIELDS = [
-    "filingId",
-    "filerName",
-    "departmentName",
-    "officesStr",
-    "filingDate",
-    "isAmendment",
-    "itemId",
-    "itemFairMarketValue",
-    "itemNatureOfInvestment",
-]
-
-SCHEDULE_TYPE_MAP = {
-    "filerName": "text",
-    "departmentName": "text",
-    "itemFairMarketValue": "number",
-    "itemNatureOfInvestment": "text",
-    "isAmendment": "checkbox",
-}
+# The flat schedule output contract lives in the schema registry
+# (resources/form700_scheduleA1_schema.csv) — external fixed schemas,
+# exactly like the reference's schema CSV directory (SURVEY §1.3).
 
 
 def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,15 +98,21 @@ def run_form700_pipeline(filings: DataFrame) -> dict[str, DataFrame]:
     )
     enriched = schedule.join(F.broadcast(filer_info), "filingId", "left")
 
-    # P1 projection -> C7 newline strip -> C1 schema-driven casts
-    projected = enriched.select(*SCHEDULE_FIELDS)
+    # P1 projection -> C7 newline strip -> C1 schema-driven casts, all
+    # driven by the external schema CSV (S6/S7)
+    from ..schema_registry import load_schema
+
+    schema = load_schema("scheduleA1")
+    projected = schema_projection(enriched, list(schema.fields))
     stripped = projected.select(
         *[
-            strip_newlines(F.col(name)).alias(name) if name in ("filerName", "departmentName") else F.col(name)
+            strip_newlines(F.col(name)).alias(name)
+            if schema.type_map[name] == "text"
+            else F.col(name)
             for name in projected.columns
         ]
     )
-    clean = cast_fields(stripped, SCHEDULE_TYPE_MAP, date_compat=True)
+    clean = cast_fields(stripped, schema.type_map, date_compat=True)
 
     # C9: snake_case on the way to the sink (Form700.py:464-468)
     cover_out = snake_case_columns(cover.drop("scheduleA1"))

@@ -389,14 +389,14 @@ def ref_fillna_multitype(spark, sf_dir):
 @register(
     "ref_pipeline_end_to_end",
     oracle="""
-    SELECT o.o_orderkey AS filing_id,
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
            COALESCE(c.c_name, '') AS filer_name,
            COALESCE(c.c_mktsegment, '') AS department_name,
            concat('office:Office-', o.o_orderpriority, ',position:', o.o_orderstatus)
              AS offices_str,
            strftime(o.o_orderdate, '%Y%m%d') AS filing_date,
            o.o_orderstatus = 'P' AS is_amendment,
-           l.l_linenumber AS item_id,
+           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS item_id,
            COALESCE(TRY_CAST(regexp_replace(
                concat(CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR),
                       CASE WHEN l.l_linenumber % 3 = 0 THEN 'k' ELSE '' END,

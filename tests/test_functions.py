@@ -94,6 +94,25 @@ def test_stringify_structs_reference_format(spark):
     assert out[3] == ""
 
 
+def test_schema_registry_contract():
+    from form700_etl_spark.schema_registry import available_datasets, load_schema
+
+    assert set(available_datasets()) >= {"cover", "scheduleA1"}
+    s = load_schema("scheduleA1")
+    assert s.fields[0] == "filingId" and s.type_map["isAmendment"] == "checkbox"
+    st = s.struct_type(date_compat=True)
+    assert [f.name for f in st.fields] == list(s.fields)
+    # date fields widen to string in compat mode (reference-disabled cast)
+    cover = load_schema("cover")
+    assert cover.struct_type(date_compat=True)["filingDate"].dataType.typeName() == "string"
+    assert cover.struct_type(date_compat=False)["filingDate"].dataType.typeName() == "date"
+    try:
+        load_schema("nope")
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
 def test_join_key_preservation(spark, sf_dir):
     # enrichment join must not change child row count (left join on unique key)
     from form700_etl_spark.io import table
