@@ -139,6 +139,65 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | Non
     return out.select("doc1", "doc2", F.round(jac, round_to).alias("jaccard"))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph
+    ((doc1, doc2) edges) by iterative min-label propagation: every node
+    repeatedly takes the minimum label among itself and its neighbors
+    until a fixed point.  Converges in <= diameter iterations; the
+    driver loop stops early when an iteration changes nothing.
+
+    This turns near-dup PAIRS into dedup CLUSTERS (each cluster keeps
+    min-doc_id as canonical).  At 100 TB this is the standard
+    large-graph CC pattern (cf. Pregel-style label propagation): each
+    iteration is one shuffle on doc id; the iteration count is bounded
+    by the near-dup cluster diameter, which is tiny in practice.
+    Returns (doc_id, component_id)."""
+    # materialize the edge list ONCE — the iteration must not re-evaluate
+    # the (possibly expensive) pair-generation lineage every pass, and
+    # localCheckpoint truncates the growing label lineage
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        .localCheckpoint()
+    )
+    # size the loop's parallelism to the graph, not the session default —
+    # a near-dup graph is usually tiny next to the corpus, and per-
+    # iteration scheduling overhead dominates at high partition counts
+    n_edges = edges.count()
+    n_parts = max(1, min(32, n_edges // 100_000 + 1))
+    edges = edges.repartition(n_parts, "b").localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
 def exact_dedup_groups(documents: DataFrame, key: F.Column | None = None,
                        id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: fingerprint -> (group_size, canonical

@@ -329,6 +329,58 @@ def calendar_zero_fill(spark, sf_dir):
 
 
 @register(
+    "events_user_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM({cents_sql('value')}) AS DOUBLE) AS s1,
+               CAST(SUM({cents_sql('value')} * {cents_sql('value')}) AS DOUBLE) AS s2
+        FROM events GROUP BY user_id
+    ),
+    z AS (
+        SELECT e.event_id, e.user_id, e.value,
+               (CAST({cents_sql('e.value')} AS DOUBLE) - s.s1 / s.n)
+                 / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WHERE s.n > 1
+    )
+    SELECT event_id, user_id, round(value, 2) AS value, round(zscore, 4) AS zscore
+    FROM z WHERE abs(zscore) > 2.5
+    """,
+    tags=("agg", "analytics"),
+    doc=(
+        "Per-user z-score outlier detection from exact integer moments "
+        "(sum, sum-of-squares in cents) — anomaly flagging as one aggregate "
+        "+ one broadcast join, no window over the fact table."
+    ),
+)
+def events_user_zscore_outliers(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = cents("value")
+    stats = e.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    ).filter(F.col("n") > 1)
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (v.cast("double") - mean) / std
+    # filter on the UNROUNDED z (as the oracle does) — filtering after
+    # rounding would disagree on values within half an ulp of 2.5
+    return (
+        e.join(F.broadcast(stats), e.user_id == F.col("uid"))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@register(
     "events_hourly_type_share",
     oracle="""
     WITH h AS (

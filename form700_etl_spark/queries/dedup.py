@@ -223,6 +223,57 @@ def dedup_minhash_lsh(spark, sf_dir):
     return verify_jaccard(candidates, raw, shingles_distinct=False)
 
 
+@register(
+    "dedup_clusters_connected",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sim_pairs AS (
+        SELECT p.doc1, p.doc2
+        FROM pairs p JOIN sizes s1 ON p.doc1 = s1.doc_id
+                     JOIN sizes s2 ON p.doc2 = s2.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.1
+    ),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM sim_pairs
+        UNION ALL SELECT doc2, doc1 FROM sim_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS doc, a AS label FROM edges
+        UNION
+        (
+            WITH RECURSIVE walk(doc, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.doc
+            )
+            SELECT doc, label FROM walk
+        )
+    )
+    SELECT doc AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS component_id
+    FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "graph"),
+    doc=(
+        "Near-dup pairs (Jaccard >= 0.1) -> connected components via "
+        "iterative min-label propagation (Pregel-style); oracle computes "
+        "true reachability with a recursive CTE — same clusters."
+    ),
+)
+def dedup_clusters_connected(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    return connected_components(pairs)
+
+
 # ------------------------------------------------------------------- SimHash
 
 _SIMHASH_BITS = 32

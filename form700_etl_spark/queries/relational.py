@@ -309,6 +309,60 @@ def q14_promo_revenue_share(spark, sf_dir):
 
 
 @register(
+    "q8_nation_market_share",
+    oracle=f"""
+    WITH trade AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               n.n_name AS supp_nation,
+               {_Q1_DISC} AS rev_c
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev_c) AS DOUBLE), 6) AS mkt_share
+    FROM trade GROUP BY o_year
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q8 shape: one nation's market share of a region's trade, per year.",
+)
+def q8_nation_market_share(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    trade = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("n_name").alias("supp_nation"),
+            rev.alias("rev_c"),
+        )
+    )
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("rev_c")).otherwise(0))
+    return trade.groupBy("o_year").agg(
+        F.round(nation_rev.cast("double") / F.sum("rev_c").cast("double"), 6).alias("mkt_share")
+    )
+
+
+@register(
     "q19_disjunctive_predicate_revenue",
     oracle=f"""
     SELECT CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0 AS revenue,
@@ -865,5 +919,261 @@ def subquery_orders_above_cust_avg(spark, sf_dir):
             "o_orderkey",
             "o_custkey",
             (cents("o_totalprice") / F.lit(100.0)).alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({cents_sql('l_extendedprice')} * {cents_sql('l_discount')}) AS BIGINT)
+             / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND {cents_sql('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    tags=("agg", "scan"),
+    doc=(
+        "TPC-H Q6 shape: pure scan-side revenue forecast — every predicate "
+        "pushes to the parquet scan, the aggregate is a single map-side "
+        "partial + 1-row reduce; the cheapest possible full-table pass."
+    ),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & cents("l_discount").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_Q1_DISC}) AS BIGINT) / 10000.0
+             - CAST(SUM(CAST(l.l_quantity AS BIGINT) * {cents_sql('p.p_retailprice')}) AS BIGINT)
+               / 200.0 AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("join", "agg"),
+    doc=(
+        "TPC-H Q9 shape (adapted: the fixture has no partsupp, so supply "
+        "cost := p_retailprice / 2): per-nation per-year profit over a "
+        "part-name-filtered 5-way join.  The part filter is applied BEFORE "
+        "the join and the filtered part/supplier/nation dims broadcast, so "
+        "the only shuffle is lineitem ⋈ orders."
+    ),
+)
+def q9_product_profit(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    cost = F.col("l_quantity").cast("long") * cents("p_retailprice")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev) / F.lit(10000.0) - F.sum(cost) / F.lit(200.0)
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q12_shipping_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+                ELSE 'slow' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    """,
+    tags=("join", "agg"),
+    doc=(
+        "TPC-H Q12 shape (adapted: no shipmode/receiptdate columns, so the "
+        "grouping key is the order→ship delay bucket): priority mix per "
+        "shipping-speed class; one fact-fact shuffle, 3-row result."
+    ),
+)
+def q12_shipping_delay_priority(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    tags=("join", "agg"),
+    doc=(
+        "TPC-H Q13 shape: distribution of per-customer order counts, "
+        "including zero-order customers (left join with an ON-clause "
+        "filter, NOT a WHERE — the outer-join law the reference's test "
+        "suite checks).  Two aggregations; the second input is one row "
+        "per customer, so the re-shuffle is tiny."
+    ),
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM({cents_sql('l.l_extendedprice')}) AS BIGINT) / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pq.n < pq.sum_qty
+    """,
+    tags=("join", "agg", "subquery"),
+    doc=(
+        "TPC-H Q17 shape: revenue from small-quantity lineitems (qty < "
+        "0.2 x per-part average).  The correlated avg is decorrelated into "
+        "a per-part aggregate joined back; the qty < 0.2*avg predicate is "
+        "rewritten to exact integer form (5*qty*n < sum_qty) so both "
+        "engines compare identically with zero float error."
+    ),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pq = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pq, l.l_partkey == pq.pk)
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("n") < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT CAST(SUM({cents_sql('c_acctbal')}) AS DOUBLE) / COUNT(*) AS avg_c
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM({cents_sql('c.c_acctbal')}) AS BIGINT) / 100.0 AS totacctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE CAST({cents_sql('c.c_acctbal')} AS DOUBLE) > avg_bal.avg_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "agg", "subquery"),
+    doc=(
+        "TPC-H Q22 shape (adapted: no phone column, so the grouping key is "
+        "c_nationkey; every fixture customer has SOME order, so 'idle' "
+        "means no order since 1999): above-average-balance idle customers "
+        "— a scalar-subquery threshold + anti join.  The threshold is a "
+        "1-row broadcast; the anti join shuffles on custkey (the orders "
+        "side is filtered and projected to the key column before the "
+        "shuffle)."
+    ),
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    avg_row = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(cents("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_c")
+        )
+    )
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_row))
+        .filter(cents("c_acctbal").cast("double") > F.col("avg_c"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
         )
     )

@@ -212,6 +212,85 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tok GROUP BY term
+    ORDER BY COUNT(*) DESC, term
+    LIMIT 20
+    """,
+    tags=("text", "topk"),
+    doc="Corpus top-20 terms (the canonical wordcount: explode -> count -> top-k).",
+)
+def text_top_terms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT t.doc_id, t.term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+        GROUP BY t.doc_id, t.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf
+    FROM ranked WHERE rk <= 3 AND doc_id % 25 = 0
+    """,
+    tags=("text", "topk"),
+    doc=(
+        "TF-IDF top-3 terms per document (sampled doc subset): term "
+        "frequency x ln(N/df), ranked per doc — the classic relevance "
+        "pipeline as two aggregations and a broadcast-joined doc-frequency table."
+    ),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") % 25 == 0))
+        .select("doc_id", "rk", "term", "tfidf")
+    )
+
+
+@register(
     "doc_corpus_stats",
     oracle="""
     SELECT lang, source,
