@@ -46,7 +46,15 @@ def shingle(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     consumers that are duplicate-insensitive (min-hash signatures) and
     the single biggest cost at scale; set-semantics consumers (Jaccard)
     should dedup AFTER restricting to the docs they actually touch.
+
+    If the source exposes fewer partitions than cores (one small file),
+    the per-shingle hash work downstream would serialize onto one task;
+    fan the docs out first.  On a real corpus (many files >> cores) the
+    condition is false and no extra shuffle happens.
     """
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        documents = documents.repartition(sc.defaultParallelism)
     idx = ", ".join(f"toks[i+{k}]" for k in range(n))
     expr = (
         f"CASE WHEN size(toks) >= {n} THEN "
@@ -81,8 +89,14 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
 
 
 def lsh_candidates(signatures: DataFrame, band_rows: int = BAND_ROWS,
-                   n_hashes: int = N_HASHES) -> DataFrame:
-    """Band the signatures and emit distinct colliding pairs (doc1 < doc2)."""
+                   n_hashes: int = N_HASHES, materialize: bool = True) -> DataFrame:
+    """Band the signatures and emit distinct colliding pairs (doc1 < doc2).
+
+    ``materialize=True`` localCheckpoints the banded table before the
+    self-join: both join sides otherwise re-evaluate the ENTIRE
+    upstream lineage (corpus scan + shingle explode + K-wide min agg)
+    — at 100 TB that is two extra full-corpus passes to build a table
+    that is only O(n_docs x n_bands) rows."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -95,6 +109,8 @@ def lsh_candidates(signatures: DataFrame, band_rows: int = BAND_ROWS,
     bands = signatures.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if materialize:
+        bands = bands.localCheckpoint()
     b1 = bands.select(F.col("doc_id").alias("doc1"), "band", "key")
     b2 = bands.select(F.col("doc_id").alias("doc2"), "band", "key")
     return (
@@ -113,14 +129,24 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | Non
     With ``shingles_distinct=False`` the input may carry duplicate
     (doc, shingle) rows; they are deduped HERE, after a broadcast
     semi-join down to the candidate docs — at scale this replaces a
-    corpus-wide distinct shuffle with one over a few hundred docs."""
+    corpus-wide distinct shuffle with one over a few hundred docs.
+
+    The pair set and the candidate-restricted shingle set are each
+    consumed by MULTIPLE downstream joins; both are localCheckpointed
+    so the (potentially full-corpus) lineage behind them runs once,
+    not once per consumer.  Both are O(candidates) — tiny."""
+    pairs = pairs.localCheckpoint()
     if not shingles_distinct:
         cand_docs = (
             pairs.select(F.col("doc1").alias("doc_id"))
             .unionByName(pairs.select(F.col("doc2").alias("doc_id")))
             .distinct()
         )
-        shingles = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi").distinct()
+        shingles = (
+            shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            .distinct()
+            .localCheckpoint()
+        )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc_id").alias("doc1"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc2"), "shingle")

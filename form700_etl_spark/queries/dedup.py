@@ -215,12 +215,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     from ..operators.dedup import lsh_candidates, minhash_signatures, shingle, verify_jaccard
 
     # raw (non-distinct) shingles: min() is duplicate-insensitive, so the
-    # signature pass skips the corpus-wide dedup shuffle; the Jaccard
-    # verify dedups only the candidate docs' shingles (broadcast semi-join)
-    raw = shingle(table(spark, sf_dir, "documents"), n=3, distinct=False)
+    # signature pass skips the corpus-wide dedup shuffle
+    docs = table(spark, sf_dir, "documents")
+    raw = shingle(docs, n=3, distinct=False)
     sig = minhash_signatures(raw, n_hashes=_N_HASHES)
-    candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES)
-    return verify_jaccard(candidates, raw, shingles_distinct=False)
+    candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
+    # the Jaccard verify touches only candidate docs — re-scan the source
+    # with an IN filter on doc_id (pushed to the parquet reader: row-group
+    # pruning) instead of re-exploding the whole corpus a second time
+    ids = sorted({v for r in candidates.collect() for v in (r["doc1"], r["doc2"])})
+    raw_cand = shingle(docs.filter(F.col("doc_id").isin(ids)), n=3, distinct=False)
+    return verify_jaccard(candidates, raw_cand, shingles_distinct=False)
 
 
 @register(
