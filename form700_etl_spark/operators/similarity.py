@@ -208,6 +208,13 @@ def topk_neighbors(queries: DataFrame, corpus: DataFrame, k: int,
     cond = F.col("query_id") != F.col("neighbor_id")
     if bucket_join:
         cond = cond & (F.col("bucket") == F.col("nbucket"))
+    # the per-pair cosine work parallelizes over CORPUS partitions (the
+    # query side is broadcast); a small-file corpus scan would pin the
+    # whole O(|Q| x |C| x d) compute onto one task — fan it out.  On a
+    # real sharded corpus (partitions >= cores) this is a no-op.
+    sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism)
     joined = F.broadcast(queries).join(corpus, cond)
     sims = joined.withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
