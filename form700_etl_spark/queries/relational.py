@@ -13,6 +13,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_sql
@@ -1176,4 +1177,290 @@ def q22_idle_rich_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH unit AS (
+        SELECT l.l_partkey, l.l_suppkey, l.l_orderkey, l.l_linenumber,
+               CAST({cents_sql('l.l_extendedprice')} AS DOUBLE)
+                 / CAST(l.l_quantity AS BIGINT) AS unit_c
+        FROM lineitem l
+    ),
+    ranked AS (
+        SELECT u.*, row_number() OVER (
+            PARTITION BY u.l_partkey
+            ORDER BY u.unit_c, u.l_suppkey, u.l_orderkey, u.l_linenumber) AS rk
+        FROM unit u
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(r.unit_c / 100.0, 6) AS best_unit_price
+    FROM ranked r
+    JOIN part p ON r.l_partkey = p.p_partkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rk = 1 AND p.p_size >= 40
+    """,
+    tags=("join", "topk", "subquery"),
+    doc=(
+        "TPC-H Q2 shape (adapted: no partsupp, so 'supply cost' is the "
+        "observed per-unit price from lineitem): cheapest supplier per "
+        "large part.  The argmin is a window row_number with a total "
+        "tie-break order (unit price, suppkey, orderkey, linenumber) so "
+        "both engines pick the identical row; dims broadcast after the "
+        "one window shuffle on partkey."
+    ),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = table(spark, sf_dir, "supplier")
+    unit = cents("l_extendedprice").cast("double") / F.col("l_quantity").cast("long")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "unit_c", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    ranked = (
+        l.select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", unit.alias("unit_c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        ranked.join(F.broadcast(p), ranked.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ranked.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("unit_c") / F.lit(100.0), 6).alias("best_unit_price"),
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH val AS (
+        SELECT l.l_suppkey,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT) * {cents_sql('p.p_retailprice')})
+                    AS BIGINT) AS value_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY l.l_suppkey
+    )
+    SELECT v.l_suppkey AS suppkey,
+           CAST(v.value_c AS BIGINT) / 100.0 AS stock_value
+    FROM val v
+    WHERE CAST(v.value_c AS DOUBLE) >
+          (SELECT CAST(SUM(value_c) AS DOUBLE) * 1.05 / COUNT(*) FROM val)
+    """,
+    tags=("agg", "subquery"),
+    doc=(
+        "TPC-H Q11 shape (adapted: shipped-quantity x retail price stands "
+        "in for stock value): suppliers holding > 1.05x the average "
+        "supplier's share — scale-independent, unlike Q11's fixed "
+        "fraction.  The global total is a 1-row broadcast scalar; the "
+        "per-supplier aggregate is computed ONCE and self-filtered (no "
+        "second scan)."
+    ),
+)
+def q11_important_stock(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    val = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long") * cents("p_retailprice")).alias("value_c")
+        )
+        .localCheckpoint()  # consumed twice (rows + global total); one pass
+    )
+    total = val.agg(
+        (F.sum("value_c").cast("double") * F.lit(1.05) / F.count(F.lit(1))).alias("thresh")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_c").cast("double") > F.col("thresh"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            (F.col("value_c") / F.lit(100.0)).alias("stock_value"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_Q1_DISC}) AS BIGINT) AS total_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_c AS BIGINT) / 10000.0 AS total_revenue
+    FROM revenue r JOIN supplier s ON r.supplier_no = s.s_suppkey
+    WHERE r.total_c = (SELECT MAX(total_c) FROM revenue)
+    """,
+    tags=("agg", "subquery", "topk"),
+    doc=(
+        "TPC-H Q15 shape: the quarter's top-revenue supplier(s) — the "
+        "view is computed once (localCheckpoint), its max is a 1-row "
+        "broadcast, and ties keep every maximal supplier (exact integer "
+        "cents, so the equality is safe cross-engine)."
+    ),
+)
+def q15_top_supplier(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_c"))
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_c").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type NOT LIKE 'small%'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("join", "agg", "subquery"),
+    doc=(
+        "TPC-H Q16 shape: distinct supplier count per (brand, size) with "
+        "a NOT-IN exclusion list (negative-balance suppliers ~ complaint "
+        "filter).  The exclusion list is a broadcast anti join; the "
+        "count-distinct shuffles once on the group key."
+    ),
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4") & ~F.col("p_type").like("small%")
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    WITH red_1997 AS (
+        SELECT l.l_suppkey, CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.qty AS red_qty
+    FROM supplier s JOIN red_1997 r ON s.s_suppkey = r.l_suppkey
+    WHERE r.qty > 100
+    """,
+    tags=("join", "agg", "subquery"),
+    doc=(
+        "TPC-H Q20 shape (adapted: shipped quantity stands in for "
+        "availqty): suppliers who moved > 100 units of red parts in 1997 "
+        "— a semi-join-reducible aggregate; both date predicates and the "
+        "name filter push to the scans before any join."
+    ),
+)
+def q20_excess_shippers(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    qty = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("red_qty"))
+        .filter(F.col("red_qty") > 100)
+    )
+    return qty.join(F.broadcast(s), qty.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "red_qty"
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH order_supp AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(is_late) AS n_late,
+               MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+        FROM order_supp GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order po JOIN supplier s ON po.late_supp = s.s_suppkey
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+    tags=("join", "agg", "subquery"),
+    doc=(
+        "TPC-H Q21 shape (adapted: late := shipped > 60 days after order "
+        "date; no receipt/commit dates in the fixture): per supplier, the "
+        "number of multi-supplier orders where THEY were the only late "
+        "shipper.  The exists/not-exists pair is decorrelated into one "
+        "two-level aggregation — n_late = 1 picks the sole offender (MAX "
+        "over the single late suppkey is exact), no self-joins at all."
+    ),
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    late = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    ).cast("int")
+    order_supp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = order_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
