@@ -9,4 +9,6 @@ Modules register into :mod:`form700_etl_spark.registry` at import time:
     dedup        exact + near-duplicate detection (M5)
     similarity   embedding similarity search (M5)
     textops      text analysis: tokens, quality, language-id, fingerprints (M5)
+    pipeline_ops training-data pipeline: hash sampling/splits, sequence
+                 packing, quality gate, redaction, contamination screen (M5)
 """

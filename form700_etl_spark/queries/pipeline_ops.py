@@ -1,0 +1,326 @@
+"""Training-data pipeline operators over ``documents`` (north-star
+mandate: the ops a 100 TB LLM-data pipeline runs between raw text and
+training shards).
+
+Everything here is deterministic — sampling and splitting key off
+md5(doc_id), not RNG — so a re-run (or a retried task, or a different
+engine) lands every row in the same sample/split/pack.  That property
+is what makes the ops testable against a SQL oracle AND what makes
+them safe at scale: a deterministic hash split survives task retries
+and speculative execution, a ``rand()`` split does not.
+
+All pure built-in expressions (md5 / regexp / window / array ops) —
+JVM-side end to end; no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# md5 hex is lowercase in both Spark and DuckDB, so a lexical compare
+# of the first two hex chars = a uniform 256-bucket assignment that is
+# IDENTICAL across engines, runs, and retries.
+_H2 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+def _h2(col: str = "doc_id") -> F.Column:
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+@register(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_H2} < '40'
+    """,
+    tags=("pipeline", "sampling"),
+    doc=(
+        "Deterministic 25% corpus sample: md5(doc_id) hex prefix < '40' "
+        "(64/256 buckets).  No shuffle at all — a pure scan-side filter "
+        "that any engine reproduces bit-identically; the right way to "
+        "subsample 100 TB (rand() samples differ across retries)."
+    ),
+)
+def sample_hash_fraction(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.filter(_h2() < "40").select("doc_id", "lang", "source")
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN {_H2} < 'cc' THEN 'train'
+                    WHEN {_H2} < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY lang, split
+    """,
+    tags=("pipeline", "sampling"),
+    doc=(
+        "Deterministic ~80/10/10 train/val/test assignment by md5 "
+        "bucket, audited per language.  Split membership is a pure "
+        "function of the row key: adding data later never moves an "
+        "existing row across splits (no leakage on incremental runs)."
+    ),
+)
+def split_train_test(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    h = _h2()
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+    tags=("pipeline", "sampling", "topk"),
+    doc=(
+        "Fixed-size stratified sample: 50 docs per language, chosen by "
+        "hash order (a deterministic shuffle).  One window over the "
+        "stratum key; at scale this is rank-within-partition — no "
+        "global sort, and skewed strata cost only their own partition."
+    ),
+)
+def sample_stratified_per_lang(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@register(
+    "pack_sequences_budget",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM toks
+    )
+    SELECT source,
+           CAST(cum_before // 512 AS INT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY source, CAST(cum_before // 512 AS INT)
+    """,
+    tags=("pipeline", "window"),
+    doc=(
+        "Sequence packing for training shards: contiguous docs (hash-"
+        "partitioned by source, ordered by doc_id) are packed into "
+        "~512-token bins via a running prefix sum — the streaming "
+        "approximation of bin packing that needs ONE window per shard, "
+        "no global coordination.  Pack ids are stable under re-runs."
+    ),
+)
+def pack_sequences_budget(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    pack_id = F.floor(F.col("cum_before") / 512).cast("int")
+    return packed.groupBy("source", pack_id.alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+@register(
+    "quality_filter_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS chars_per_token,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                 AS n_stop
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang,
+               n_tokens >= 20
+                 AND chars_per_token BETWEEN 3.0 AND 12.0
+                 AND n_stop * 50 >= n_tokens AS keep
+        FROM scored
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+    FROM flagged GROUP BY lang
+    """,
+    tags=("pipeline", "text"),
+    doc=(
+        "C4-style quality gate (Raffel et al. 2020, 'Exploring the "
+        "Limits of Transfer Learning', §2.2 heuristics re-expressed for "
+        "this corpus): min length, sane chars-per-token, minimum "
+        "stopword density (>= 1 stopword per 50 tokens).  Audited as "
+        "kept/dropped per language; the keep predicate itself is a "
+        "scan-side boolean usable as a filter in any pipeline."
+    ),
+)
+def quality_filter_pipeline(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+        ).alias("n_stop"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & F.col("chars_per_token").between(3.0, 12.0)
+        & (F.col("n_stop") * 50 >= F.col("n_tokens"))
+    )
+    return d.groupBy("lang").agg(
+        F.sum(keep.cast("int")).cast("long").alias("kept"),
+        F.sum((~keep).cast("int")).cast("long").alias("dropped"),
+    )
+
+
+@register(
+    "text_redact_stoplist",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(customer|value|table)\b'))
+             AS BIGINT) AS n_redacted,
+           CAST(length(regexp_replace(text, '\b(customer|value|table)\b',
+                                      '[TERM]', 'g')) AS INT) AS redacted_len
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+    tags=("pipeline", "text"),
+    doc=(
+        "Pattern redaction audit (the same regexp_replace machinery as "
+        "the PII scrub in functions/redact.py, exercised on terms that "
+        "actually occur in the fixture corpus): per doc, how many "
+        "occurrences were masked and the post-redaction length.  "
+        "Scan-side regexp only — no shuffle, no Python."
+    ),
+)
+def text_redact_stoplist(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    pat = r"\b(customer|value|table)\b"
+    n = F.regexp_count(F.col("text"), F.lit(pat))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_redacted"),
+        F.length(F.regexp_replace("text", pat, "[TERM]")).cast("int").alias("redacted_len"),
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH bench AS (
+        SELECT DISTINCT s.shingle FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+                i -> concat_ws(' ',
+                     string_split(text, ' ')[i],
+                     string_split(text, ' ')[i+1],
+                     string_split(text, ' ')[i+2],
+                     string_split(text, ' ')[i+3],
+                     string_split(text, ' ')[i+4]))) AS shingle
+            FROM documents WHERE doc_id % 97 = 0
+        ) s
+    ),
+    corpus AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+                i -> concat_ws(' ',
+                     string_split(text, ' ')[i],
+                     string_split(text, ' ')[i+1],
+                     string_split(text, ' ')[i+2],
+                     string_split(text, ' ')[i+3],
+                     string_split(text, ' ')[i+4]))) AS shingle
+            FROM documents WHERE doc_id % 97 <> 0
+        ) s
+    )
+    SELECT c.doc_id,
+           round(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS overlap
+    FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    HAVING SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+    tags=("pipeline", "dedup"),
+    doc=(
+        "Benchmark-contamination screen (n-gram collision method as in "
+        "GPT-3 appx. C / PaLM appx.: flag training docs sharing long "
+        "n-grams with an eval set): every corpus doc's distinct 5-gram "
+        "overlap fraction against the benchmark set (doc_id % 97 = 0 "
+        "stands in).  The benchmark shingle set is tiny -> broadcast "
+        "left join against it, corpus side never shuffles; only "
+        "contaminated docs are emitted."
+    ),
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    from ..operators.dedup import shingle
+
+    d = table(spark, sf_dir, "documents")
+    bench = (
+        shingle(d.filter(F.col("doc_id") % 97 == 0), n=5)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = shingle(d.filter(F.col("doc_id") % 97 != 0), n=5)
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("overlap"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("_hits"),
+        )
+        .filter(F.col("_hits") > 0)
+        .drop("_hits")
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
         dedup,
         events,
         multimodal,
+        pipeline_ops,
         refparity,
         relational,
         scale,

@@ -173,3 +173,36 @@ def test_multimodal_frame_digests_deterministic(spark, sf_dir):
     f1 = {(r.doc_id, r.frame_index): r.frame_sha for r in sample_frames(media).collect()}
     f2 = {(r.doc_id, r.frame_index): r.frame_sha for r in sample_frames(media).collect()}
     assert f1 == f2 and len(f1) > 0
+
+
+def test_redact_text_masks_pii_shapes(spark):
+    from form700_etl_spark.functions.redact import (
+        redact_columns,
+        redact_text,
+        redaction_counts,
+    )
+
+    rows = [
+        ("reach me at jane.doe+x@example.co.uk or 415-555-1234", 2),
+        ("ssn 123-45-6789 ip 10.0.42.7 card 4111111111111111", 3),
+        ("nothing sensitive here", 0),
+        ("edge: a@b.io.", 1),
+    ]
+    df = spark.createDataFrame(rows, ["text", "expected"])
+    out = df.select(
+        redact_text("text").alias("clean"),
+        redaction_counts("text").alias("n"),
+        "expected",
+        "text",
+    ).collect()
+    for r in out:
+        assert r.n == r.expected, (r.text, r.clean, r.n)
+    by_text = {r.text: r.clean for r in out}
+    assert "[EMAIL]" in by_text[rows[0][0]] and "[PHONE]" in by_text[rows[0][0]]
+    assert "[SSN]" in by_text[rows[1][0]] and "[IPV4]" in by_text[rows[1][0]]
+    assert "[NUMBER_RUN]" in by_text[rows[1][0]]
+    assert by_text[rows[2][0]] == rows[2][0]  # untouched
+    # multi-column scrub keeps schema
+    two = spark.createDataFrame([("a@b.io", "c@d.io")], ["x", "y"])
+    scrubbed = redact_columns(two, ["x", "y"]).first()
+    assert scrubbed.x == "[EMAIL]" and scrubbed.y == "[EMAIL]"
