@@ -20,9 +20,48 @@ per-key state likewise bounded by the watermark horizon.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Bundled with Spark since 3.2: per-key state in embedded RocksDB
+# instead of the JVM heap.  At 100 TB a stateful query's state
+# (sessions, dedup horizons, custom GroupState) exceeds executor heap
+# long before the input does — RocksDB spills it to local SSD, and
+# changelog checkpointing uploads only the per-batch delta instead of
+# re-snapshotting the full store.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession, changelog_checkpointing: bool = True):
+    """Run the enclosed streaming queries with the RocksDB state store
+    (restores the previous provider on exit).  Results are identical to
+    the default HDFS-backed provider — this trades heap for local disk,
+    it does not change semantics — which is exactly what the
+    equivalence test asserts."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": str(
+            changelog_checkpointing
+        ).lower(),
+    }
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        old[k] = conf.get(k, None)
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 # raw parquet schema of events.parquet: ts is TIMESTAMP(NANOS) which the
 # reader surfaces as int64 nanos under legacy.parquet.nanosAsLong

@@ -89,3 +89,35 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert out.get(("10:00", "b")) == 2, out
     # the very-late 08:00 window must NOT appear — the row was dropped
     assert not any(k[0] == "08:00" for k in out), out
+
+
+def test_rocksdb_state_store_equivalence(spark, sf_dir):
+    """The RocksDB provider must produce byte-identical results to the
+    default heap-backed provider (it changes WHERE state lives, not
+    what it is) — and session/stateful queries must actually run on it."""
+    from form700_etl_spark.streaming.events_stream import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state_store,
+        stream_session_windows,
+        stream_tumbling_counts,
+    )
+
+    default = {
+        tuple(r) for r in stream_tumbling_counts(spark, sf_dir).collect()
+    }
+    with rocksdb_state_store(spark):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        rocks = {
+            tuple(r) for r in stream_tumbling_counts(spark, sf_dir).collect()
+        }
+        sessions = stream_session_windows(spark, sf_dir).count()
+    assert rocks == default and len(rocks) > 0
+    assert sessions > 0
+    # provider restored after the context
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != ROCKSDB_PROVIDER
+    )
