@@ -1,0 +1,125 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives 100 TB: filters reach the parquet scan, small
+dimensions broadcast instead of shuffling, expressions stay inside
+whole-stage codegen, and scan-side queries never shuffle at all.  A
+regression here (e.g. a refactor that breaks predicate pushdown or
+flips a broadcast join to sort-merge) changes no sf0.001 answer but
+10x-es the cluster bill — so it must fail CI, not a profiler run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from form700_etl_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan_of(spark, sf_dir, name: str) -> str:
+    """Final (post-AQE) physical plan — codegen spans and the adaptive
+    re-plan only materialize after execution."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def tree_nodes(plan: str, node: str) -> int:
+    """Count NODES in the formatted plan's tree section (the detail
+    section repeats every node name once more as '(n) Node')."""
+    return len(re.findall(rf"(?:\+-|^==|\s)\s*{node}", plan)) - plan.count(f") {node}")
+
+
+def test_scan_side_query_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """q6 is a pure scan+agg: every predicate must reach the parquet
+    reader and the scan must read only the referenced columns."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    # the shipdate range predicate is parquet-pushable
+    assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+    m = re.search(r"ReadSchema:\s*(\S+)", plan)
+    assert m, plan
+    read_cols = m.group(1)
+    # 4 referenced columns only — not the full 11-column lineitem
+    for col in ("l_shipdate", "l_discount", "l_extendedprice", "l_quantity"):
+        assert col in read_cols, read_cols
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert col not in read_cols, read_cols
+
+
+def test_scan_side_query_has_single_exchange(spark, sf_dir):
+    """A global 1-row aggregate needs exactly one Exchange (the final
+    single-partition gather) — anything more means the scan shuffled."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert tree_nodes(plan, "Exchange") == 1, plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """Flagship 3-way join: the customer dimension must broadcast —
+    a sort-merge fallback would shuffle the fact table on c_custkey."""
+    plan = plan_of(spark, sf_dir, "flagship_mktsegment_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_all_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    """Q5 joins lineitem against orders/customer/supplier/nation/region:
+    every dimension side must broadcast; only fact-fact traffic plus the
+    final group-by may exchange."""
+    plan = plan_of(spark, sf_dir, "q5_region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    """Money arithmetic (cents round-trip) must stay inside codegen —
+    a fallback to interpreted eval means a non-codegen expression snuck
+    into the hot path."""
+    plan = executed_plan_of(spark, sf_dir, "q1_pricing_summary")
+    # '*(n) ' prefixes mark operators fused into a WholeStageCodegen span
+    stars = re.findall(r"\*\(\d+\) (\w+)", plan)
+    assert "HashAggregate" in stars, plan
+    # both the partial and final aggregate must be inside codegen spans
+    assert stars.count("HashAggregate") >= 2, stars
+
+
+def test_anti_join_projects_before_shuffle(spark, sf_dir):
+    """q22's anti join: the orders side must be filtered + projected to
+    the key column below the join (not shuffle 6 columns to drop 5)."""
+    plan = plan_of(spark, sf_dir, "q22_idle_rich_customers")
+    m = re.search(r"ReadSchema:\s*(\S+)\s*(?=.*o_custkey)", plan)
+    assert m is not None
+    # the orders scan reads only (o_custkey, o_orderdate)
+    orders_scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "o_custkey" in s
+    ]
+    assert orders_scans and all(
+        "o_totalprice" not in s and "o_orderstatus" not in s for s in orders_scans
+    ), orders_scans
+
+
+def test_deterministic_sample_is_scan_side(spark, sf_dir):
+    """The hash sample must compile to scan+filter+project only — zero
+    Exchange operators (this is what makes it free at 100 TB)."""
+    plan = plan_of(spark, sf_dir, "sample_hash_fraction")
+    assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q6_forecast_revenue", "text_quality_score"],
+)
+def test_no_python_udfs_in_builtin_paths(spark, sf_dir, name):
+    """These queries advertise pure-JVM execution; a BatchEvalPython /
+    ArrowEvalPython node would mean a Python UDF crept in."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "EvalPython" not in plan, plan
