@@ -179,3 +179,26 @@ def approx_distinct_and_quantiles(spark, sf_dir):
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sketch_hll_rollup",
+    oracle=None,
+    tags=("approx", "sketch", "scale"),
+    doc=(
+        "Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg): "
+        "distinct users sketched per (event_type, day) shard, then rolled "
+        "up to per-type estimates by UNIONING the stored sketches — the "
+        "second pass never touches raw data.  Rows-only check here; the "
+        "mergeability law estimate(union(partials)) == estimate(whole) is "
+        "asserted exactly in tests/test_functions.py."
+    ),
+)
+def sketch_hll_rollup(spark, sf_dir):
+    from ..operators.sketches import distinct_sketches, rollup_sketches
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = distinct_sketches(e, ["event_type", "day"], "user_id")
+    return rollup_sketches(daily, ["event_type"]).orderBy("event_type")

@@ -206,3 +206,42 @@ def test_redact_text_masks_pii_shapes(spark):
     two = spark.createDataFrame([("a@b.io", "c@d.io")], ["x", "y"])
     scrubbed = redact_columns(two, ["x", "y"]).first()
     assert scrubbed.x == "[EMAIL]" and scrubbed.y == "[EMAIL]"
+
+
+def test_hll_sketch_mergeability_law(spark, sf_dir):
+    """estimate(union(per-shard sketches)) must equal estimate(whole) —
+    the property that makes sketch rollups valid without a rescan."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+    )
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # shard-local sketches per (type, day), rolled up to per-type
+    daily = distinct_sketches(e, ["event_type", "day"], "user_id")
+    rolled = {
+        r.event_type: r.estimate
+        for r in rollup_sketches(daily, ["event_type"]).collect()
+    }
+    # whole-pass sketches per type (no sharding)
+    whole = {
+        r.event_type: r.estimate
+        for r in rollup_sketches(
+            distinct_sketches(e, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert rolled == whole and len(rolled) > 0
+    # estimates are close to truth (lg_k=12 -> ~2.5% relative error)
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, est in rolled.items():
+        assert abs(est - exact[t]) <= max(3, 0.05 * exact[t]), (t, est, exact[t])

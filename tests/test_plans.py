@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from form700_etl_spark.registry import all_queries
@@ -123,3 +125,27 @@ def test_no_python_udfs_in_builtin_paths(spark, sf_dir, name):
     ArrowEvalPython node would mean a Python UDF crept in."""
     plan = plan_of(spark, sf_dir, name)
     assert "EvalPython" not in plan, plan
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Date-partitioned layout: a filter on the partition column must
+    prune at PLANNING time (PartitionFilters on the scan, non-matching
+    directories never opened) — the layout contract for 100 TB facts
+    where every query carries a date predicate."""
+    from form700_etl_spark.io import table
+
+    out = str(tmp_path / "orders_by_year")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.partitionBy("o_year").parquet(out, mode="overwrite")
+
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    plan = back._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        back._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), plan
+    # and the pruned read returns exactly the 1997 slice
+    expected = o.filter(F.col("o_year") == 1997).count()
+    assert back.count() == expected > 0
