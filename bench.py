@@ -24,6 +24,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q13_customer_order_distribution",
     "flagship_mktsegment_revenue",
     "join_left_customer_orders",
     "window_top3_customers_per_nation",
@@ -32,9 +34,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_matmul",
     "asof_last_purchase_per_event",
+    "pack_sequences_budget",
+    "quality_filter_pipeline",
+    "contamination_ngram_overlap",
+    "sketch_hll_rollup",
 ]
 
 
