@@ -165,31 +165,66 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | Non
     return out.select("doc1", "doc2", F.round(jac, round_to).alias("jaccard"))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over an undirected pair graph
-    ((doc1, doc2) edges) by iterative min-label propagation: every node
-    repeatedly takes the minimum label among itself and its neighbors
-    until a fixed point.  Converges in <= diameter iterations; the
-    driver loop stops early when an iteration changes nothing.
+    ((doc1, doc2) edges) — near-dup PAIRS become dedup CLUSTERS (each
+    cluster keeps min-doc_id as canonical).  Returns (doc_id,
+    component_id).
 
-    This turns near-dup PAIRS into dedup CLUSTERS (each cluster keeps
-    min-doc_id as canonical).  At 100 TB this is the standard
-    large-graph CC pattern (cf. Pregel-style label propagation): each
-    iteration is one shuffle on doc id; the iteration count is bounded
-    by the near-dup cluster diameter, which is tiny in practice.
-    Returns (doc_id, component_id)."""
-    # materialize the edge list ONCE — the iteration must not re-evaluate
-    # the (possibly expensive) pair-generation lineage every pass, and
-    # localCheckpoint truncates the growing label lineage
+    Hybrid strategy, chosen by edge count:
+
+    - ``n_edges <= driver_threshold``: collect the edge list and run
+      union-find on the driver.  The LSH/Jaccard pair graph is already
+      the similarity-pruned RESIDUE of the corpus — even at 100 TB it
+      is typically millions of edges, not billions, and a 1M-edge
+      collect (~16 MB) + O(n alpha(n)) union-find beats paying
+      diameter-many distributed shuffle rounds of pure scheduling
+      overhead.  This is the same judgment call as broadcasting a
+      small join side.
+    - larger graphs: Pregel-style iterative min-label propagation
+      (each node repeatedly takes the min label among itself and its
+      neighbors; <= diameter iterations, one shuffle each; the loop
+      stops early at a fixed point).  No collect — scales to any edge
+      count.
+
+    Both paths produce identical labels (min doc_id per component)."""
+    # materialize the PAIRS first: the symmetrizing self-union below has
+    # two branches, and each would otherwise re-run the (possibly
+    # expensive) pair-generation lineage from scratch
+    pairs = pairs.select("doc1", "doc2").localCheckpoint()
     edges = (
         pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
         .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
         .localCheckpoint()
     )
-    # size the loop's parallelism to the graph, not the session default —
-    # a near-dup graph is usually tiny next to the corpus, and per-
-    # iteration scheduling overhead dominates at high partition counts
     n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the canonical label is min(doc_id)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = pairs.sparkSession
+        out = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(out, "doc_id long, component_id long")
+    # size the loop's parallelism to the graph, not the session default —
+    # per-iteration scheduling overhead dominates at high partition counts
     n_parts = max(1, min(32, n_edges // 100_000 + 1))
     edges = edges.repartition(n_parts, "b").localCheckpoint()
     labels = (

@@ -245,3 +245,20 @@ def test_hll_sketch_mergeability_law(spark, sf_dir):
     }
     for t, est in rolled.items():
         assert abs(est - exact[t]) <= max(3, 0.05 * exact[t]), (t, est, exact[t])
+
+
+def test_connected_components_paths_agree(spark, sf_dir):
+    """Driver union-find and distributed label propagation must produce
+    the identical (doc_id, component_id) labeling."""
+    from form700_etl_spark.operators.dedup import connected_components
+    from form700_etl_spark.queries.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2").localCheckpoint()
+    fast = {
+        (r.doc_id, r.component_id) for r in connected_components(pairs).collect()
+    }
+    distributed = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == distributed and len(fast) > 0
