@@ -116,3 +116,38 @@ def sample_frames(media: DataFrame, fps_every_s: float = 2.0) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame_ts_s", "frame_sha"])
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def chunk_docs_udtf():
+    """Spark 4 Python UDTF twin of ``queries.pipeline_ops.
+    doc_chunk_windows`` — the 1->N table function API surface
+    (SURVEY §2.8; the reference's per-row explode loop generalized).
+
+    The builtin sequence/slice/explode plan is the hot path — this
+    exists to prove the UDTF surface and is equivalence-tested against
+    that plan in tests/test_functions.py.  Lateral-join usage::
+
+        spark.udtf.register("chunk_docs", chunk_docs_udtf())
+        spark.sql("SELECT c.* FROM documents, LATERAL chunk_docs(doc_id, text) c")
+    """
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    class ChunkDocs:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            n = len(toks)
+            for idx, start in enumerate(range(0, n, 24)):
+                chunk = toks[start:start + 32]
+                yield (
+                    doc_id,
+                    idx,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    return udtf(
+        ChunkDocs,
+        returnType="doc_id long, chunk_idx int, chunk_tokens int, chunk_md5 string",
+    )

@@ -324,3 +324,49 @@ def contamination_ngram_overlap(spark, sf_dir):
         .filter(F.col("_hits") > 0)
         .drop("_hits")
     )
+
+
+_CHUNK, _STRIDE = 32, 24  # tokens per chunk / stride (8-token overlap)
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(s // {_STRIDE} AS INT) AS chunk_idx,
+           CAST(least({_CHUNK}, n - s) AS INT) AS chunk_tokens,
+           md5(array_to_string(list_slice(t, s + 1, s + {_CHUNK}), ' ')) AS chunk_md5
+    FROM toks, unnest(range(0, n, {_STRIDE})) AS u(s)
+    """,
+    tags=("pipeline", "text"),
+    doc=(
+        "Overlapping context windows for training: each doc explodes "
+        "into 32-token chunks at stride 24 (8-token overlap), with a "
+        "content hash per chunk.  Pure sequence/slice/explode built-ins "
+        "— the 1->N generation stays in codegen, no UDTF needed in the "
+        "hot path (the UDTF twin exists for the API surface and is "
+        "equivalence-tested against this plan)."
+    ),
+)
+def doc_chunk_windows(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    exploded = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))).alias("s"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.floor(F.col("s") / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("s")).cast("int").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("s") + 1, _CHUNK))).alias("chunk_md5"),
+    )

@@ -262,3 +262,24 @@ def test_connected_components_paths_agree(spark, sf_dir):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == distributed and len(fast) > 0
+
+
+def test_udtf_chunker_matches_builtin_plan(spark, sf_dir):
+    """The Python UDTF twin must emit exactly the rows of the builtin
+    sequence/slice/explode chunker."""
+    from form700_etl_spark.operators.multimodal import chunk_docs_udtf
+    from form700_etl_spark.queries.pipeline_ops import doc_chunk_windows
+
+    spark.udtf.register("chunk_docs", chunk_docs_udtf())
+    from form700_etl_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    via_udtf = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT c.* FROM documents, LATERAL chunk_docs(doc_id, text) c "
+            "WHERE documents.doc_id % 10 = 0"
+        ).collect()
+    }
+    builtin = {tuple(r) for r in doc_chunk_windows(spark, sf_dir).collect()}
+    assert via_udtf == builtin and len(builtin) > 0
