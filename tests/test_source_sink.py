@@ -196,3 +196,37 @@ class TestForm700Pipeline:
         assert out["cover"].count() == out["cover_redacted"].count()
         names = {r.filer_name for r in out["cover_redacted"].select("filer_name").distinct().collect()}
         assert names == {"[REDACTED]"}
+
+
+class TestFormatSurface:
+    """Read/write parity across the standard file formats (SURVEY
+    §2.7 K7/K8 generalized): the engine's tables must survive a
+    round trip through csv, json, and orc with schema + values
+    intact."""
+
+    def test_multi_format_roundtrip_parity(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from form700_etl_spark.io import table
+
+        src = table(spark, sf_dir, "customer").orderBy("c_custkey")
+        want = [tuple(r) for r in src.collect()]
+        schema = src.schema
+
+        for fmt in ("csv", "json", "orc"):
+            path = str(tmp_path / f"customer_{fmt}")
+            writer = src.write.mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", True)
+            writer.format(fmt).save(path)
+            reader = spark.read
+            if fmt == "csv":
+                # csv/json are schemaless on disk: read back with the
+                # engine schema (the schema registry's job in prod)
+                reader = reader.option("header", True).schema(schema)
+            elif fmt == "json":
+                reader = reader.schema(schema)
+            back = reader.format(fmt).load(path).orderBy("c_custkey")
+            got = [tuple(r) for r in back.collect()]
+            assert got == want, f"{fmt} round trip diverged"
+            assert back.schema == schema, f"{fmt} schema diverged"
