@@ -14,6 +14,7 @@ from ..streaming.events_stream import (
     stream_dedup_events,
     stream_session_windows,
     stream_stateful_user_stats,
+    stream_stream_click_purchase,
     stream_tumbling_counts,
 )
 from .events import events_tumbling_hourly  # noqa: F401  (oracle twin)
@@ -90,3 +91,26 @@ register(
         "row per event_id; oracle = batch distinct count."
     ),
 )(stream_dedup_events)
+
+
+register(
+    "stream_stream_click_purchase",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_clicks_converted
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-stream inner join (conversion attribution: purchases "
+        "within 1h of a same-user click) with watermarks on BOTH sides "
+        "and a range-bounded condition so join state is evictable; "
+        "oracle = the exact batch self-join."
+    ),
+)(stream_stream_click_purchase)

@@ -197,3 +197,52 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     out = run_to_completion(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every (click, purchase) pair of the
+    same user where the purchase lands within 1 hour after the click —
+    the conversion-attribution shape.
+
+    Both sides carry watermarks and the join condition carries a time
+    RANGE, so the state store can evict: a click older than the
+    watermark minus the join window can never match a future purchase
+    and is dropped.  Without both bounds a stream-stream join's state
+    grows forever — this is the canonical bounded-state formulation
+    (Structured Streaming stream-stream join semantics).
+
+    On the static fixture the result equals the batch self-join, so
+    the DuckDB oracle checks it exactly."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+    )
+    pairs = run_to_completion(joined, "append")
+    # batch-side audit: conversions per user (the pair list itself is
+    # the operator output; the aggregate keeps the oracle result small)
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks_converted"),
+    )
