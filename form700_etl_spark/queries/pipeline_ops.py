@@ -304,13 +304,17 @@ def contamination_ngram_overlap(spark, sf_dir):
     from ..operators.dedup import shingle
 
     d = table(spark, sf_dir, "documents")
+    # ONE shingle pass over the corpus, then split by membership — the
+    # two-branch version scans + explodes + dedups the whole table twice
+    all_shingles = shingle(d, n=5).localCheckpoint()
+    is_bench = F.col("doc_id") % 97 == 0
     bench = (
-        shingle(d.filter(F.col("doc_id") % 97 == 0), n=5)
+        all_shingles.filter(is_bench)
         .select("shingle")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus = shingle(d.filter(F.col("doc_id") % 97 != 0), n=5)
+    corpus = all_shingles.filter(~is_bench)
     return (
         corpus.join(F.broadcast(bench), "shingle", "left")
         .groupBy("doc_id")
@@ -369,4 +373,97 @@ def doc_chunk_windows(spark, sf_dir):
         F.floor(F.col("s") / _STRIDE).cast("int").alias("chunk_idx"),
         F.least(F.lit(_CHUNK), F.col("n") - F.col("s")).cast("int").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", F.slice("t", F.col("s") + 1, _CHUNK))).alias("chunk_md5"),
+    )
+
+
+@register(
+    "training_pipeline_end_to_end",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS cpt,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                 AS n_stop
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source, text, n_tokens FROM scored
+        WHERE n_tokens >= 20 AND cpt BETWEEN 3.0 AND 12.0
+          AND n_stop * 50 >= n_tokens
+    ),
+    deduped AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT kept.*, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) AS rk
+            FROM kept
+        ) WHERE rk = 1
+    ),
+    train AS (
+        SELECT * FROM deduped WHERE {_H2} < 'cc'
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 512 AS pack_id
+        FROM train
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY source
+    """,
+    tags=("pipeline", "flagship"),
+    doc=(
+        "The whole training-data pipeline as ONE Catalyst plan: C4-style "
+        "quality gate -> exact dedup (md5 fingerprint, min-doc_id "
+        "canonical) -> deterministic 80% train split -> 512-token "
+        "sequence packing, audited per source.  Every stage is scan-side "
+        "or one keyed shuffle; nothing iterates, nothing collects — the "
+        "shape that runs unchanged over 100 TB of shards."
+    ),
+)
+def training_pipeline_end_to_end(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("cpt"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in"))
+        ).alias("n_stop"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & F.col("cpt").between(3.0, 12.0)
+        & (F.col("n_stop") * 50 >= F.col("n_tokens"))
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rk", F.row_number().over(w_dup))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    train = deduped.filter(_h2() < "cc")
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = train.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)) / 512),
+    )
+    return packed.groupBy("source").agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )

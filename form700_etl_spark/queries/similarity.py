@@ -224,3 +224,62 @@ def dedup_embedding_near(spark, sf_dir):
         .select("vec1", "vec2", _cosine(F.col("v1"), F.col("v2")).alias("cosine"))
         .filter(F.col("cosine") >= 0.5)
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label,
+               list_max(list_transform(vec, x -> abs(x))) AS scale,
+               vec
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, label, scale,
+               list_transform(vec, x -> round(x * 127.0 / scale)) AS codes,
+               vec
+        FROM scaled WHERE scale > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(AVG(round(scale, 6)), 6) AS avg_scale,
+           round(AVG(round(
+               sqrt(list_sum(list_transform(
+                   list_zip(vec, codes),
+                   p -> (p[1] - p[2] * scale / 127.0)
+                        * (p[1] - p[2] * scale / 127.0))))
+               , 6)), 6) AS avg_recon_l2
+    FROM q GROUP BY label
+    """,
+    tags=("similarity", "pipeline"),
+    doc=(
+        "Scalar int8 quantization of the embedding column (max-abs "
+        "per-vector scale -> 127 levels), audited as per-label count, "
+        "mean scale and mean L2 reconstruction error.  4x storage "
+        "shrink is what makes a billion-vector corpus fit hot storage; "
+        "all array math is higher-order built-ins so the codec stays "
+        "JVM-side.  Inner round(.,6) before the cross-engine AVG keeps "
+        "the float fold bit-identical."
+    ),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("vec")
+    )
+    scale = F.array_max(F.transform("vec", lambda x: F.abs(x)))
+    scaled = v.withColumn("scale", scale).filter(F.col("scale") > 0)
+    codes = F.transform("vec", lambda x: F.round(x * 127.0 / F.col("scale")))
+    q = scaled.withColumn("codes", codes)
+    err2 = F.zip_with(
+        "vec", "codes", lambda x, c: (x - c * F.col("scale") / 127.0) ** 2
+    )
+    recon = F.round(F.sqrt(F.aggregate(err2, F.lit(0.0), lambda a, x: a + x)), 6)
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.round("scale", 6)), 6).alias("avg_scale"),
+        F.round(F.avg(recon), 6).alias("avg_recon_l2"),
+    )
