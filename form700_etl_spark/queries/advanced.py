@@ -407,3 +407,47 @@ def events_hourly_type_share(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
     )
+
+
+@register(
+    "histogram_fixed_width",
+    oracle=f"""
+    WITH b AS (
+        SELECT LEAST({cents_sql("o_totalprice")} // 3000000, 19) AS bucket
+        FROM orders
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM b)
+    SELECT bucket,
+           CAST(bucket * 30000 AS BIGINT) AS lo,
+           CAST((bucket + 1) * 30000 AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot), 6) AS frac
+    FROM b GROUP BY bucket
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Fixed-width histogram of order prices: 20 x $30k buckets, top "
+        "bucket open.  Bucketing is exact integer division on cents (no "
+        "float boundary ambiguity cross-engine); one hash agg, no sort."
+    ),
+)
+def histogram_fixed_width(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(
+            F.expr(f"({cents_sql('o_totalprice')}) div 3000000"), F.lit(19)
+        ).alias("bucket")
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # 20-row result: the unpartitioned total window is free here
+    return counts.select(
+        "bucket",
+        (F.col("bucket") * 30000).cast("long").alias("lo"),
+        ((F.col("bucket") + 1) * 30000).cast("long").alias("hi"),
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy()), 6
+        ).alias("frac"),
+    )

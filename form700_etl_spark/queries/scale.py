@@ -329,3 +329,70 @@ def agg_bool_and_filtered(spark, sf_dir):
             F.coalesce(F.sum(F.when(fin, cents("o_totalprice"))), F.lit(0)) / F.lit(100.0)
         ).alias("finished_total"),
     )
+
+
+def _hex2int_sql(hexpr: str, start: int, n: int) -> str:
+    """DuckDB: hex substring -> integer, digit by digit (no conv())."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {start + j}, 1)) - 1)"
+        f" * {16 ** (n - 1 - j)}"
+        for j in range(n)
+    )
+    return f"({terms})"
+
+
+_CKSUM_P = 1_000_000_007
+
+
+@register(
+    "table_checksum_orders",
+    oracle=f"""
+    WITH canon AS (
+        SELECT md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST({cents_sql("o_totalprice")} AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d'),
+                   o_orderpriority)) AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM({_hex2int_sql("h", 1, 8)} % {_CKSUM_P}) % {_CKSUM_P} AS checksum_a,
+           SUM({_hex2int_sql("h", 9, 8)} % {_CKSUM_P}) % {_CKSUM_P} AS checksum_b
+    FROM canon
+    """,
+    tags=("scale", "validation"),
+    doc=(
+        "Order-insensitive cross-engine table fingerprint: canonical row "
+        "string (exact cents, formatted dates) -> md5 -> two independent "
+        "32-bit words -> modular sums.  Commutative/associative, so it "
+        "distributes as map-side partials at any scale and never overflows; "
+        "the tool for verifying a 100 TB copy or migration without a sort."
+    ),
+)
+def table_checksum_orders(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        )
+    )
+    word = lambda start: F.conv(F.substring(F.col("h"), start, 8), 16, 10).cast("long")
+    return (
+        o.select(h.alias("h"))
+        .select(
+            (word(1) % _CKSUM_P).alias("wa"), (word(9) % _CKSUM_P).alias("wb")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("wa") % _CKSUM_P).alias("checksum_a"),
+            (F.sum("wb") % _CKSUM_P).alias("checksum_b"),
+        )
+    )

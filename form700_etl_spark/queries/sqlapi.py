@@ -14,7 +14,7 @@ from __future__ import annotations
 import pandas as pd  # module scope: pandas_udf type hints resolve via module globals
 from pyspark.sql import functions as F
 
-from ..functions.money import cents_sql
+from ..functions.money import cents, cents_sql
 from ..io import register_views, table
 from ..registry import register
 
@@ -202,3 +202,158 @@ def sketch_hll_rollup(spark, sf_dir):
     )
     daily = distinct_sketches(e, ["event_type", "day"], "user_id")
     return rollup_sketches(daily, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           round(CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100, 4)
+             AS weighted_avg_price
+    FROM (
+        SELECT o_orderpriority,
+               o_orderkey % 7 + 1 AS w,
+               {cents_sql("o_totalprice")} AS c
+        FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("udf", "agg"),
+    doc=(
+        "Grouped-aggregate pandas_udf (Arrow-batched Python UDAF) computing "
+        "a weighted average with exact int64 cents arithmetic inside the "
+        "UDF; the single int->double division happens last so the result is "
+        "bit-identical to the SQL oracle.  Completes the §2.8 UDF surface "
+        "(scalar / grouped-map / grouped-agg)."
+    ),
+)
+def pandas_udaf_weighted_avg(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(c: pd.Series, w: pd.Series) -> float:
+        # exact integer sums (values < 2^53), one IEEE division at the end
+        return float(int((c * w).sum())) / float(int(w.sum()))
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 7 + 1).alias("w"),
+        cents("o_totalprice").alias("c"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(wavg("c", "w") / 100, 4).alias("weighted_avg_price")
+    )
+
+
+def _cms_bucket_spark(token, seed: int, width: int):
+    """First 4 hex digits of md5(seed|token) -> int -> mod width.
+    Deterministic and engine-agnostic (mirrored digit-by-digit in SQL)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), token)), 1, 4), 16, 10)
+        .cast("long")
+        % width
+    )
+
+
+def _cms_bucket_sql(token_expr: str, seed: int, width: int) -> str:
+    h = f"md5(concat('{seed}|', {token_expr}))"
+    digit = "(strpos('0123456789abcdef', substr({h}, {j}, 1)) - 1)"
+    val = " + ".join(
+        digit.format(h=h, j=j + 1) + f" * {16 ** (3 - j)}" for j in range(4)
+    )
+    return f"(({val}) % {width})"
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@register(
+    "sketch_countmin_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tokens AS (SELECT token FROM tok WHERE token <> ''),
+    cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS seed, {_cms_bucket_sql('token', d, _CMS_WIDTH)} AS bucket,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM tokens GROUP BY 1, 2"
+            for d in range(_CMS_DEPTH)
+        )}
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM tokens GROUP BY token
+        ORDER BY exact_n DESC, token ASC LIMIT 20
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT token, exact_n, {d} AS seed,"
+            f" {_cms_bucket_sql('token', d, _CMS_WIDTH)} AS bucket FROM exact"
+            for d in range(_CMS_DEPTH)
+        )}
+    )
+    SELECT p.token, p.exact_n, MIN(c.n) AS cms_estimate
+    FROM probes p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+    GROUP BY p.token, p.exact_n
+    """,
+    tags=("approx", "sketch", "scale"),
+    doc=(
+        "Count-min sketch built declaratively: depth=4 md5-keyed hash rows "
+        "x width=1024 buckets as a (seed,bucket)->count table — a mergeable "
+        "frequency sketch (cells add across shards).  Top-20 exact tokens "
+        "probed against it; estimate = min over rows.  Deterministic md5 "
+        "bucketing makes the whole sketch oracle-checkable cross-engine, "
+        "and the CM guarantee estimate >= exact holds by construction."
+    ),
+)
+def sketch_countmin_topk(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tokens = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _cms_bucket_spark(F.col("token"), s, _CMS_WIDTH).alias(
+                            "bucket"
+                        ),
+                    )
+                    for s in range(_CMS_DEPTH)
+                )
+            )
+        ).alias("cell")
+    ).groupBy("cell.seed", "cell.bucket").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _cms_bucket_spark(F.col("token"), s, _CMS_WIDTH).alias(
+                            "bucket"
+                        ),
+                    )
+                    for s in range(_CMS_DEPTH)
+                )
+            )
+        ).alias("probe"),
+    ).select("token", "exact_n", "probe.seed", "probe.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n").alias("cms_estimate"))
+    )

@@ -1,0 +1,136 @@
+"""Time-series operators: dense-spine gap filling with LOCF and
+rolling-window distinct counts.
+
+These are the hypertable-style operations the reference has no analog
+for (SURVEY §2.6 flags aggregation/window surface as greenfield): they
+matter for event-stream analytics at scale, and both are written so the
+expensive part is a plain shuffle aggregation — no per-row Python, no
+window over an unpartitioned sort.
+
+Scale notes
+-----------
+- LOCF gap-fill uses the ANSI "grouping trick" (cumulative count of
+  non-null observations defines carry-forward groups) instead of
+  ``last(..., ignoreNulls=True)`` so the same plan is expressible in
+  the DuckDB oracle verbatim.  The spine is tiny (one row per day) —
+  the single-partition window over it is not a bottleneck even when
+  the underlying events table is 100 TB, because aggregation to
+  day-grain happens first.
+- The rolling distinct-user count rewrites COUNT(DISTINCT) OVER RANGE
+  (which Spark does not support) as a *contribution explode*: each
+  (day, user) observation contributes to the 7 trailing days, then a
+  hash aggregation counts distinct users per day.  This turns an
+  unsupported window into an embarrassingly parallel shuffle agg whose
+  fan-out factor is the window length — the standard trick for
+  windowed distincts on large clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, cents_sql
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "timeseries_locf_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, SUM({cents_sql("value")}) AS day_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    sparse AS (
+        SELECT spine.day, daily.day_cents,
+               COUNT(daily.day_cents) OVER (ORDER BY spine.day) AS grp
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+    )
+    SELECT day,
+           CAST(COALESCE(MAX(day_cents) OVER (PARTITION BY grp), 0) AS DOUBLE) / 100
+             AS purchase_value_locf
+    FROM sparse
+    ORDER BY day
+    """,
+    tags=("time", "window"),
+    doc=(
+        "Dense daily spine + last-observation-carried-forward: sequence/"
+        "explode calendar, left join day-grain totals, ANSI grouping-trick "
+        "forward fill.  Heavy lifting is one day-grain hash agg."
+    ),
+)
+def timeseries_locf_gapfill(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).alias("day_cents"))
+    )
+    # cumulative count of non-null observations = carry-forward group id;
+    # within a group the only non-null value is the one to carry.
+    sparse = spine.join(daily, "day", "left").withColumn(
+        "grp", F.count("day_cents").over(W.orderBy("day"))
+    )
+    return (
+        sparse.select(
+            "day",
+            (
+                F.coalesce(
+                    F.max("day_cents").over(W.partitionBy("grp")), F.lit(0)
+                ).cast("double")
+                / 100
+            ).alias("purchase_value_locf"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "window_rolling_7d_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+    tags=("window", "distinct", "time"),
+    doc=(
+        "Trailing-7-day distinct users per day.  COUNT(DISTINCT) OVER RANGE "
+        "is unsupported in Spark; rewritten as a contribution explode — each "
+        "(day,user) fans out to the 7 days it serves, then one hash agg "
+        "counts distinct users per day.  Fully parallel at any scale."
+    ),
+)
+def window_rolling_7d_distinct_users(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    actual_days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence("d", F.date_add("d", 6), F.expr("interval 1 day"))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(actual_days.withColumnRenamed("d", "day"), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )

@@ -63,6 +63,7 @@ def _load_all() -> None:
         sqlapi,
         streams,
         textops,
+        timeseries,
         windows,
     )
 
