@@ -432,8 +432,6 @@ def events_hourly_type_share(spark, sf_dir):
     ),
 )
 def histogram_fixed_width(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     o = table(spark, sf_dir, "orders")
     b = o.select(
         F.least(

@@ -221,10 +221,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     sig = minhash_signatures(raw, n_hashes=_N_HASHES)
     candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
     # the Jaccard verify touches only candidate docs — re-scan the source
-    # with an IN filter on doc_id (pushed to the parquet reader: row-group
-    # pruning) instead of re-exploding the whole corpus a second time
-    ids = sorted({v for r in candidates.collect() for v in (r["doc1"], r["doc2"])})
-    raw_cand = shingle(docs.filter(F.col("doc_id").isin(ids)), n=3, distinct=False)
+    # through a broadcast LEFT SEMI join on candidate doc_ids (same shape
+    # as verify_jaccard's own restriction) instead of collecting ids to
+    # the driver: at 100 TB the candidate list can be millions of ids,
+    # and a driver-side IN-list would not survive that.
+    cand_docs = (
+        candidates.select(F.col("doc1").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    raw_cand = shingle(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+        n=3,
+        distinct=False,
+    )
     return verify_jaccard(candidates, raw_cand, shingles_distinct=False)
 
 

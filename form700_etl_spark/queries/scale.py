@@ -358,8 +358,10 @@ _CKSUM_P = 1_000_000_007
         FROM orders
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM({_hex2int_sql("h", 1, 8)} % {_CKSUM_P}) % {_CKSUM_P} AS checksum_a,
-           SUM({_hex2int_sql("h", 9, 8)} % {_CKSUM_P}) % {_CKSUM_P} AS checksum_b
+           CAST(SUM({_hex2int_sql("h", 1, 8)} % {_CKSUM_P}) % {_CKSUM_P} AS BIGINT)
+             AS checksum_a,
+           CAST(SUM({_hex2int_sql("h", 9, 8)} % {_CKSUM_P}) % {_CKSUM_P} AS BIGINT)
+             AS checksum_b
     FROM canon
     """,
     tags=("scale", "validation"),
@@ -367,8 +369,9 @@ _CKSUM_P = 1_000_000_007
         "Order-insensitive cross-engine table fingerprint: canonical row "
         "string (exact cents, formatted dates) -> md5 -> two independent "
         "32-bit words -> modular sums.  Commutative/associative, so it "
-        "distributes as map-side partials at any scale and never overflows; "
-        "the tool for verifying a 100 TB copy or migration without a sort."
+        "distributes as map-side partials at any scale; residues are summed "
+        "in decimal(38,0) so the accumulator cannot overflow even at 1e11+ "
+        "rows — the tool for verifying a 100 TB copy without a sort."
     ),
 )
 def table_checksum_orders(spark, sf_dir):
@@ -392,7 +395,13 @@ def table_checksum_orders(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            (F.sum("wa") % _CKSUM_P).alias("checksum_a"),
-            (F.sum("wb") % _CKSUM_P).alias("checksum_b"),
+            # decimal(38,0) accumulator: int64 would overflow past ~9.2e9
+            # rows of <1e9 residues; decimal partials stay exact at 100 TB.
+            (F.sum(F.col("wa").cast("decimal(38,0)")) % _CKSUM_P)
+            .cast("long")
+            .alias("checksum_a"),
+            (F.sum(F.col("wb").cast("decimal(38,0)")) % _CKSUM_P)
+            .cast("long")
+            .alias("checksum_b"),
         )
     )

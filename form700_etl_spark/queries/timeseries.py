@@ -54,7 +54,7 @@ from ..registry import register
                COUNT(daily.day_cents) OVER (ORDER BY spine.day) AS grp
         FROM spine LEFT JOIN daily ON spine.day = daily.day
     )
-    SELECT day,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
            CAST(COALESCE(MAX(day_cents) OVER (PARTITION BY grp), 0) AS DOUBLE) / 100
              AS purchase_value_locf
     FROM sparse
@@ -85,9 +85,12 @@ def timeseries_locf_gapfill(spark, sf_dir):
     sparse = spine.join(daily, "day", "left").withColumn(
         "grp", F.count("day_cents").over(W.orderBy("day"))
     )
+    # registry convention (registry.py, ref_date_cast): dates cross the
+    # oracle boundary as yyyy-MM-dd strings — DuckDB DATE widens to
+    # datetime64 in pandas and would mismatch a raw DateType cell-wise.
     return (
         sparse.select(
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             (
                 F.coalesce(
                     F.max("day_cents").over(W.partitionBy("grp")), F.lit(0)
@@ -106,7 +109,8 @@ def timeseries_locf_gapfill(spark, sf_dir):
         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
     ),
     days AS (SELECT DISTINCT d FROM du)
-    SELECT days.d AS day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
     FROM days JOIN du
       ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
     GROUP BY days.d
@@ -129,8 +133,10 @@ def window_rolling_7d_distinct_users(spark, sf_dir):
         ).alias("day"),
         "user_id",
     )
+    # same registry convention as above: day crosses as a yyyy-MM-dd string.
     return (
         contrib.join(actual_days.withColumnRenamed("d", "day"), "day")
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
     )

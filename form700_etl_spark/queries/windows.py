@@ -166,14 +166,70 @@ def window_range_frame_cumulative(spark, sf_dir):
     ) t GROUP BY quartile
     """,
     tags=("window", "agg"),
-    doc="ntile bucketing over a unique total order, then per-bucket stats.",
+    doc=(
+        "ntile bucketing over a unique total order, then per-bucket stats.  "
+        "A naive ntile(4) OVER (ORDER BY ...) funnels the whole table "
+        "through ONE partition; instead the global rank is computed with a "
+        "distributed two-pass scheme — coarse range-bucket histogram (one "
+        "hash agg), cumulative offsets over the tiny histogram, per-bucket "
+        "local row_number (parallel window) + offset — and ntile's exact "
+        "bucket-size rule (first N%4 buckets get one extra row) is applied "
+        "as a closed-form expression on that rank.  Bit-identical to "
+        "ntile(4), no single-partition stage."
+    ),
 )
 def window_ntile_quartiles(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
-    w = W.orderBy(cents("c_acctbal"), F.col("c_custkey"))
     bal = cents("c_acctbal")
+
+    # pass 0: range for coarse bucketing — two scalars to the driver
+    # (same budget class as broadcasting k-means centroids).
+    lo, hi = c.agg(F.min(bal), F.max(bal)).first()
+    n_buckets = 1024
+    width = max((hi - lo) // n_buckets + 1, 1)
+    bucketed = c.select(
+        F.col("c_acctbal"),
+        bal.alias("bal"),
+        F.col("c_custkey"),
+        ((bal - F.lit(lo)) / F.lit(width)).cast("int").alias("bucket"),
+    )
+
+    # pass 1: histogram of buckets (hash agg), cumulative offsets + grand
+    # total over the <=1024-row histogram — the only unpartitioned window
+    # runs on the histogram, never on the data.
+    # histogram of buckets (one hash agg), cumulative offsets computed on
+    # the driver — the histogram is <=1024 rows by construction, the same
+    # budget class as the lo/hi scalars above.  No unpartitioned window
+    # ever touches the data.
+    hist = sorted(
+        bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    total = sum(r["cnt"] for r in hist)
+    offs, acc = [], 0
+    for r in hist:
+        offs.append((r["bucket"], acc))
+        acc += r["cnt"]
+    offsets = spark.createDataFrame(offs, "bucket int, offset long")
+
+    # pass 2: local rank within each bucket (parallel window) + offset =
+    # exact global rank; then ntile's size rule in closed form:
+    # q = N div 4, rem = N mod 4; first rem buckets hold q+1 rows.
+    w_local = W.partitionBy("bucket").orderBy("bal", "c_custkey")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn("r", F.row_number().over(w_local) + F.col("offset"))
+    )
+    idiv = lambda a, b: F.floor(a / b).cast("long")
+    q, rem = total // 4, total % 4
+    cut = rem * (q + 1)
+    quartile = (
+        F.when(F.col("r") <= cut, idiv(F.col("r") - 1, q + 1) + 1)
+        .otherwise(rem + idiv(F.col("r") - cut - 1, max(q, 1)) + 1)
+        .cast("int")
+    )
     return (
-        c.select(F.col("c_acctbal"), F.ntile(4).over(w).cast("int").alias("quartile"))
+        ranked.select(F.col("c_acctbal"), quartile.alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
