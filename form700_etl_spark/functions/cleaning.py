@@ -18,6 +18,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def qcol(name: str) -> Column:
+    """Column ref for a LITERAL column name.  The reference's schema
+    CSVs carry dotted field names (``loan.address``,
+    /root/reference/form700_schemas/form700_scheduleB_schema.csv:20-30)
+    — a bare ``F.col`` would parse the dot as struct access."""
+    return F.col("`" + name + "`")
+
+
 def number_cast(col: str | Column) -> Column:
     """Reference 'number' cast (Form700.py:261-273): stringify, replace
     every letter and ``%`` with ``'0'`` (letters become zeros *inside*
@@ -91,7 +99,7 @@ def schema_projection(df: DataFrame, fieldnames: list[str]) -> DataFrame:
     missing = [f for f in fieldnames if f not in df.columns]
     if missing:
         raise KeyError(f"schema projection: missing columns {missing}")
-    return df.select(*fieldnames)
+    return df.select(*(qcol(f) for f in fieldnames))
 
 
 CAST_DISPATCH = {
@@ -110,11 +118,11 @@ def cast_fields(df: DataFrame, type_map: dict[str, str], date_compat: bool = Fal
     for name in df.columns:
         decl = type_map.get(name)
         if decl is None:
-            cols.append(F.col(name))
+            cols.append(qcol(name))
         elif decl == "date":
-            cols.append(date_cast_yyyymmdd(name, compat=date_compat).alias(name))
+            cols.append(date_cast_yyyymmdd(qcol(name), compat=date_compat).alias(name))
         elif decl in CAST_DISPATCH:
-            cols.append(CAST_DISPATCH[decl](name).alias(name))
+            cols.append(CAST_DISPATCH[decl](qcol(name)).alias(name))
         else:
             raise ValueError(f"unknown declared type {decl!r} for column {name!r}")
     return df.select(*cols)

@@ -52,8 +52,33 @@ def explode_outer_flat(df: DataFrame, field: str, prefix: str = "") -> DataFrame
     child_cols = [
         F.col("__x").getField(f).alias(prefix_rename(f, prefix)) for f in child_fields
     ]
-    parent_cols = [F.col(c) for c in exploded.columns if c != "__x"]
+    # backticked parent refs: schema-CSV-driven tables may carry literal
+    # dotted column names (loan.address) that a bare col() would misparse
+    parent_cols = [F.col("`" + c + "`") for c in exploded.columns if c != "__x"]
     return exploded.select(*parent_cols, *child_cols)
+
+
+def flatten_dotted(df: DataFrame, field: str) -> DataFrame:
+    """Reference N1 ``json_normalize`` (Form700.py:153, 181, 367): expand
+    a struct column into one column per leaf, nested structs becoming
+    DOTTED column names (``loan`` -> ``loan.address`` …, the shape the
+    scheduleB schema CSV declares).  Arrays are kept as columns — they
+    are routed later by N3 (stringify or explode).  A NULL struct (from
+    ``explode_outer`` of an empty filing) yields NULL leaves, matching
+    json_normalize of a missing object."""
+    from pyspark.sql import types as T
+
+    def leaves(col: Column, path: str, dtype: T.DataType) -> list[Column]:
+        if isinstance(dtype, T.StructType):
+            out: list[Column] = []
+            for f in dtype.fields:
+                sub = f"{path}.{f.name}" if path else f.name
+                out.extend(leaves(col.getField(f.name), sub, f.dataType))
+            return out
+        return [col.alias(path)]
+
+    keep = [F.col(c) for c in df.columns if c != field]
+    return df.select(*keep, *leaves(F.col(field), "", df.schema[field].dataType))
 
 
 def prefix_rename(name: str, prefix: str) -> str:

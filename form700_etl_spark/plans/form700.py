@@ -1,65 +1,202 @@
 """The reference's whole ETL (EP1, /root/reference/Form700.py:667-687)
-re-expressed as one lazy Spark dataflow.
+re-expressed as one lazy Spark dataflow — all 16 datasets, config-driven.
 
-Reference pipeline:  extract cover + schedules → left-join filer info
-onto every schedule row (J1, :346-352) → clean: route list-columns to
-stringify/explode (N2/E1, :325-344), project to schema (P1, :253),
+Reference pipeline:  extract cover + 7 schedule tables → left-join filer
+info onto every schedule row (J1, :346-352) → clean per table: route
+list-columns to stringify/explode from the table registry's
+``list_columns`` (N3, :325-344), project to the schema CSV (P1, :253),
 strip newlines (C7, :296-298), cast per declared type (C1/C2, :259-289)
-→ load (chunked sink, here sinks/chunked.py) — all eager pandas, one
-thread.  Here the same dataflow is a single Catalyst plan: the explode
-is linear (not the reference's O(n²) loop), the enrichment join
-broadcasts the cover side, and the cast/clean pass folds into one
-projected select inside whole-stage codegen.
+→ load — all eager pandas, one thread, twice (private + redacted,
+:716-718).  Here the same dataflow is a dict of lazy Catalyst plans:
+each explode is linear (not the reference's O(n²) loop), the enrichment
+join broadcasts the filer side, and the clean pass folds into one
+projected select inside whole-stage codegen per table.
+
+The routing is DATA, not code: ``resources/form700_tables.csv`` (the
+reference's registry shape — df_name, list_columns ``:``-split,
+FourByFour, redacted flag) decides per table which array columns are
+stringified vs exploded, exactly like ``checkForListColumns``
+(Form700.py:325-344).  Only ``gifts``/``realProperties`` explode — the
+reference hardcodes that exception (:337-343) — and only
+``realProperties`` children get the E2 prefix rename (:356-362).
 
 ``synthesize_filings`` builds a deterministic nested filings table from
 the TPC-H fixtures (orders = filings, customers = filers, lineitems =
-schedule items) shaped like FIXTURES.md §F1, so the full pipeline is
+schedule items; FIXTURES.md §F1), covering every structural feature the
+reference's source exhibits: array<struct> list columns on every
+schedule, a doubly-nested ``loan`` struct (scheduleB, dotted columns
+after N1 flatten), variable-length ``realProperties``/``gifts`` arrays
+(E1 explode incl. the empty-array NULL-row case), dirty number strings
+(C2), and embedded newlines (C7) — so the full 16-dataset pipeline is
 DuckDB-oracle-checkable end to end.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import (
     cast_fields,
+    qcol,
     schema_projection,
     snake_case_columns,
     strip_newlines,
 )
-from ..functions.nested import explode_outer_flat, stringify_structs
+from ..functions.nested import explode_outer_flat, flatten_dotted, stringify_structs
 from ..io import table
+from ..schema_registry import TableInfo, load_schema, load_table_registry
 
-# The flat schedule output contract lives in the schema registry
-# (resources/form700_scheduleA1_schema.csv) — external fixed schemas,
-# exactly like the reference's schema CSV directory (SURVEY §1.3).
+SCHEDULE_NAMES = (
+    "scheduleA1",
+    "scheduleA2",
+    "scheduleB",
+    "scheduleC",
+    "scheduleD",
+    "scheduleE",
+    "comments",
+)
+
+# N3's hardcoded routing exception (Form700.py:337-343): these two list
+# columns explode instead of stringifying; only realProperties children
+# get the E2 prefix (renameRealPropertyCols, :356-362).
+EXPLODE_COLUMNS = {"gifts": "", "realProperties": "realProperty"}
+
+# J1's filer projection (Form700.py:347-348): the 8 cover columns
+# attached to every schedule row.
+FILER_COLS = (
+    "filingId",
+    "filerName",
+    "departmentName",
+    "positionName",
+    "offices",
+    "periodStart",
+    "periodEnd",
+    "filingDate",
+)
 
 
 def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One nested row per filing: cover fields + ``offices``
-    array<struct> + ``scheduleA1`` array<struct> (FIXTURES.md §F1)."""
+    array<struct> + one array<struct> per schedule (FIXTURES.md §F1).
+
+    All seven schedule arrays are built in ONE pass over lineitem —
+    ``collect_list`` drops the NULLs that the per-schedule ``when``
+    filters produce, so a single groupBy yields every array without
+    re-shuffling lineitem per schedule (the reference re-traverses all
+    pages per schedule, Form700.py:166,178 — an anti-pattern SURVEY §4.1
+    flags)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     l = table(spark, sf_dir, "lineitem")
 
-    items = l.groupBy("l_orderkey").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("l_linenumber").alias("id"),
-                    # dirty number string exercising the C2 cast:
-                    # '12', '12k' (letter->0), '12%' (%->0)
-                    F.concat(
-                        F.col("l_quantity").cast("long").cast("string"),
-                        F.when(F.col("l_linenumber") % 3 == 0, "k").otherwise(""),
-                        F.when(F.col("l_returnflag") == "R", "%").otherwise(""),
-                    ).alias("fairMarketValue"),
-                    F.col("l_returnflag").alias("natureOfInvestment"),
-                )
-            )
-        ).alias("scheduleA1")
+    m = F.col("l_linenumber")
+    qty = F.col("l_quantity").cast("long")
+    qty_s = qty.cast("string")
+    rf = F.col("l_returnflag")
+    ship = F.col("l_linestatus")
+    pk = F.col("l_partkey")
+    okey_s = F.col("l_orderkey").cast("string")
+
+    a1 = F.struct(
+        m.alias("id"),
+        # dirty number string exercising the C2 cast:
+        # '12', '12k' (letter->0), '12%' (%->0)
+        F.concat(
+            qty_s,
+            F.when(m % 3 == 0, "k").otherwise(""),
+            F.when(rf == "R", "%").otherwise(""),
+        ).alias("fairMarketValue"),
+        rf.alias("natureOfInvestment"),
     )
+
+    income = lambda src, amt: F.struct(src.alias("source"), amt.alias("amount"))
+    rp_elem = lambda i: F.struct(
+        F.concat(
+            F.lit("P-"), okey_s, F.lit("-"), m.cast("string"), F.lit(f"-{i}")
+        ).alias("parcelNumber"),
+        ship.alias("city"),
+        (qty * 1000 + i).alias("fairMarketValue"),
+    )
+    a2 = F.struct(
+        m.alias("id"),
+        F.concat(F.lit("Biz-"), ship).alias("businessName"),
+        F.concat(qty_s, F.when(rf == "A", "%").otherwise("")).alias("fairMarketValue"),
+        F.when(
+            rf == "R",
+            F.array(income(ship, qty), income(F.lit("ROYALTY"), qty * 2)),
+        )
+        .otherwise(F.array(income(ship, qty)))
+        .alias("incomeSources"),
+        # 0/1/2 real properties: exercises explode_outer incl. the
+        # empty-array -> one-NULL-child-row path (Form700.py:366,380)
+        F.slice(
+            F.array(rp_elem(1), rp_elem(2)),
+            F.lit(1),
+            F.when(qty > 30, 2).when(pk % 2 == 0, 1).otherwise(0),
+        ).alias("realProperties"),
+    )
+
+    b = F.struct(
+        m.alias("id"),
+        F.concat(okey_s, F.lit(" Main St")).alias("parcelAddress"),
+        F.concat(qty_s, F.when(pk % 3 == 0, "k").otherwise("")).alias("grossIncome"),
+        # doubly-nested struct -> dotted loan.* columns after N1 flatten
+        # (reference scheduleB schema declares loan.address et al.)
+        F.struct(
+            F.concat(F.lit("Lender Plaza "), m.cast("string")).alias("address"),
+            (qty * 100).alias("highestBalance"),
+            F.concat(qty_s, F.lit("%")).alias("interestRate"),
+            F.concat(F.lit("Bank-"), rf).alias("lender"),
+        ).alias("loan"),
+        F.array(income(ship, qty * 3)).alias("incomeSources"),
+    )
+
+    c_item = F.struct(
+        m.alias("id"),
+        F.concat(F.lit("Emp-"), ship).alias("employerName"),
+        F.when(
+            pk % 2 == 1,
+            F.array(income(rf, qty), income(F.lit("SPOUSE"), qty + 5)),
+        )
+        .otherwise(F.array(income(rf, qty)))
+        .alias("incomeSources"),
+    )
+
+    gift = lambda i: F.struct(
+        (qty + i).alias("giftValue"),
+        F.concat(ship, F.lit(f" gift {i}")).alias("description"),
+    )
+    d = F.struct(
+        m.alias("id"),
+        F.concat(F.lit("Donor-"), rf).alias("donorName"),
+        F.slice(
+            F.array(gift(1), gift(2)), F.lit(1), F.when(qty > 40, 2).otherwise(1)
+        ).alias("gifts"),
+    )
+
+    e = F.struct(
+        m.alias("id"),
+        ship.alias("destination"),
+        F.concat(qty_s, F.when(rf == "N", "n").otherwise("")).alias("travelAmount"),
+    )
+
+    def sched(cond: Column, item: Column) -> Column:
+        # collect_list skips NULLs -> per-schedule filter without a
+        # second shuffle; sort_array on the unique leading id makes the
+        # array order deterministic.
+        return F.sort_array(F.collect_list(F.when(cond, item)))
+
+    items = l.groupBy("l_orderkey").agg(
+        sched(F.lit(True), a1).alias("scheduleA1"),
+        sched(m % 2 == 0, a2).alias("scheduleA2"),
+        sched(m % 3 == 1, b).alias("scheduleB"),
+        sched(m % 3 == 2, c_item).alias("scheduleC"),
+        sched(m % 4 == 1, d).alias("scheduleD"),
+        sched(m % 5 == 2, e).alias("scheduleE"),
+    )
+
+    year_start = F.date_trunc("year", F.col("o_orderdate"))
     cover = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
         .select(
@@ -67,6 +204,11 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("filerId"),
             F.coalesce(F.col("c_name"), F.lit("")).alias("filerName"),
             F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("departmentName"),
+            F.concat(F.lit("Pos-"), F.col("o_orderstatus")).alias("positionName"),
+            F.date_format(year_start, "yyyyMMdd").alias("periodStart"),
+            F.date_format(
+                F.date_sub(F.add_months(year_start, 12), 1), "yyyyMMdd"
+            ).alias("periodEnd"),
             F.date_format("o_orderdate", "yyyyMMdd").alias("filingDate"),
             F.when(F.col("o_orderstatus") == "P", True).alias("isAmendment"),  # NULL unless P
             F.array(
@@ -75,65 +217,108 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_orderstatus").alias("position"),
                 )
             ).alias("offices"),
+            # comments: one per filing, embedded newline exercises C7
+            F.array(
+                F.struct(
+                    F.col("o_orderkey").alias("id"),
+                    F.concat(F.lit("Line1\nLine2-"), F.col("o_orderstatus")).alias(
+                        "comment"
+                    ),
+                )
+            ).alias("comments"),
         )
     )
-    return cover.join(items, cover.filingId == items.l_orderkey, "left").drop("l_orderkey")
-
-
-def run_form700_pipeline(filings: DataFrame) -> dict[str, DataFrame]:
-    """EP1: filings → {'cover': df, 'scheduleA1': df} flat clean tables."""
-    # N2: offices array<struct> -> delimited string (list-column routing N3)
-    cover = filings.withColumn(
-        "officesStr", stringify_structs("offices", ["office", "position"])
-    ).drop("offices")
-
-    # schedule child table: E1 explode_outer + E2 prefix rename
-    schedule = explode_outer_flat(
-        cover.select("filingId", "scheduleA1"), "scheduleA1", prefix="item"
+    return cover.join(items, cover.filingId == items.l_orderkey, "left").drop(
+        "l_orderkey"
     )
 
-    # J1: broadcast left enrichment join of filer info onto every child row
-    filer_info = cover.select(
-        "filingId", "filerName", "departmentName", "officesStr", "filingDate", "isAmendment"
-    )
-    enriched = schedule.join(F.broadcast(filer_info), "filingId", "left")
 
-    # P1 projection -> C7 newline strip -> C1 schema-driven casts, all
-    # driven by the external schema CSV (S6/S7)
-    from ..schema_registry import load_schema
+def route_list_columns(df: DataFrame, info: TableInfo) -> DataFrame:
+    """N3 ``checkForListColumns`` (Form700.py:325-344), registry-driven:
+    stringify every listed array column EXCEPT gifts/realProperties,
+    which explode (realProperties with the E2 prefix).  The stringify
+    canonical key order is the struct's declared field order (the Py2
+    dict-iteration order is undefined; SURVEY §7 'hard parts')."""
+    for col in info.list_columns:
+        if col not in df.columns:
+            raise KeyError(
+                f"{info.df_name}: registry lists {col!r} but the table has no such column"
+            )
+        if col in EXPLODE_COLUMNS:
+            df = explode_outer_flat(df, col, prefix=EXPLODE_COLUMNS[col])
+        else:
+            fields = [f.name for f in df.schema[col].dataType.elementType.fields]
+            df = df.withColumn(col, stringify_structs(col, fields))
+    return df
 
-    schema = load_schema("scheduleA1")
-    projected = schema_projection(enriched, list(schema.fields))
-    stripped = projected.select(
+
+def clean_dataset(df: DataFrame, info: TableInfo) -> DataFrame:
+    """C11 ``cleanDataSet`` (Form700.py:246-256): N3 routing -> P1 schema
+    projection -> C7 newline strip -> C1 casts, all one Catalyst plan.
+    Redacted twins share the base schema CSV (the reference's pairs are
+    column-identical)."""
+    schema = load_schema(info.base_name)
+    df = route_list_columns(df, info)
+    df = schema_projection(df, list(schema.fields))
+    df = df.select(
         *[
-            strip_newlines(F.col(name)).alias(name)
+            strip_newlines(qcol(name)).alias(name)
             if schema.type_map[name] == "text"
-            else F.col(name)
-            for name in projected.columns
+            else qcol(name)
+            for name in schema.fields
         ]
     )
-    clean = cast_fields(stripped, schema.type_map, date_compat=True)
+    return cast_fields(df, schema.type_map, date_compat=True)
 
-    # C9: snake_case on the way to the sink (Form700.py:464-468)
-    cover_out = snake_case_columns(cover.drop("scheduleA1"))
-    schedule_out = snake_case_columns(clean)
-    return {"cover": cover_out, "scheduleA1": schedule_out}
+
+def run_form700_pipeline(
+    filings: DataFrame,
+    registry: dict[str, TableInfo] | None = None,
+    suffix: str = "",
+) -> dict[str, DataFrame]:
+    """EP1: nested filings → the full dict of flat clean tables (cover +
+    7 schedules), each an independent lazy plan over the same source.
+
+    Per schedule: S5 per-key extraction (``explode_outer`` of the
+    filing-level array — read once, 8 projections, vs the reference's
+    re-traversal per schedule), N1 dotted flatten, J1 broadcast filer
+    join, then the registry-driven clean pass."""
+    registry = registry or load_table_registry()
+    filer_info = filings.select(*FILER_COLS)
+    out: dict[str, DataFrame] = {}
+    for base in ("cover",) + SCHEDULE_NAMES:
+        info = registry[base + suffix]
+        if base == "cover":
+            df = filings.drop(*SCHEDULE_NAMES)
+        else:
+            rows = filings.select(
+                "filingId", F.explode_outer(base).alias("__row")
+            )
+            flat = flatten_dotted(rows, "__row")
+            df = flat.join(F.broadcast(filer_info), "filingId", "left")
+        # C9: snake_case on the way to the sink (Form700.py:464-468) —
+        # this is also where dotted loan.* names lose their dots
+        out[info.df_name] = snake_case_columns(clean_dataset(df, info))
+    return out
 
 
 def run_dual(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """O2 dual-run (Form700.py:716-718): the same pipeline twice, once
-    private and once redacted, redacted datasets keyed ``*_redacted``.
-    Redaction is a source-side flag in the reference (the API redacts;
-    the ETL has no redaction logic) — modeled here as a source filter
-    so the run parameterization matches the reference's shape."""
+    private and once redacted, redacted datasets keyed ``*_redacted``
+    per the table registry.  Redaction is a source-side flag in the
+    reference (the API redacts; the ETL has no redaction logic) —
+    modeled here as a source filter so the run parameterization matches
+    the reference's shape."""
+    registry = load_table_registry()
     out: dict[str, DataFrame] = {}
     for redacted in (False, True):
         filings = synthesize_filings(spark, sf_dir)
         if redacted:
             # source-side redaction stand-in: the public feed masks filer names
             filings = filings.withColumn("filerName", F.lit("[REDACTED]"))
-        tables = run_form700_pipeline(filings)
-        suffix = "_redacted" if redacted else ""
-        for name, df in tables.items():
-            out[f"{name}{suffix}"] = df
+        out.update(
+            run_form700_pipeline(
+                filings, registry=registry, suffix="_redacted" if redacted else ""
+            )
+        )
     return out

@@ -386,33 +386,83 @@ def ref_fillna_multitype(spark, sf_dir):
     return withnulls.na.fill({"name_filled": "", "nation_filled": 0, "bal_filled": 0.0})
 
 
-@register(
-    "ref_pipeline_end_to_end",
-    oracle="""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+# ---- Form700 pipeline parity (EP1, all datasets config-driven) ------------
+#
+# Shared oracle fragments.  The filer block is J1's 8-column projection
+# (Form700.py:347-348) post-clean: text casts coalesce to '', dates flow
+# through as yyyyMMdd strings (compat mode), offices is the N2 stringify
+# of the cover's offices array.  `||` (not concat) everywhere a nullable
+# lineitem column participates — DuckDB's concat() IGNORES NULLs, while
+# the Spark side's struct fields are plain NULL for itemless filings.
+
+_FILER_SQL = """
            COALESCE(c.c_name, '') AS filer_name,
            COALESCE(c.c_mktsegment, '') AS department_name,
+           concat('Pos-', o.o_orderstatus) AS position_name,
            concat('office:Office-', o.o_orderpriority, ',position:', o.o_orderstatus)
-             AS offices_str,
-           strftime(o.o_orderdate, '%Y%m%d') AS filing_date,
+             AS offices,
+           strftime(date_trunc('year', o.o_orderdate), '%Y%m%d') AS period_start,
+           strftime(date_trunc('year', o.o_orderdate) + INTERVAL 1 YEAR - INTERVAL 1 DAY,
+                    '%Y%m%d') AS period_end,
+           strftime(o.o_orderdate, '%Y%m%d') AS filing_date
+"""
+
+_QTY_S = "CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR)"
+
+
+def _numcast_sql(expr: str) -> str:
+    """C2 oracle mirror: letters/% -> '0', unparseable/NULL -> 0.0."""
+    return (
+        f"COALESCE(TRY_CAST(regexp_replace({expr}, '[a-zA-Z%]', '0', 'g')"
+        " AS DOUBLE), 0.0)"
+    )
+
+
+@register(
+    "ref_pipeline_cover",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+           CAST(o.o_custkey AS DOUBLE) AS filer_id,
            o.o_orderstatus = 'P' AS is_amendment,
-           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS item_id,
-           COALESCE(TRY_CAST(regexp_replace(
-               concat(CAST(CAST(l.l_quantity AS BIGINT) AS VARCHAR),
-                      CASE WHEN l.l_linenumber % 3 = 0 THEN 'k' ELSE '' END,
-                      CASE WHEN l.l_returnflag = 'R' THEN '%' ELSE '' END),
-               '[a-zA-Z%]', '0', 'g') AS DOUBLE), 0.0) AS item_fair_market_value,
-           COALESCE(l.l_returnflag, '') AS item_nature_of_investment
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 cover table: N2 offices stringify + P1/C1 clean from the "
+        "cover schema CSV, registry-routed (N3)."
+    ),
+)
+def ref_pipeline_cover(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings)["cover"]
+
+
+@register(
+    "ref_pipeline_end_to_end",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
+           {_numcast_sql(
+               _QTY_S
+               + " || (CASE WHEN l.l_linenumber % 3 = 0 THEN 'k' ELSE '' END)"
+               + " || (CASE WHEN l.l_returnflag = 'R' THEN '%' ELSE '' END)"
+           )} AS fair_market_value,
+           COALESCE(l.l_returnflag, '') AS nature_of_investment,
+           {_FILER_SQL}
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     """,
     tags=("refparity", "pipeline"),
     doc=(
-        "EP1 end to end: nested filings -> stringify offices (N2) -> "
-        "explode_outer schedule items (E1+E2) -> broadcast enrichment join (J1) "
-        "-> P1 projection -> C7 strip -> C1/C2/C3/C4 casts -> C9 snake_case. "
-        "One Catalyst plan; the oracle is the equivalent flat SQL."
+        "EP1 end to end (scheduleA1): nested filings -> S5 per-key explode "
+        "-> J1 broadcast filer join -> N3 registry routing (offices "
+        "stringify) -> P1 projection -> C7 strip -> C1/C2/C3 casts -> C9 "
+        "snake_case.  One Catalyst plan; the oracle is the equivalent flat SQL."
     ),
 )
 def ref_pipeline_end_to_end(spark, sf_dir):
@@ -420,6 +470,221 @@ def ref_pipeline_end_to_end(spark, sf_dir):
 
     filings = synthesize_filings(spark, sf_dir)
     return run_form700_pipeline(filings)["scheduleA1"]
+
+
+@register(
+    "ref_pipeline_scheduleA2",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
+           COALESCE('Biz-' || l.l_linestatus, '') AS business_name,
+           {_numcast_sql(
+               _QTY_S + " || (CASE WHEN l.l_returnflag = 'A' THEN '%' ELSE '' END)"
+           )} AS fair_market_value,
+           COALESCE(CASE WHEN l.l_returnflag = 'R'
+               THEN 'source:' || l.l_linestatus || ',amount:' || {_QTY_S}
+                    || '|source:ROYALTY,amount:'
+                    || CAST(CAST(l.l_quantity AS BIGINT) * 2 AS VARCHAR)
+               ELSE 'source:' || l.l_linestatus || ',amount:' || {_QTY_S}
+           END, '') AS income_sources,
+           COALESCE('P-' || CAST(o.o_orderkey AS VARCHAR) || '-'
+                    || CAST(l.l_linenumber AS VARCHAR) || '-'
+                    || CAST(rp.i AS VARCHAR), '') AS real_property_parcel_number,
+           COALESCE(CASE WHEN rp.i IS NOT NULL THEN l.l_linestatus END, '')
+             AS real_property_city,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 1000 + rp.i AS DOUBLE), 0.0)
+             AS real_property_fair_market_value,
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 2 = 0) l
+           ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN (VALUES (1), (2)) rp(i)
+           ON rp.i <= (CASE WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN 2
+                            WHEN l.l_partkey % 2 = 0 THEN 1 ELSE 0 END)
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 scheduleA2: the registry's richest routing — offices + "
+        "incomeSources stringify (N2) AND realProperties explode with the "
+        "E2 realProperty prefix rename, incl. the empty-array -> one "
+        "NULL-child-row explode_outer case."
+    ),
+)
+def ref_pipeline_scheduleA2(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings)["scheduleA2"]
+
+
+@register(
+    "ref_pipeline_scheduleB",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
+           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Main St', '') AS parcel_address,
+           {_numcast_sql(
+               _QTY_S + " || (CASE WHEN l.l_partkey % 3 = 0 THEN 'k' ELSE '' END)"
+           )} AS gross_income,
+           COALESCE('Lender Plaza ' || CAST(l.l_linenumber AS VARCHAR), '')
+             AS loanaddress,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 100 AS DOUBLE), 0.0)
+             AS loanhighest_balance,
+           {_numcast_sql(_QTY_S + " || '%'")} AS loaninterest_rate,
+           COALESCE('Bank-' || l.l_returnflag, '') AS loanlender,
+           COALESCE('source:' || l.l_linestatus || ',amount:'
+                    || CAST(CAST(l.l_quantity AS BIGINT) * 3 AS VARCHAR), '')
+             AS income_sources,
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 3 = 1) l
+           ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 scheduleB: the doubly-nested loan struct flattens to dotted "
+        "loan.* columns (N1, the reference scheduleB schema's shape), which "
+        "C9 snake_case collapses (dots stripped THEN underscored: "
+        "loan.highestBalance -> loanhighest_balance, Form700.py:464-468)."
+    ),
+)
+def ref_pipeline_scheduleB(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings)["scheduleB"]
+
+
+@register(
+    "ref_pipeline_scheduleD",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
+           COALESCE('Donor-' || l.l_returnflag, '') AS donor_name,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) + g.i AS DOUBLE), 0.0)
+             AS gift_value,
+           COALESCE(l.l_linestatus || ' gift ' || CAST(g.i AS VARCHAR), '')
+             AS description,
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 4 = 1) l
+           ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN (VALUES (1), (2)) g(i)
+           ON g.i <= (CASE WHEN CAST(l.l_quantity AS BIGINT) > 40 THEN 2 ELSE 1 END)
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 scheduleD: gifts explode WITHOUT the E2 prefix (the reference "
+        "renames only realProperties children, Form700.py:337-343)."
+    ),
+)
+def ref_pipeline_scheduleD(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings)["scheduleD"]
+
+
+@register(
+    "ref_pipeline_comments",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
+           CAST(o.o_orderkey AS DOUBLE) AS id,
+           'Line1Line2-' || o.o_orderstatus AS comment,
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 comments: C7 newline strip exercised end to end — the "
+        "synthesized comment embeds a literal newline that the clean pass "
+        "removes (Form700.py:296-298)."
+    ),
+)
+def ref_pipeline_comments(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings)["comments"]
+
+
+@register(
+    "ref_pipeline_dual_audit",
+    oracle="""
+    WITH n AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders) AS cover_n,
+        (SELECT COUNT(*) FROM orders o
+           LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS a1_n,
+        (SELECT COUNT(*) FROM orders o
+           LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 2 = 0) l
+                  ON l.l_orderkey = o.o_orderkey
+           LEFT JOIN (VALUES (1), (2)) rp(i)
+                  ON rp.i <= (CASE WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN 2
+                                   WHEN l.l_partkey % 2 = 0 THEN 1 ELSE 0 END)) AS a2_n,
+        (SELECT COUNT(*) FROM orders o
+           LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 3 = 1) l
+                  ON l.l_orderkey = o.o_orderkey) AS b_n,
+        (SELECT COUNT(*) FROM orders o
+           LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 3 = 2) l
+                  ON l.l_orderkey = o.o_orderkey) AS c_n,
+        (SELECT COUNT(*) FROM orders o
+           LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 4 = 1) l
+                  ON l.l_orderkey = o.o_orderkey
+           LEFT JOIN (VALUES (1), (2)) g(i)
+                  ON g.i <= (CASE WHEN CAST(l.l_quantity AS BIGINT) > 40
+                                  THEN 2 ELSE 1 END)) AS d_n,
+        (SELECT COUNT(*) FROM orders o
+           LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 5 = 2) l
+                  ON l.l_orderkey = o.o_orderkey) AS e_n,
+        (SELECT COUNT(*) FROM orders) AS comments_n
+    )
+    SELECT dataset, CAST(n_rows AS BIGINT) AS n_rows FROM (
+      SELECT 'cover' AS dataset, cover_n AS n_rows FROM n
+      UNION ALL SELECT 'cover_redacted', cover_n FROM n
+      UNION ALL SELECT 'scheduleA1', a1_n FROM n
+      UNION ALL SELECT 'scheduleA1_redacted', a1_n FROM n
+      UNION ALL SELECT 'scheduleA2', a2_n FROM n
+      UNION ALL SELECT 'scheduleA2_redacted', a2_n FROM n
+      UNION ALL SELECT 'scheduleB', b_n FROM n
+      UNION ALL SELECT 'scheduleB_redacted', b_n FROM n
+      UNION ALL SELECT 'scheduleC', c_n FROM n
+      UNION ALL SELECT 'scheduleC_redacted', c_n FROM n
+      UNION ALL SELECT 'scheduleD', d_n FROM n
+      UNION ALL SELECT 'scheduleD_redacted', d_n FROM n
+      UNION ALL SELECT 'scheduleE', e_n FROM n
+      UNION ALL SELECT 'scheduleE_redacted', e_n FROM n
+      UNION ALL SELECT 'comments', comments_n FROM n
+      UNION ALL SELECT 'comments_redacted', comments_n FROM n
+    ) t
+    """,
+    tags=("refparity", "pipeline", "agg"),
+    doc=(
+        "O2 dual-run audit: the full 16-dataset dict (8 private + 8 "
+        "redacted twins, driven by the table registry) row-counted in one "
+        "unioned lazy plan — the reference's per-dataset totalRecords "
+        "reconciliation (A1/A3) across the whole job."
+    ),
+)
+def ref_pipeline_dual_audit(spark, sf_dir):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from ..plans.form700 import run_dual
+
+    tables_ = run_dual(spark, sf_dir)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("dataset"), "n_rows"
+        )
+        for name, df in sorted(tables_.items())
+    ]
+    return reduce(DataFrame.unionByName, counts)
 
 
 @register(

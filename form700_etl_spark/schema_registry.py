@@ -68,6 +68,55 @@ def load_schema(dataset: str, resource_dir: str = RESOURCE_DIR) -> DatasetSchema
     return DatasetSchema(dataset, tuple(fields), type_map, display)
 
 
+@dataclass(frozen=True)
+class TableInfo:
+    """One row of the table registry (reference ``form700_tables.csv``,
+    consumed at /root/reference/Form700.py:325-344, 402-404, 428-437):
+    per-dataset metadata driving list-column routing (N3), sink DDL
+    (K3) and the redacted twin bookkeeping (O2)."""
+
+    df_name: str
+    dataset_name: str
+    category: str
+    description: str
+    tags: tuple
+    list_columns: tuple  # ':'-split, in routing order
+    four_by_four: str  # sink dataset id; "0" = not yet created (K3 gate)
+    redacted: bool
+
+    @property
+    def base_name(self) -> str:
+        """Dataset name without the ``_redacted`` suffix — redacted twins
+        share the base schema CSV (the reference's pairs diff clean)."""
+        return self.df_name.removesuffix("_redacted")
+
+
+def load_table_registry(
+    path: str | None = None, resource_dir: str = RESOURCE_DIR
+) -> dict[str, TableInfo]:
+    """S6: the table-registry CSV scan (Form700.py:402-404).  The
+    ``list_columns`` field is ``:``-separated (Form700.py:331-332); a
+    missing/``0`` value means no list columns (the reference's
+    ``fillna(0)`` at :429)."""
+    path = path or os.path.join(resource_dir, "form700_tables.csv")
+    out: dict[str, TableInfo] = {}
+    with open(path, newline="") as fh:
+        for row in csv.DictReader(fh):
+            raw_lc = (row.get("list_columns") or "").strip()
+            lc = tuple(raw_lc.split(":")) if raw_lc and raw_lc != "0" else ()
+            out[row["df_name"]] = TableInfo(
+                df_name=row["df_name"],
+                dataset_name=row["dataset_name"],
+                category=row["category"],
+                description=row["description"],
+                tags=tuple(t.strip() for t in row["tags"].split(",") if t.strip()),
+                list_columns=lc,
+                four_by_four=(row.get("FourByFour") or "0").strip() or "0",
+                redacted=row["redacted"].strip().lower() == "true",
+            )
+    return out
+
+
 def available_datasets(resource_dir: str = RESOURCE_DIR) -> list[str]:
     out = []
     for f in sorted(os.listdir(resource_dir)):

@@ -97,9 +97,21 @@ def test_stringify_structs_reference_format(spark):
 def test_schema_registry_contract():
     from form700_etl_spark.schema_registry import available_datasets, load_schema
 
-    assert set(available_datasets()) >= {"cover", "scheduleA1"}
+    assert set(available_datasets()) >= {
+        "cover",
+        "scheduleA1",
+        "scheduleA2",
+        "scheduleB",
+        "scheduleC",
+        "scheduleD",
+        "scheduleE",
+        "comments",
+    }
     s = load_schema("scheduleA1")
-    assert s.fields[0] == "filingId" and s.type_map["isAmendment"] == "checkbox"
+    assert s.fields[0] == "filingId" and s.type_map["fairMarketValue"] == "number"
+    # scheduleB declares the reference's dotted loan.* fields
+    b = load_schema("scheduleB")
+    assert "loan.address" in b.fields and b.type_map["loan.highestBalance"] == "number"
     st = s.struct_type(date_compat=True)
     assert [f.name for f in st.fields] == list(s.fields)
     # date fields widen to string in compat mode (reference-disabled cast)

@@ -173,26 +173,53 @@ class TestForm700Pipeline:
 
         filings = synthesize_filings(spark, sf_dir)
         out = run_form700_pipeline(filings)
-        assert set(out) == {"cover", "scheduleA1"}
+        expected_tables = {
+            "cover",
+            "scheduleA1",
+            "scheduleA2",
+            "scheduleB",
+            "scheduleC",
+            "scheduleD",
+            "scheduleE",
+            "comments",
+        }
+        assert set(out) == expected_tables
         n_orders = table(spark, sf_dir, "orders").count()
         assert out["cover"].count() == n_orders
+        assert out["comments"].count() == n_orders
         # explode law: one row per lineitem + one NULL row per itemless order
         li = table(spark, sf_dir, "lineitem")
         orders_with_items = li.select("l_orderkey").distinct().count()
         expected = li.count() + (n_orders - orders_with_items)
         assert out["scheduleA1"].count() == expected
-        # C9: all output columns are snake_case
-        for col in out["scheduleA1"].columns:
-            assert col == col.lower(), col
+        # C9: all output columns are snake_case, and the dotted loan.*
+        # columns collapsed (reference dot-strip-then-underscore rename)
+        for name, df in out.items():
+            for col in df.columns:
+                assert col == col.lower() and "." not in col, (name, col)
+        assert "loanhighest_balance" in out["scheduleB"].columns
+        # E2 prefix only on realProperties children (scheduleA2), not gifts
+        assert "real_property_parcel_number" in out["scheduleA2"].columns
+        assert "gift_value" in out["scheduleD"].columns
 
     def test_dual_run_private_and_redacted(self, spark, sf_dir):
         from form700_etl_spark.plans.form700 import run_dual
 
         out = run_dual(spark, sf_dir)
-        assert set(out) == {"cover", "scheduleA1", "cover_redacted", "scheduleA1_redacted"}
+        bases = {
+            "cover",
+            "scheduleA1",
+            "scheduleA2",
+            "scheduleB",
+            "scheduleC",
+            "scheduleD",
+            "scheduleE",
+            "comments",
+        }
+        assert set(out) == bases | {f"{b}_redacted" for b in bases}
         # redacted twins are column-identical (reference: schema CSV pairs diff clean)
-        assert out["cover"].columns == out["cover_redacted"].columns
-        assert out["scheduleA1"].columns == out["scheduleA1_redacted"].columns
+        for b in bases:
+            assert out[b].columns == out[f"{b}_redacted"].columns
         assert out["cover"].count() == out["cover_redacted"].count()
         names = {r.filer_name for r in out["cover_redacted"].select("filer_name").distinct().collect()}
         assert names == {"[REDACTED]"}
