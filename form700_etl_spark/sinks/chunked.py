@@ -45,6 +45,19 @@ class SinkClient(Protocol):
         """Idempotently write one chunk; returns rows written."""
         ...
 
+    def create(
+        self,
+        name: str,
+        columns: list[dict],
+        description: str = "",
+        category: str = "",
+        tags: list[str] | None = None,
+    ) -> str:
+        """K3 DDL (Form700.py:439-454): create the sink dataset with
+        column + descriptive metadata; returns its dataset id.  MUST be
+        idempotent — creating an existing dataset returns its id."""
+        ...
+
 
 class LocalDirClient:
     """Filesystem-backed client: chunk id -> one JSON file (atomic
@@ -56,9 +69,46 @@ class LocalDirClient:
         os.makedirs(path, exist_ok=True)
 
     def truncate(self) -> None:
+        # data chunks only — the _dataset.json DDL metadata survives a
+        # replace, like a Socrata truncate keeps the dataset definition
         for f in os.listdir(self.path):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.startswith("_"):
                 os.unlink(os.path.join(self.path, f))
+
+    def create(
+        self,
+        name: str,
+        columns: list[dict],
+        description: str = "",
+        category: str = "",
+        tags: list[str] | None = None,
+    ) -> str:
+        """Create-if-absent with a deterministic FourByFour-shaped id
+        (sha256 of the dataset name) recorded in ``_dataset.json`` —
+        repeat calls return the recorded id without rewriting."""
+        import hashlib
+
+        meta_path = os.path.join(self.path, "_dataset.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                return json.load(fh)["id"]
+        h = hashlib.sha256(name.encode()).hexdigest()[:8]
+        dataset_id = f"{h[:4]}-{h[4:]}"
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "id": dataset_id,
+                    "name": name,
+                    "columns": columns,
+                    "description": description,
+                    "category": category,
+                    "tags": tags or [],
+                },
+                fh,
+            )
+        os.replace(tmp, meta_path)
+        return dataset_id
 
     def upsert(self, chunk_id: str, rows: list[dict]) -> int:
         marker = os.path.join(self.path, "_failures_remaining")
@@ -102,6 +152,81 @@ class SinkReport:
     @property
     def success(self) -> bool:  # A3 reconciliation, Form700.py:611-618
         return self.total_records == self.rows_inserted
+
+
+def make_columns(schema) -> list[dict]:
+    """K3 column-metadata assembly (``getColumns``, Form700.py:412-423):
+    per schema-CSV row, the sink-ready snake_case field name, the human
+    display name (C10's titleized form, carried in the CSV's ``name``
+    column), and the declared type."""
+    from ..functions.cleaning import snake_case
+
+    return [
+        {
+            "fieldName": snake_case(f),
+            "name": schema.display_names[f],
+            "dataTypeName": schema.type_map[f],
+        }
+        for f in schema.fields
+    ]
+
+
+def create_dataset_if_absent(client: SinkClient, info, schema) -> str:
+    """K3 create-if-absent (``createDataSet``, Form700.py:439-454): the
+    registry's FourByFour gates creation — ``0`` means not yet created,
+    so issue the DDL with full column + descriptive metadata and return
+    the new id; otherwise the recorded id is authoritative and no DDL
+    runs.  ``info`` is a ``schema_registry.TableInfo`` row, ``schema``
+    the matching ``DatasetSchema``."""
+    if info.four_by_four and info.four_by_four != "0":
+        return info.four_by_four
+    return client.create(
+        name=info.dataset_name,
+        columns=make_columns(schema),
+        description=info.description,
+        category=info.category,
+        tags=list(info.tags),
+    )
+
+
+def job_status_rows(reports: list[SinkReport]) -> tuple[str, list[dict]]:
+    """K10 status assembly (Form700.py:611-618, 628-655): one row per
+    dataset with the A3 count reconciliation verdict, plus the overall
+    job verdict (FAILURE if any dataset failed)."""
+    rows = [
+        {
+            "dataset": r.dataset,
+            "totalRecords": r.total_records,
+            "rowsInserted": r.rows_inserted,
+            "status": "SUCCESS" if r.success else "FAILURE",
+        }
+        for r in reports
+    ]
+    overall = "SUCCESS" if all(r.success for r in reports) else "FAILURE"
+    return overall, rows
+
+
+def write_job_report(reports: list[SinkReport], path: str, job_name: str = "form700") -> str:
+    """K8 job-log CSV (``csv.DictWriter`` of per-dataset status rows,
+    Form700.py:620-626) + K10 message assembly (:628-655).  Returns the
+    status message; the CSV lands at ``path``.  Driver-side by design —
+    the report is O(datasets), not O(rows)."""
+    import csv as _csv
+
+    overall, rows = job_status_rows(reports)
+    with open(path, "w", newline="") as fh:
+        writer = _csv.DictWriter(
+            fh, fieldnames=["dataset", "totalRecords", "rowsInserted", "status"]
+        )
+        writer.writeheader()
+        writer.writerows(rows)
+    lines = [f"{job_name}: {overall}"]
+    lines += [
+        f"  {r['dataset']}: {r['status']} "
+        f"({r['rowsInserted']}/{r['totalRecords']} rows)"
+        for r in rows
+    ]
+    return "\n".join(lines)
 
 
 class ChunkedSink:

@@ -7,6 +7,8 @@ import json
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from form700_etl_spark.sinks.chunked import ChunkedSink, ChunkedSinkConfig, LocalDirClient
 from form700_etl_spark.sources.fake import FILING_SCHEMA, N_PAGES, PAGE_SIZE, fake_fetch_page
 from form700_etl_spark.sources.rest import PaginatedRestSource, RestSourceConfig
@@ -117,6 +119,152 @@ class TestChunkedSink:
                 fh.write("[]")
             ChunkedSink(LocalDirClient(tmp), ChunkedSinkConfig(throttle_s=0.0)).write(df, "region")
             assert not os.path.exists(stale)
+
+
+class TestCreateDDL:
+    """K3 dataset-create DDL (Form700.py:406-454): column metadata from
+    the schema CSV + description/tags/category from the table registry,
+    created only when FourByFour == 0, idempotent under repeat calls."""
+
+    def test_create_write_audit_roundtrip_idempotent(self, spark, sf_dir, tmp_path):
+        from form700_etl_spark.schema_registry import load_schema, load_table_registry
+        from form700_etl_spark.sinks.chunked import create_dataset_if_absent, make_columns
+
+        registry = load_table_registry()
+        info = registry["cover"]
+        schema = load_schema("cover")
+        client = LocalDirClient(str(tmp_path))
+
+        dataset_id = create_dataset_if_absent(client, info, schema)
+        assert dataset_id and dataset_id != "0"
+        # idempotent: repeat create returns the same id, no duplicate DDL
+        assert create_dataset_if_absent(client, info, schema) == dataset_id
+
+        # column metadata: snake_case field names + declared types (K3)
+        meta = json.load(open(os.path.join(str(tmp_path), "_dataset.json")))
+        by_field = {c["fieldName"]: c for c in meta["columns"]}
+        assert by_field["filing_id"]["dataTypeName"] == "number"
+        assert by_field["is_amendment"]["dataTypeName"] == "checkbox"
+        assert meta["category"] == info.category and list(info.tags)
+
+        # create -> write -> audit: the replace write keeps the DDL metadata
+        from form700_etl_spark.plans.form700 import run_form700_pipeline, synthesize_filings
+
+        cover = run_form700_pipeline(synthesize_filings(spark, sf_dir))["cover"]
+        report = ChunkedSink(
+            client, ChunkedSinkConfig(chunk_size=500, throttle_s=0.0)
+        ).write(cover, dataset="cover")
+        assert report.success
+        assert os.path.exists(os.path.join(str(tmp_path), "_dataset.json"))
+
+    def test_existing_four_by_four_skips_ddl(self, tmp_path):
+        from dataclasses import replace
+
+        from form700_etl_spark.schema_registry import load_schema, load_table_registry
+        from form700_etl_spark.sinks.chunked import create_dataset_if_absent
+
+        info = replace(load_table_registry()["cover"], four_by_four="abcd-1234")
+        client = LocalDirClient(str(tmp_path))
+        assert create_dataset_if_absent(client, info, load_schema("cover")) == "abcd-1234"
+        assert not os.path.exists(os.path.join(str(tmp_path), "_dataset.json"))
+
+
+class TestJobReport:
+    """K8 job-log CSV + K10 status assembly (Form700.py:611-655)."""
+
+    def test_mixed_success_failure_report(self, spark, sf_dir, tmp_path):
+        import csv
+
+        from form700_etl_spark.sinks.chunked import SinkReport, write_job_report
+
+        ok = SinkReport(dataset="cover", total_records=10, rows_inserted=10)
+        bad = SinkReport(dataset="scheduleA1", total_records=10, rows_inserted=7)
+        out = str(tmp_path / "job_log.csv")
+        message = write_job_report([ok, bad], out, job_name="form700-test")
+
+        rows = list(csv.DictReader(open(out)))
+        assert [r["dataset"] for r in rows] == ["cover", "scheduleA1"]
+        assert rows[0]["status"] == "SUCCESS" and rows[1]["status"] == "FAILURE"
+        assert rows[1]["rowsInserted"] == "7"
+        # K10: overall verdict is FAILURE if any dataset failed
+        assert message.splitlines()[0] == "form700-test: FAILURE"
+        assert "scheduleA1: FAILURE (7/10 rows)" in message
+
+    def test_end_to_end_with_injected_failure(self, spark, sf_dir, tmp_path):
+        """Real writes: one clean dataset, one through a client whose
+        injected failures exhaust the retry budget -> FAILURE row."""
+        from form700_etl_spark.sinks.chunked import write_job_report
+
+        region = table(spark, sf_dir, "region")
+        reports = []
+        ok_client = LocalDirClient(str(tmp_path / "ok"))
+        reports.append(
+            ChunkedSink(ok_client, ChunkedSinkConfig(throttle_s=0.0)).write(region, "region")
+        )
+        bad_client = LocalDirClient(str(tmp_path / "bad"), fail_times=5)
+        try:
+            report = ChunkedSink(
+                bad_client,
+                ChunkedSinkConfig(tries=2, delay_s=0.01, throttle_s=0.0),
+            ).write(region, "region_flaky")
+        except Exception:
+            from form700_etl_spark.sinks.chunked import SinkReport
+
+            report = SinkReport(dataset="region_flaky", total_records=region.count(), rows_inserted=0)
+        reports.append(report)
+        message = write_job_report(reports, str(tmp_path / "log.csv"))
+        assert message.splitlines()[0].endswith("FAILURE")
+        assert "region: SUCCESS" in message
+
+
+class TestYamlConfig:
+    """S8/O4: the reference's fieldConfig.yaml shape boots the engine."""
+
+    YAML = """\
+schema_dir: {schema_dir}
+form700_username: user
+form700_password: pass
+authUrl: http://example.invalid/auth
+url_cover: http://example.invalid/cover
+agency_prefix: SFO
+url_schedule: http://example.invalid/schedule
+job_name: Form 700 ETL
+log_dir: {log_dir}
+"""
+
+    def test_load_and_run_dual_from_yaml(self, spark, sf_dir, tmp_path):
+        from form700_etl_spark.config import load_job_config
+        from form700_etl_spark.plans.form700 import run_form700_pipeline, synthesize_filings
+        from form700_etl_spark.schema_registry import RESOURCE_DIR, load_table_registry
+
+        path = tmp_path / "fieldConfig.yaml"
+        path.write_text(self.YAML.format(schema_dir=RESOURCE_DIR, log_dir=tmp_path))
+        cfg = load_job_config(str(path))
+
+        assert cfg.job_name == "Form 700 ETL"
+        assert cfg.cover_source.url.endswith("/cover")
+        assert cfg.schedule_source.url.endswith("/schedule")
+        assert cfg.cover_source.username == "user"
+        # O2 parameterization from config: redaction is a source-side flag
+        assert cfg.source("cover", is_redacted=True).is_redacted
+        assert not cfg.source("cover").is_redacted
+
+        # the configured schema_dir drives the registry + dual pipeline
+        registry = load_table_registry(resource_dir=cfg.schema_dir)
+        assert len(registry) == 16
+        filings = synthesize_filings(spark, sf_dir)
+        out = {}
+        for redacted in (False, True):
+            src = filings if not redacted else filings.withColumn(
+                "filerName", F.lit("[REDACTED]")
+            )
+            out.update(
+                run_form700_pipeline(
+                    src, registry=registry, suffix="_redacted" if redacted else ""
+                )
+            )
+        assert len(out) == 16
+        assert out["scheduleB"].count() > 0
 
 
 class TestParquetSink:
