@@ -42,6 +42,14 @@ HEADLINE = [
     "quality_filter_pipeline",
     "contamination_ngram_overlap",
     "sketch_hll_rollup",
+    "dedup_clusters_connected",
+    "ann_ivf_topk",
+    # single-dataset end-to-end ETL (synthesize -> explode -> broadcast
+    # join -> registry routing -> clean): the engine-work slice of the
+    # pipeline.  The 16-dataset dual audit stays a CORRECTNESS query —
+    # at bench SF its time is dominated by synthetic-source generation,
+    # which would measure the fixture, not the engine.
+    "ref_pipeline_scheduleA2",
 ]
 
 
