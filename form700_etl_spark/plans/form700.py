@@ -282,27 +282,41 @@ def run_form700_pipeline(
     filings: DataFrame,
     registry: dict[str, TableInfo] | None = None,
     suffix: str = "",
+    datasets: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
     """EP1: nested filings → the full dict of flat clean tables (cover +
     7 schedules), each an independent lazy plan over the same source.
 
     Per schedule: S5 per-key extraction (``explode_outer`` of the
     filing-level array — read once, 8 projections, vs the reference's
-    re-traversal per schedule), N1 dotted flatten, J1 broadcast filer
-    join, then the registry-driven clean pass."""
+    re-traversal per schedule), N1 dotted flatten, then the
+    registry-driven clean pass.
+
+    J1 note: the reference left-joins filer columns back onto every
+    schedule row (Form700.py:346-352) because its schedule tables were
+    parsed separately from cover.  Here the schedule rows are exploded
+    FROM the enriched filing row, so the filer columns ride through the
+    explode for free — same relation, zero joins, zero shuffles.  That
+    matters at scale: a join would either broadcast the filer table
+    (unbounded — at 100 TB cover is not broadcast-small) or shuffle
+    every schedule row.  The standalone J1 operator is still
+    demonstrated by ``ref_enrichment_join``.
+
+    ``datasets`` limits the build to the named base tables: each
+    table's plan costs a driver-side analysis pass over the (large)
+    nested source tree, so single-table callers shouldn't pay for the
+    other seven."""
     registry = registry or load_table_registry()
-    filer_info = filings.select(*FILER_COLS)
     out: dict[str, DataFrame] = {}
-    for base in ("cover",) + SCHEDULE_NAMES:
+    for base in datasets or ("cover",) + SCHEDULE_NAMES:
         info = registry[base + suffix]
         if base == "cover":
             df = filings.drop(*SCHEDULE_NAMES)
         else:
             rows = filings.select(
-                "filingId", F.explode_outer(base).alias("__row")
+                *FILER_COLS, F.explode_outer(base).alias("__row")
             )
-            flat = flatten_dotted(rows, "__row")
-            df = flat.join(F.broadcast(filer_info), "filingId", "left")
+            df = flatten_dotted(rows, "__row")
         # C9: snake_case on the way to the sink (Form700.py:464-468) —
         # this is also where dotted loan.* names lose their dots
         out[info.df_name] = snake_case_columns(clean_dataset(df, info))

@@ -438,7 +438,7 @@ def ref_pipeline_cover(spark, sf_dir):
     from ..plans.form700 import run_form700_pipeline, synthesize_filings
 
     filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings)["cover"]
+    return run_form700_pipeline(filings, datasets=("cover",))["cover"]
 
 
 @register(
@@ -469,7 +469,7 @@ def ref_pipeline_end_to_end(spark, sf_dir):
     from ..plans.form700 import run_form700_pipeline, synthesize_filings
 
     filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings)["scheduleA1"]
+    return run_form700_pipeline(filings, datasets=("scheduleA1",))["scheduleA1"]
 
 
 @register(
@@ -515,7 +515,7 @@ def ref_pipeline_scheduleA2(spark, sf_dir):
     from ..plans.form700 import run_form700_pipeline, synthesize_filings
 
     filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings)["scheduleA2"]
+    return run_form700_pipeline(filings, datasets=("scheduleA2",))["scheduleA2"]
 
 
 @register(
@@ -554,7 +554,7 @@ def ref_pipeline_scheduleB(spark, sf_dir):
     from ..plans.form700 import run_form700_pipeline, synthesize_filings
 
     filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings)["scheduleB"]
+    return run_form700_pipeline(filings, datasets=("scheduleB",))["scheduleB"]
 
 
 @register(
@@ -585,7 +585,7 @@ def ref_pipeline_scheduleD(spark, sf_dir):
     from ..plans.form700 import run_form700_pipeline, synthesize_filings
 
     filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings)["scheduleD"]
+    return run_form700_pipeline(filings, datasets=("scheduleD",))["scheduleD"]
 
 
 @register(
@@ -609,7 +609,7 @@ def ref_pipeline_comments(spark, sf_dir):
     from ..plans.form700 import run_form700_pipeline, synthesize_filings
 
     filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings)["comments"]
+    return run_form700_pipeline(filings, datasets=("comments",))["comments"]
 
 
 @register(
