@@ -204,6 +204,68 @@ def sketch_hll_rollup(spark, sf_dir):
     return rollup_sketches(daily, ["event_type"]).orderBy("event_type")
 
 
+_CMS_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5({k}), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({k}), 2, 1)) - 1)"
+)
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    hashed AS (
+        SELECT e.user_id, ds.d,
+               {_CMS_BUCKET_SQL.format(k="ds.d || '|' || e.user_id")} AS bucket
+        FROM events e CROSS JOIN ds
+    ),
+    sketch AS (SELECT d, bucket, COUNT(*) AS c FROM hashed GROUP BY d, bucket),
+    users AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT u.user_id, ds.d,
+               {_CMS_BUCKET_SQL.format(k="ds.d || '|' || u.user_id")} AS bucket
+        FROM users u CROSS JOIN ds
+    ),
+    est AS (
+        SELECT p.user_id, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cm_estimate
+        FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+        GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT est.user_id, est.cm_estimate, exact.exact_count
+    FROM est JOIN exact ON est.user_id = exact.user_id
+    ORDER BY est.cm_estimate DESC, est.user_id
+    LIMIT 10
+    """,
+    tags=("approx", "sketch", "scale"),
+    doc=(
+        "Count-min sketch (Cormode/Muthukrishnan 2005): a 4x256 md5-hashed "
+        "counter grid built in ONE hash agg, then per-user frequency "
+        "estimates (min over the 4 counters) for the top-10 heavy hitters, "
+        "with exact counts alongside to expose the over-estimate property.  "
+        "The grid is mergeable (element-wise sum — operators/countmin.py), "
+        "so shard sketches roll up without re-reading raw data.  md5 "
+        "bucketing is engine-reproducible: the oracle rebuilds the identical "
+        "grid.  Probing every distinct key is test-SF convenience; at scale "
+        "you keep a per-shard candidate list and probe only that."
+    ),
+)
+def sketch_countmin_heavy_hitters(spark, sf_dir):
+    from ..operators.countmin import countmin_build, countmin_estimate
+
+    e = table(spark, sf_dir, "events")
+    sketch = countmin_build(e, "user_id", depth=4)
+    users = e.select("user_id").distinct()
+    est = countmin_estimate(sketch, users, "user_id", depth=4)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.withColumnRenamed("key", "user_id")
+        .join(exact, "user_id")
+        .orderBy(F.desc("cm_estimate"), "user_id")
+        .limit(10)
+    )
+
+
 @register(
     "pandas_udaf_weighted_avg",
     oracle=f"""

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.money import cents, cents_sql
+from ..functions.money import cents, cents_sql, money, money_sql
 from ..io import table
 from ..registry import register
 
@@ -99,6 +99,68 @@ def timeseries_locf_gapfill(spark, sf_dir):
             ).alias("purchase_value_locf"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               CAST(SUM({cents_sql("value")}) AS BIGINT) AS c, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT date_trunc('day', bucket) AS bucket, event_type,
+               CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(n) AS BIGINT) AS n
+        FROM hourly GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT date_trunc('month', bucket) AS bucket, event_type,
+               CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(n) AS BIGINT) AS n
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+           {money_sql("c")} AS value_sum, n AS n_events
+    FROM (
+        SELECT 'hour' AS grain, * FROM hourly
+        UNION ALL SELECT 'day', * FROM daily
+        UNION ALL SELECT 'month', * FROM monthly
+    )
+    """,
+    tags=("time", "rollup", "scale"),
+    doc=(
+        "Hypertable-style continuous aggregate: hour/day/month rollups where "
+        "each grain re-aggregates the PREVIOUS grain's partials — raw events "
+        "are read exactly once (the hour agg), day costs |hours| rows, month "
+        "costs |days|.  Contrast GROUPING SETS, which expands every raw row "
+        "per grain (3x the shuffle traffic).  Exact integer-cents sums make "
+        "the rollup bit-identical to recomputing from raw at any grain."
+    ),
+)
+def events_hypertable_rollup(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.sum(cents("value")).alias("c"), F.count(F.lit(1)).alias("n"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("c").alias("c"), F.sum("n").alias("n"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("c").alias("c"), F.sum("n").alias("n"))
+
+    def fmt(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            money(F.col("c")).alias("value_sum"),
+            F.col("n").alias("n_events"),
+        )
+
+    return fmt(hourly, "hour").unionByName(fmt(daily, "day")).unionByName(
+        fmt(monthly, "month")
     )
 
 

@@ -295,3 +295,37 @@ def test_udtf_chunker_matches_builtin_plan(spark, sf_dir):
     }
     builtin = {tuple(r) for r in doc_chunk_windows(spark, sf_dir).collect()}
     assert via_udtf == builtin and len(builtin) > 0
+
+
+def test_countmin_mergeability_and_bounds(spark, sf_dir):
+    """Count-min laws: (1) merging per-shard grids == building one grid
+    over the whole input; (2) every estimate >= the true count (the
+    sketch never under-counts)."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.operators.countmin import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    e = table(spark, sf_dir, "events")
+    whole = countmin_build(e, "user_id")
+    # shard by event_type, sketch each shard, merge the grids
+    shard_sketches = (
+        countmin_build(e.filter(F.col("event_type") == t), "user_id")
+        for t in [r.event_type for r in e.select("event_type").distinct().collect()]
+    )
+    from functools import reduce
+
+    merged = countmin_merge(reduce(lambda a, b: a.unionByName(b), shard_sketches))
+    lhs = {(r.d, r.bucket): r.c for r in whole.collect()}
+    rhs = {(r.d, r.bucket): r.c for r in merged.collect()}
+    assert lhs == rhs and len(lhs) > 0
+    # no under-estimates
+    users = e.select("user_id").distinct()
+    est = countmin_estimate(whole, users, "user_id").withColumnRenamed("key", "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bad = est.join(exact, "user_id").filter(F.col("cm_estimate") < F.col("n")).count()
+    assert bad == 0
