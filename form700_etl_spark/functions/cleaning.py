@@ -93,6 +93,21 @@ def snake_case_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*(snake_case(c) for c in df.columns))
 
 
+def titleize(name: str) -> str:
+    """C10 display-name titleize (Form700.py:201): the reference's
+    schema bootstrap runs ``inflection.titleize`` over each inferred
+    fieldName to propose a human column name.  Reimplemented from the
+    published inflection algorithm (underscore -> humanize -> capitalize
+    words).  Faithful quirk: humanize strips a trailing ``_id``, so
+    ``filingId`` -> ``Filing`` — the reference's curated CSVs show a
+    human later fixed those to e.g. ``Filing Id``; the CSV ``name``
+    column stays authoritative for the sink DDL."""
+    word = snake_case(name)  # inflection.underscore equivalent for our inputs
+    word = re.sub(r"_id$", "", word).replace("_", " ")
+    word = re.sub(r"^\w", lambda m: m.group(0).upper(), word)
+    return re.sub(r"\b('?[a-z])", lambda m: m.group(1).capitalize(), word)
+
+
 def schema_projection(df: DataFrame, fieldnames: list[str]) -> DataFrame:
     """Reference P1 (Form700.py:253): select exactly the declared schema
     columns, in schema order; extras dropped, missing columns raise."""

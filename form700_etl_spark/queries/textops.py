@@ -53,6 +53,43 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_PAT}')), 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+    doc=(
+        "BPE-style pre-tokenization count: letter runs, single digits, and "
+        "single punctuation marks (the GPT-2 pre-tokenizer shape) via one "
+        "regexp_extract_all — a cluster-cheap proxy for tokenizer budget "
+        "accounting.  chars_per_token is the usual compression-health "
+        "signal (~4 for clean English; lower flags noisy docs).  The "
+        "pattern sticks to the regex subset Java and RE2 evaluate "
+        "identically, so the oracle runs it verbatim."
+    ),
+)
+def text_token_count_bpe(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    n_bpe = F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_words"),
+        F.round(F.length("text").cast("double") / n_bpe, 4).alias("chars_per_token"),
+    )
+
+
 @register(
     "text_quality_score",
     oracle=f"""

@@ -123,3 +123,22 @@ def available_datasets(resource_dir: str = RESOURCE_DIR) -> list[str]:
         if f.startswith("form700_") and f.endswith("_schema.csv"):
             out.append(f[len("form700_"):-len("_schema.csv")])
     return out
+
+
+def bootstrap_schema_csv(columns: list[str], path: str) -> bool:
+    """S7/K7 schema bootstrap (``prepareDataSetSchema``,
+    Form700.py:194-221): propose a schema CSV from an inferred column
+    list — ``dataTypeName`` left empty for a human to curate, display
+    ``name`` proposed via C10 titleize — and write it ONLY if the file
+    does not already exist (the reference's guard at :211-221 keeps
+    curated schemas fixed forever).  Returns True if a file was written."""
+    from .functions.cleaning import titleize
+
+    if os.path.exists(path):
+        return False
+    with open(path, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=["dataTypeName", "fieldName", "name"])
+        w.writeheader()
+        for c in columns:
+            w.writerow({"dataTypeName": "", "fieldName": c, "name": titleize(c)})
+    return True

@@ -329,3 +329,27 @@ def test_countmin_mergeability_and_bounds(spark, sf_dir):
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     bad = est.join(exact, "user_id").filter(F.col("cm_estimate") < F.col("n")).count()
     assert bad == 0
+
+
+def test_titleize_and_schema_bootstrap(tmp_path):
+    """C10 titleize (inflection algorithm, Form700.py:201) and the K7
+    write-if-absent schema bootstrap (Form700.py:211-221)."""
+    import csv
+
+    from form700_etl_spark.functions.cleaning import titleize
+    from form700_etl_spark.schema_registry import bootstrap_schema_csv
+
+    assert titleize("departmentName") == "Department Name"
+    assert titleize("realPropertyFairMarketValue") == "Real Property Fair Market Value"
+    assert titleize("offices") == "Offices"
+    # faithful inflection quirk: humanize strips a trailing _id
+    assert titleize("filingId") == "Filing"
+
+    path = str(tmp_path / "form700_demo_schema.csv")
+    assert bootstrap_schema_csv(["filingId", "departmentName"], path) is True
+    # second call must NOT overwrite (curated schemas are fixed forever)
+    assert bootstrap_schema_csv(["other"], path) is False
+    rows = list(csv.DictReader(open(path)))
+    assert [r["fieldName"] for r in rows] == ["filingId", "departmentName"]
+    assert rows[1]["name"] == "Department Name"
+    assert all(r["dataTypeName"] == "" for r in rows)  # human fills types
