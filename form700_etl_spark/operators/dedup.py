@@ -1,8 +1,9 @@
 """Deduplication operator library (build plan M5).
 
 Reusable DataFrame->DataFrame builders; the oracle-checked queries in
-``queries/dedup.py`` are thin wrappers over these.  All hashing is md5
-(hex) so results are reproducible across engines and runs.
+``queries/dedup.py`` are thin wrappers over these.  All base hashing is
+md5 (minhash permutations are affine maps over one md5-derived 32-bit
+int) so results are reproducible across engines and runs.
 
 Scale design (100 TB):
 - ``shingle``: one narrow shuffle (distinct on (doc, shingle)).
@@ -78,12 +79,36 @@ def shingle(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     return out
 
 
+# Universal-hash minhash family (Broder 1997; Carter/Wegman universal
+# hashing): ONE md5 per shingle yields a 32-bit integer x, and the K
+# "permutations" are affine maps h_k(x) = (A_k*x + B_k) mod P computed
+# with plain int64 arithmetic.  K md5-per-shingle (the naive encoding)
+# is the kernel cost of minhash at 100 TB; this is ~K times cheaper
+# and exactly mirrored by the DuckDB oracle (A_k < 2^31 and x < 2^32
+# keep every product below 2^63 — no overflow in either engine).
+# Known tradeoff of deriving all K from one base hash (Spark's builtin
+# MinHashLSH does the same): the h_k are correlated, so slightly more
+# false band collisions reach the exact-Jaccard verify, which filters
+# them — candidate count rises a little, correctness is unaffected.
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+
+
+def minhash_params(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (A_k, B_k) affine coefficients, shared with the
+    oracle SQL generator."""
+    return [(2_000_006 * (k + 1) + 1, 777_767 * (k + 1)) for k in range(n_hashes)]
+
+
 def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """K min-hashes per doc (columns h0..h{K-1}) in one aggregation pass."""
-    return shingles.groupBy("doc_id").agg(
+    """K min-hashes per doc (columns h0..h{K-1}) in one aggregation
+    pass.  The base hash x is projected BEFORE the aggregate so the md5
+    runs once per shingle row regardless of K."""
+    x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    hashed = shingles.select("doc_id", x.alias("x"))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
-            for k in range(n_hashes)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{k}")
+            for k, (a, b) in enumerate(minhash_params(n_hashes))
         ]
     )
 

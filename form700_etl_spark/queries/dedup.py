@@ -179,8 +179,11 @@ _BAND_ROWS = 3  # -> 4 bands
 
 
 def _minhash_sql() -> str:
+    from ..operators.dedup import MINHASH_P, minhash_params
+
     mins = ",\n               ".join(
-        f"MIN(md5(concat('{k}|', shingle))) AS h{k}" for k in range(_N_HASHES)
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{k}"
+        for k, (a, b) in enumerate(minhash_params(_N_HASHES))
     )
     bands = []
     for b in range(_N_HASHES // _BAND_ROWS):
@@ -190,7 +193,10 @@ def _minhash_sql() -> str:
     sigs AS (
         SELECT doc_id,
                {mins}
-        FROM shingles GROUP BY doc_id
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+              FROM shingles)
+        GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, unnest([{", ".join(bands)}]) AS bk
