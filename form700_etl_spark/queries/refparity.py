@@ -441,9 +441,10 @@ def ref_pipeline_cover(spark, sf_dir):
     return run_form700_pipeline(filings, datasets=("cover",))["cover"]
 
 
-@register(
-    "ref_pipeline_end_to_end",
-    oracle=f"""
+# The scheduleA1 full-recompute flat SQL — shared by the end-to-end
+# pipeline check and the incremental-pipeline check (whose law is
+# "incremental merge == full recompute").
+_A1_PIPELINE_SQL = f"""
     SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
            COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
            {_numcast_sql(
@@ -456,7 +457,12 @@ def ref_pipeline_cover(spark, sf_dir):
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    """,
+"""
+
+
+@register(
+    "ref_pipeline_end_to_end",
+    oracle=_A1_PIPELINE_SQL,
     tags=("refparity", "pipeline"),
     doc=(
         "EP1 end to end (scheduleA1): nested filings -> S5 per-key explode "
@@ -610,6 +616,59 @@ def ref_pipeline_comments(spark, sf_dir):
 
     filings = synthesize_filings(spark, sf_dir)
     return run_form700_pipeline(filings, datasets=("comments",))["comments"]
+
+
+@register(
+    "ref_pipeline_incremental",
+    oracle=_A1_PIPELINE_SQL,
+    tags=("refparity", "pipeline", "incremental"),
+    doc=(
+        "Incremental pipeline run: a simulated prior snapshot (one in "
+        "seven filings not yet extracted; one in five carrying a stale, "
+        "since-amended positionName) is brought up to date by detecting "
+        "changed/new filings via a row-version hash, running the clean "
+        "pipeline over ONLY those filings, and merging (anti-join out the "
+        "stale rows, union the fresh ones).  The oracle is the FULL "
+        "recompute SQL — the check is the incremental-consistency law "
+        "incremental(prev, current) == full(current), cross-engine.  At "
+        "100 TB this is the difference between re-cleaning every filing "
+        "on every run (the reference full-replaces, Form700.py:481-482) "
+        "and touching only the delta."
+    ),
+)
+def ref_pipeline_incremental(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    fid = F.col("filingId")
+    # prior snapshot: 1/7 of filings missing (new since last run), 1/5
+    # stale (amended since last run — positionName changed upstream)
+    prev_src = filings.filter(fid % 7 != 0).withColumn(
+        "positionName",
+        F.when(fid % 5 == 0, F.lit("Pos-STALE")).otherwise(F.col("positionName")),
+    )
+    prev_out = run_form700_pipeline(prev_src, datasets=("scheduleA1",))["scheduleA1"]
+    # change detection: version-hash the mutable filer scalars (at scale,
+    # hash the full payload); new or hash-mismatched filings re-process
+    ver = F.md5(
+        F.concat_ws(
+            "|", "filerName", "departmentName", "positionName", "filingDate"
+        )
+    )
+    cur_ver = filings.select(fid.alias("filingId"), ver.alias("v"))
+    prev_ver = prev_src.select(fid.alias("filingId"), ver.alias("pv"))
+    changed = (
+        cur_ver.join(prev_ver, "filingId", "left")
+        .filter(F.col("pv").isNull() | (F.col("pv") != F.col("v")))
+        .select("filingId")
+    )
+    fresh_src = filings.join(changed, "filingId", "left_semi")
+    fresh = run_form700_pipeline(fresh_src, datasets=("scheduleA1",))["scheduleA1"]
+    # merge: retire every row of a changed filing, append its fresh rows
+    changed_out_keys = changed.select(fid.cast("double").alias("filing_id"))
+    return prev_out.join(changed_out_keys, "filing_id", "left_anti").unionByName(
+        fresh
+    )
 
 
 @register(
