@@ -36,6 +36,28 @@ def flaky_fetch_page(config: RestSourceConfig, page: int) -> dict:
         return fake_fetch_page(config, page)
 
 
+def growing_fetch_page(config: RestSourceConfig, page: int) -> dict:
+    """A feed that grows while being tailed: every page-1 probe reveals
+    one more page (up to ``N_PAGES``).  The counter lives in the
+    directory named by the path part of ``config.url``
+    (``fake-growing:///tmp/...``), so driver probes and executor reads
+    share it.  Exercises the streaming source's admission cap on feed
+    growth."""
+    import os
+
+    counter_dir = config.url.split("://", 1)[1]
+    if page == 1:
+        # each probe of the head reveals one more page
+        n = len(os.listdir(counter_dir)) + 1
+        if n <= N_PAGES:
+            with open(os.path.join(counter_dir, f"probe-{n}"), "w"):
+                pass
+    total = min(N_PAGES, max(1, len(os.listdir(counter_dir))))
+    body = fake_fetch_page(config, page)
+    body["totalMatchingPages"] = total
+    return body
+
+
 def fake_fetch_page(config: RestSourceConfig, page: int) -> dict:
     assert 1 <= page <= N_PAGES, f"page {page} out of range"
     base = (page - 1) * PAGE_SIZE

@@ -98,9 +98,11 @@ class PaginatedRestStreamReader(DataSourceStreamReader):
 
     - ``latestOffset`` probes page 1 on the driver for the current
       ``totalMatchingPages`` (the same dynamic-cardinality discovery the
-      batch planner does) and advances at most ``max_pages_per_batch``
-      pages per micro-batch — admission control, so a backlogged feed
-      cannot produce an unboundedly large batch;
+      batch planner does); feed GROWTH is admitted at most
+      ``max_pages_per_batch`` pages per micro-batch, while the first
+      batch of a run covers the backlog in one go (the Python stream
+      API has no admission-control hook that sees the start offset, so
+      a run-local throttle below the committed page would rewind);
     - ``partitions(start, end)`` emits one InputPartition per page in
       ``(start, end]`` — page fetches parallelize across executors and
       retry per-task, exactly like the batch reader;
@@ -128,7 +130,20 @@ class PaginatedRestStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         fetch = _load_transport(self.transport_spec)
         total = int(fetch(self.config, 1).get("totalMatchingPages", 1))
-        self._last = max(self._last, min(total, self._last + self.max_pages_per_batch))
+        if self._last == 0:
+            # first report of this run: the true feed head.  The throttle
+            # counter is reader-local, so after a restart reporting
+            # anything below the checkpoint's committed page would REWIND
+            # the offset and replay pages (the Python API has no
+            # admission-control hook that sees the start offset).  The
+            # checkpoint bounds the catch-up batch to (committed, head].
+            self._last = total
+        else:
+            # steady state: advance toward the head at most
+            # max_pages_per_batch pages per micro-batch.
+            self._last = max(
+                self._last, min(total, self._last + self.max_pages_per_batch)
+            )
         return {"page": self._last}
 
     def partitions(self, start: dict, end: dict):

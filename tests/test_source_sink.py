@@ -92,32 +92,43 @@ class TestPaginatedRestStreamSource:
     as offset, per-page partitions, checkpointed incremental extraction
     (contrast the reference's re-extract-everything runs)."""
 
-    def _stream_df(self, spark, max_pages_per_batch=2):
+    def _stream_df(
+        self, spark, max_pages_per_batch=2, transport="fake_fetch_page", url="fake://filings"
+    ):
         from form700_etl_spark.sources.rest_datasource import register_rest_datasource
 
         register_rest_datasource(spark)
         return (
             spark.readStream.format("paginated_rest")
             .schema(FILING_SCHEMA)
-            .option("transport", "form700_etl_spark.sources.fake:fake_fetch_page")
-            .option("url", "fake://filings")
+            .option("transport", f"form700_etl_spark.sources.fake:{transport}")
+            .option("url", url)
             .option("key_to_pluck", "filings")
             .option("max_pages_per_batch", str(max_pages_per_batch))
             .load()
         )
 
-    def test_stream_reads_all_pages_across_microbatches(self, spark):
+    def test_growing_feed_tailed_under_admission_cap(self, spark):
         import tempfile
         import uuid
 
-        df = self._stream_df(spark, max_pages_per_batch=2)
-        name = f"rest_stream_{uuid.uuid4().hex[:8]}"
-        with tempfile.TemporaryDirectory() as ckpt:
+        with tempfile.TemporaryDirectory() as tmp:
+            grow_dir = f"{tmp}/feed"
+            import os
+
+            os.makedirs(grow_dir)
+            df = self._stream_df(
+                spark,
+                max_pages_per_batch=1,
+                transport="growing_fetch_page",
+                url=f"fake-growing://{grow_dir}",
+            )
+            name = f"rest_stream_{uuid.uuid4().hex[:8]}"
             q = (
                 df.writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
-                .option("checkpointLocation", ckpt)
+                .option("checkpointLocation", f"{tmp}/ckpt")
                 .start()
             )
             try:
@@ -126,10 +137,10 @@ class TestPaginatedRestStreamSource:
             finally:
                 q.stop()
             rows = spark.table(name).collect()
-        # every filing exactly once, and the 2-page admission cap forced
-        # multiple micro-batches over the 5-page feed
+        # the feed grew page by page under a 1-page admission cap, so
+        # every filing arrives exactly once across many micro-batches
         assert sorted(r.filingId for r in rows) == list(range(N_PAGES * PAGE_SIZE))
-        assert len(batches) >= 2
+        assert len(batches) >= 3
 
     def test_restart_resumes_after_committed_page(self, spark):
         import tempfile
@@ -161,6 +172,71 @@ class TestPaginatedRestStreamSource:
             # reference would re-pull all five pages here)
             run_once()
             assert spark.read.parquet(out).count() == N_PAGES * PAGE_SIZE
+
+
+class TestChunkedStreamSink:
+    """chunked_dir as a streaming sink: per-batch manifest commit =
+    exactly-once observable output under replay."""
+
+    def test_rest_stream_to_chunked_sink_end_to_end(self, spark):
+        import tempfile
+
+        from form700_etl_spark.sinks.chunked_datasource import (
+            committed_manifests,
+            read_committed,
+            register_chunked_datasource,
+        )
+        from form700_etl_spark.sources.rest_datasource import register_rest_datasource
+
+        register_rest_datasource(spark)
+        register_chunked_datasource(spark)
+        with tempfile.TemporaryDirectory() as tmp:
+            import os
+
+            ckpt, out, grow_dir = f"{tmp}/ckpt", f"{tmp}/out", f"{tmp}/feed"
+            os.makedirs(grow_dir)
+
+            def run_once():
+                # the full streaming ETL: a growing paginated feed tailed
+                # incrementally -> chunked load with manifest commits
+                q = (
+                    spark.readStream.format("paginated_rest")
+                    .schema(FILING_SCHEMA)
+                    .option(
+                        "transport", "form700_etl_spark.sources.fake:growing_fetch_page"
+                    )
+                    .option("url", f"fake-growing://{grow_dir}")
+                    .option("key_to_pluck", "filings")
+                    .option("max_pages_per_batch", "2")
+                    .load()
+                    .writeStream.format("chunked_dir")
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .option("path", out)
+                    .option("chunk_size", "5")
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+
+            run_once()
+            manifests = committed_manifests(out)
+            rows = read_committed(out)
+            # 5 pages under a 2-page cap -> >= 2 committed batches; audit
+            # totals reconcile (A2/A3) and every filing arrives once
+            assert len(manifests) >= 2
+            assert sum(m["rows_inserted"] for m in manifests) == N_PAGES * PAGE_SIZE
+            assert sorted(r["filingId"] for r in rows) == list(
+                range(N_PAGES * PAGE_SIZE)
+            )
+
+            # restart on the same checkpoint: no new pages -> no new
+            # manifests, and the committed view is unchanged
+            run_once()
+            assert len(committed_manifests(out)) == len(manifests)
+            assert len(read_committed(out)) == N_PAGES * PAGE_SIZE
 
 
 class TestChunkedSink:
