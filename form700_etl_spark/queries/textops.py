@@ -328,6 +328,211 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "text_gopher_quality",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+                 AS word_chars,
+               len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS n_alpha,
+               len(words) - len(list_distinct(words)) AS n_dup,
+               (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+                 AS n_symbols
+        FROM w
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i + 1])) AS gram
+        FROM w
+    ),
+    cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        FROM cnt
+    )
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           round(CAST(b.word_chars AS DOUBLE) / b.n_words, 6) AS mean_word_len,
+           round(CAST(b.n_alpha AS DOUBLE) / b.n_words, 6) AS frac_alpha_words,
+           round(CAST(b.n_symbols AS DOUBLE) / b.n_words, 6) AS symbol_word_ratio,
+           round(CAST(b.n_dup AS DOUBLE) / b.n_words, 6) AS dup_word_frac,
+           round(COALESCE(CAST(t.c * length(replace(t.gram, ' ', '')) AS DOUBLE)
+                          / NULLIF(b.word_chars, 0), 0.0), 6) AS top_bigram_char_frac,
+           (b.n_words >= 50 AND b.n_words <= 100000
+            AND CAST(b.word_chars AS DOUBLE) / b.n_words >= 3
+            AND CAST(b.word_chars AS DOUBLE) / b.n_words <= 10
+            AND CAST(b.n_alpha AS DOUBLE) / b.n_words > 0.8
+            AND CAST(b.n_symbols AS DOUBLE) / b.n_words < 0.1
+            AND COALESCE(CAST(t.c * length(replace(t.gram, ' ', '')) AS DOUBLE)
+                         / NULLIF(b.word_chars, 0), 0.0) < 0.2) AS gopher_pass
+    FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+    """,
+    tags=("text", "quality"),
+    doc=(
+        "Gopher-rule document quality (Rae et al. 2021, Appendix A — "
+        "public paper): word count bounds, mean word length 3-10, "
+        ">80% words alphabetic, symbol-to-word ratio (#/...) < 0.1, and "
+        "the repetition signals — duplicate-word fraction and the "
+        "fraction of characters claimed by the most frequent word "
+        "2-gram (count-based, ties broken lexicographically so both "
+        "engines pick the same gram).  Everything except the 2-gram "
+        "mode is per-row expression work; the mode costs one "
+        "(doc_id, gram) shuffle that scales linearly with corpus size."
+    ),
+)
+def text_gopher_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_dup = (n_words - F.size(F.array_distinct(words))).cast("long")
+    n_symbols = (
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+        + (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+    ).cast("long")
+
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha"),
+        n_dup.alias("n_dup"),
+        n_symbols.alias("n_symbols"),
+        words.alias("words"),
+    )
+    # word bigrams via index transform (zip_with would emit a spurious
+    # unigram for the final position: concat_ws skips its null side)
+    bigrams = F.transform(
+        F.slice(F.col("words"), F.lit(1), F.size(F.col("words")) - 1),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(F.col("words"), i + F.lit(2))),
+    )
+    cnt = (
+        base.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("gram"))
+    )
+    top = cnt.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+    joined = base.drop("words").join(top, "doc_id", "left")
+    mean_word_len = F.col("word_chars").cast("double") / F.col("n_words")
+    frac_alpha = F.col("n_alpha").cast("double") / F.col("n_words")
+    symbol_ratio = F.col("n_symbols").cast("double") / F.col("n_words")
+    top_frac = F.coalesce(
+        (F.col("c") * F.length(F.expr("replace(gram, ' ', '')"))).cast("double")
+        / F.nullif(F.col("word_chars"), F.lit(0)),
+        F.lit(0.0),
+    )
+    gopher_pass = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (frac_alpha > 0.8)
+        & (symbol_ratio < 0.1)
+        & (top_frac < 0.2)
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(top_frac, 6).alias("top_bigram_char_frac"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        -- fixture texts are synthetic word soup, so PII is injected
+        -- deterministically (same rule both engines) to give the
+        -- scrubber real hits: the operator under test is the scrub.
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' ssn 078-05-1120' ELSE '' END
+                 AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text, '{_PII_PHONE}', '[PHONE]', 'g'), '{_PII_SSN}'))
+             AS INT) AS n_ssns,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_SSN}', '[SSN]', 'g'),
+               '{_PII_EMAIL}', '[EMAIL]', 'g') AS scrubbed
+    FROM seeded
+    """,
+    tags=("text", "quality"),
+    doc=(
+        "PII redaction: regex scrub of emails/phones/SSNs to typed "
+        "placeholders with per-doc hit counts for the audit trail.  "
+        "Phone runs before SSN so the 3-2-4 pattern cannot fire inside "
+        "an already-matched 3-3-4 phone.  Pure regexp_replace chain — "
+        "JVM-side, streams over any corpus size with zero shuffle."
+    ),
+)
+def text_pii_scrub(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 078-05-1120")).otherwise(
+            F.lit("")
+        ),
+    )
+    t = d.select("doc_id", seeded.alias("text"))
+    no_phone = F.regexp_replace("text", _PII_PHONE, "[PHONE]")
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(no_phone, F.lit(_PII_SSN), F.lit(0))).alias("n_ssns"),
+        F.regexp_replace(
+            F.regexp_replace(no_phone, _PII_SSN, "[SSN]"), _PII_EMAIL, "[EMAIL]"
+        ).alias("scrubbed"),
+    )
+
+
+@register(
     "doc_corpus_stats",
     oracle="""
     SELECT lang, source,
