@@ -43,6 +43,51 @@ def events_json_extract(spark, sf_dir):
 
 
 @register(
+    "events_variant_props",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(props->>'$.k' AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50,
+           round(AVG(CAST(k AS DOUBLE)), 6) AS avg_k
+    FROM v
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg"),
+    doc=(
+        "Semi-structured props through Spark 4's VARIANT type: "
+        "try_parse_json builds the binary variant once, typed paths come "
+        "out via try_variant_get — the open-schema column pattern for "
+        "event payloads whose shape drifts.  Unlike get_json_object "
+        "(string re-parse per extraction), the variant parses each "
+        "payload ONCE and every downstream path access reads the binary "
+        "encoding; at 100 TB the parse amortizes across extractions and "
+        "the variant column stores/shuffles as compact binary.  Oracle "
+        "extracts the same paths with DuckDB JSON operators."
+    ),
+)
+def events_variant_props(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_k_over_50"),
+            F.round(F.avg(F.col("k").cast("double")), 6).alias("avg_k"),
+        )
+    )
+
+
+@register(
     "events_tumbling_hourly",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -51,6 +51,59 @@ def sample_hash_fraction(spark, sf_dir):
     return d.filter(_h2() < "40").select("doc_id", "lang", "source")
 
 
+_H4_UNIFORM = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))"
+    " / 65536.0"
+)
+
+
+@register(
+    "sample_to_target_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n AS rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_H4_UNIFORM} < r.rate
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+    doc=(
+        "Mixture rebalancing: down-sample every language to (about) the "
+        "smallest language's size so the corpus mix is uniform — the "
+        "domain-weighting step of training-data curation.  Per-group "
+        "rate = min_count/n_group; membership is md5(doc_id) mapped to "
+        "a uniform [0,1) value compared against the group's rate, so "
+        "the sample is deterministic across runs, retries, and engines "
+        "(both sides compute the identical IEEE division and compare). "
+        "Plan shape: one tiny group-count agg broadcast back onto the "
+        "scan — the corpus itself is filtered in place, never shuffled."
+    ),
+)
+def sample_to_target_mix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.crossJoin(counts.agg(F.min("n").alias("min_n"))).select(
+        "lang", (F.col("min_n").cast("double") / F.col("n")).alias("rate")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", "source")
+    )
+
+
 @register(
     "split_train_test",
     oracle=f"""

@@ -275,6 +275,12 @@ class ChunkedSink:
                     flush()
             flush()
 
+        # A1 audit total as its own action, deliberately NOT an
+        # accumulator/Observation on the write pass: accumulators
+        # double-count under task retry, and Observation metrics never
+        # fire on the RDD-backed foreachPartition action.  The V2 writer
+        # (sinks/chunked_datasource.py) is the single-pass design — its
+        # commit messages carry exact retry-safe per-task counts.
         total = df.count()
         df.foreachPartition(write_partition)
         return SinkReport(dataset=dataset, total_records=total, rows_inserted=inserted.value)

@@ -239,6 +239,77 @@ class TestChunkedStreamSink:
             assert len(read_committed(out)) == N_PAGES * PAGE_SIZE
 
 
+class TestStreamingPipelineEquivalence:
+    """The reference ETL run CONTINUOUSLY: REST stream source ->
+    clean/cast transform -> streaming chunked sink, checked equal to the
+    same transform run in batch over the same feed.  Streaming is not a
+    separate engine here — one transform definition serves both modes.
+    """
+
+    @staticmethod
+    def _transform(df):
+        from pyspark.sql import functions as F
+
+        from form700_etl_spark.functions.cleaning import number_cast, snake_case
+        from form700_etl_spark.functions.nested import stringify_structs
+
+        out = df.select(
+            "filingId",
+            "filerName",
+            number_cast("amount").alias("amount"),
+            stringify_structs("offices", ["office", "position"]).alias("offices"),
+        )
+        return out.toDF(*[snake_case(c) for c in out.columns])
+
+    def test_stream_equals_batch(self, spark):
+        import tempfile
+
+        from form700_etl_spark.sinks.chunked_datasource import (
+            read_committed,
+            register_chunked_datasource,
+        )
+        from form700_etl_spark.sources.rest import PaginatedRestSource, RestSourceConfig
+        from form700_etl_spark.sources.fake import fake_fetch_page
+        from form700_etl_spark.sources.rest_datasource import register_rest_datasource
+
+        register_rest_datasource(spark)
+        register_chunked_datasource(spark)
+        with tempfile.TemporaryDirectory() as tmp:
+            streamed = self._transform(
+                spark.readStream.format("paginated_rest")
+                .schema(FILING_SCHEMA)
+                .option("transport", "form700_etl_spark.sources.fake:fake_fetch_page")
+                .option("url", "fake://filings")
+                .option("key_to_pluck", "filings")
+                .load()
+            )
+            q = (
+                streamed.writeStream.format("chunked_dir")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .option("path", f"{tmp}/out")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            got = sorted(
+                (r["filing_id"], r["filer_name"], r["amount"], r["offices"])
+                for r in read_committed(f"{tmp}/out")
+            )
+
+        src = PaginatedRestSource(RestSourceConfig(url="fake://filings"), fake_fetch_page)
+        batch = self._transform(src.read(spark, FILING_SCHEMA, key_to_pluck="filings"))
+        want = sorted(
+            (r.filing_id, r.filer_name, r.amount, r.offices) for r in batch.collect()
+        )
+        assert [g[:2] for g in got] == [w[:2] for w in want]
+        # JSON round-trips numbers losslessly here (int64 cents-free longs)
+        assert [int(g[2]) for g in got] == [int(w[2]) for w in want]
+        assert [g[3] for g in got] == [w[3] for w in want]
+
+
 class TestChunkedSink:
     def test_replace_write_and_audit(self, spark, sf_dir):
         df = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
