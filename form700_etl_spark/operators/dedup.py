@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 
 N_HASHES = 12
 BAND_ROWS = 3  # -> 4 bands
+# Default hot-shingle document-frequency cap for pair-join consumers: a
+# shingle shared by k docs emits k^2/2 pair rows in an inverted-index
+# self-join, so one stop-phrase at corpus scale is a shuffle-skew
+# blowup.  df > MAX_SHINGLE_DF shingles carry almost no similarity
+# signal (they are stop-phrases by definition) and are dropped BEFORE
+# the join; Jaccard is then computed over the capped shingle space on
+# both engines, keeping oracle parity exact.
+MAX_SHINGLE_DF = 16
 
 
 def shingle(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
