@@ -58,15 +58,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it as
-        # int64 nanos (legacy.parquet.nanosAsLong) — truncate to micros,
-        # exactly what DuckDB's microsecond TIMESTAMP does on read.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", normalize_ts(df.schema["ts"].dataType))
     return df
+
+
+def normalize_ts(dtype, col: str = "ts"):
+    """Normalize the events ``ts`` column to a session-TZ ``TIMESTAMP``
+    regardless of how the fixture parquet encodes it.  The engine pins the
+    session timezone to UTC (ensure_session_confs), so every encoding maps
+    to the same instants the UTC-naive DuckDB oracle sees:
+
+    - ``TIMESTAMP(NANOS)`` surfaces as int64 nanos under
+      legacy.parquet.nanosAsLong → truncate to micros (DuckDB's read
+      behavior for nanosecond parquet timestamps);
+    - ``timestamp[us]`` with no timezone surfaces as ``TIMESTAMP_NTZ``
+      (PySpark 4.x) → cast to TIMESTAMP, which interprets the wall-clock
+      value in the UTC session zone, i.e. values are unchanged;
+    - already ``TIMESTAMP`` → passthrough.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(dtype, LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if isinstance(dtype, TimestampNTZType):
+        return F.col(col).cast("timestamp")
+    return F.col(col)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:

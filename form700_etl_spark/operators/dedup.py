@@ -33,13 +33,22 @@ from pyspark.sql import functions as F
 
 N_HASHES = 12
 BAND_ROWS = 3  # -> 4 bands
-# Default hot-shingle document-frequency cap for pair-join consumers: a
-# shingle shared by k docs emits k^2/2 pair rows in an inverted-index
-# self-join, so one stop-phrase at corpus scale is a shuffle-skew
-# blowup.  df > MAX_SHINGLE_DF shingles carry almost no similarity
-# signal (they are stop-phrases by definition) and are dropped BEFORE
-# the join; Jaccard is then computed over the capped shingle space on
+# Hot-shingle document-frequency cap used by the pair-join consumers
+# (queries.dedup.dedup_ngram_jaccard / dedup_clusters_connected pass it
+# as shingle(max_shingle_df=...), with the identical df filter in their
+# DuckDB oracles): a shingle shared by k docs emits k^2/2 pair rows in
+# an inverted-index self-join, so one stop-phrase at corpus scale is a
+# shuffle-skew blowup.  df > MAX_SHINGLE_DF shingles are dropped BEFORE
+# the join and Jaccard is computed over the capped shingle space on
 # both engines, keeping oracle parity exact.
+#
+# Recall caveat: an exact/near-duplicate cluster of more than
+# MAX_SHINGLE_DF docs shares ALL its shingles, so the cap erases the
+# whole cluster from the Jaccard/LSH view.  That is by design here —
+# identical-text clusters belong to exact_dedup_groups (one cheap
+# hash-groupBy, run it first; training_pipeline_end_to_end does), and
+# at a given corpus size the cap must be chosen above the largest
+# near-dup cluster that exact dedup cannot collapse.
 MAX_SHINGLE_DF = 16
 
 

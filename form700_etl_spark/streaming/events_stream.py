@@ -63,24 +63,28 @@ def rocksdb_state_store(spark: SparkSession, changelog_checkpointing: bool = Tru
             else:
                 conf.set(k, v)
 
-# raw parquet schema of events.parquet: ts is TIMESTAMP(NANOS) which the
-# reader surfaces as int64 nanos under legacy.parquet.nanosAsLong
-_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io import ensure_session_confs
+    """File-source stream over the events fixture.  The stream schema is
+    taken from the actual parquet footer (a batch-read schema probe — file
+    sources require an explicit schema) rather than hardcoded, so fixture
+    encoding changes (int64-nanos vs TIMESTAMP_NTZ vs TIMESTAMP) surface
+    here once and are normalized by the same ``normalize_ts`` the batch
+    reader uses — streaming and batch twins always agree."""
+    import os
+
+    from ..io import ensure_session_confs, normalize_ts
 
     ensure_session_confs(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file stream source requires a directory; glob-filter to the
     # events file inside the fixture dir
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", normalize_ts(schema["ts"].dataType))
 
 
 def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
