@@ -62,10 +62,13 @@ SCHEDULE_NAMES = (
 # get the E2 prefix (renameRealPropertyCols, :356-362).
 EXPLODE_COLUMNS = {"gifts": "", "realProperties": "realProperty"}
 
-# J1's filer projection (Form700.py:347-348): the 8 cover columns
-# attached to every schedule row.
+# J1's filer projection (Form700.py:347-348): the cover columns
+# attached to every schedule row (every schedule schema declares
+# filerId/filingId plus the 7 filer display columns; each schedule's
+# P1 projection drops whichever it does not declare).
 FILER_COLS = (
     "filingId",
+    "filerId",
     "filerName",
     "departmentName",
     "positionName",
@@ -118,23 +121,67 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     income = lambda src, amt: F.struct(src.alias("source"), amt.alias("amount"))
+    ship_ymd = F.date_format("l_shipdate", "yyyyMMdd")
+    # full reference realProperties element (the 11 realProperty*
+    # children of form700_scheduleA2_schema.csv:30-40, pre-E2-prefix)
     rp_elem = lambda i: F.struct(
+        F.concat(F.lit("RP-Biz-"), ship).alias("businessName"),
+        ship_ymd.alias("dateAcquired"),
+        (
+            F.date_format(F.date_add("l_shipdate", 60), "yyyyMMdd")
+            if i == 2
+            else F.lit(None).cast("string")
+        ).alias("dateDisposed"),
+        ship.alias("descriptionOrCityOrLocation"),
+        (qty * 1000 + i).alias("fairMarketValue"),
+        F.when(qty > 30, "1000001-2000000")
+        .otherwise("100001-1000000")
+        .alias("fairMarketValueAsRange"),
+        F.lit("SOLE" if i == 1 else "PARTNERSHIP").alias("investmentType"),
+        F.lit("Ownership/Deed of Trust").alias("natureOfInterest"),
+        F.when(qty > 45, qty_s).alias("natureOfInterest_LeaseYearsRemaining"),
+        F.lit(None).cast("string").alias("natureOfInterest_OtherDescription"),
         F.concat(
             F.lit("P-"), okey_s, F.lit("-"), m.cast("string"), F.lit(f"-{i}")
-        ).alias("parcelNumber"),
-        ship.alias("city"),
-        (qty * 1000 + i).alias("fairMarketValue"),
+        ).alias("parcelAddress"),
     )
+    # full reference scheduleA2 item (form700_scheduleA2_schema.csv) —
+    # every scalar the schema declares, so the P1 projection over the
+    # full 38-column inventory resolves
     a2 = F.struct(
         m.alias("id"),
-        F.concat(F.lit("Biz-"), ship).alias("businessName"),
-        F.concat(qty_s, F.when(rf == "A", "%").otherwise("")).alias("fairMarketValue"),
+        F.concat(okey_s, F.lit(" Commerce Way")).alias("address"),
+        F.when(pk % 2 == 0, "Owner").otherwise("Partner").alias("businessPosition"),
+        F.concat(F.lit("Type-"), rf).alias("businessType"),
+        ship.alias("city"),
+        ship_ymd.alias("dateAcquired"),
+        F.when(rf == "R", F.date_format(F.date_add("l_shipdate", 30), "yyyyMMdd")).alias(
+            "dateDisposed"
+        ),
+        F.concat(F.lit("Desc "), qty_s).alias("description"),
+        F.concat(F.lit("Biz-"), ship).alias("entityName"),
+        # dirty number string exercising the C2 cast ('%' -> '0')
+        F.concat(qty_s, F.when(rf == "A", "%").otherwise("")).alias(
+            "fairMarketValueScheduleA2"
+        ),
+        F.when(qty > 30, "100001-1000000")
+        .otherwise("10001-100000")
+        .alias("fairMarketValueScheduleA2AsRange"),
+        (qty * 10).alias("grossIncomeReceived"),
+        F.when(qty > 25, "10001-100000")
+        .otherwise("1001-10000")
+        .alias("grossIncomeReceivedAsRange"),
         F.when(
             rf == "R",
             F.array(income(ship, qty), income(F.lit("ROYALTY"), qty * 2)),
         )
         .otherwise(F.array(income(ship, qty)))
         .alias("incomeSources"),
+        rf.alias("natureOfInvestment"),
+        F.when(rf == "N", "Other investment").alias("natureOfInvestment_OtherDescription"),
+        F.lit("CA").alias("state"),
+        ship.alias("transactionType"),
+        F.concat(F.lit("9410"), m.cast("string")).alias("zip"),
         # 0/1/2 real properties: exercises explode_outer incl. the
         # empty-array -> one-NULL-child-row path (Form700.py:366,380)
         F.slice(
@@ -204,20 +251,68 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     year_start = F.date_trunc("year", F.col("o_orderdate"))
+    okey = F.col("o_orderkey")
+    custkey_s = F.col("o_custkey").cast("string")
+    filing_ymd = F.date_format("o_orderdate", "yyyyMMdd")
+    period_start = F.date_format(year_start, "yyyyMMdd")
     cover = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
         .select(
-            F.col("o_orderkey").alias("filingId"),
+            # keys stay LONG in the nested source (join key below); the
+            # clean pass casts them to the schema's declared text type
+            okey.alias("filingId"),
             F.col("o_custkey").alias("filerId"),
             F.coalesce(F.col("c_name"), F.lit("")).alias("filerName"),
             F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("departmentName"),
             F.concat(F.lit("Pos-"), F.col("o_orderstatus")).alias("positionName"),
-            F.date_format(year_start, "yyyyMMdd").alias("periodStart"),
+            period_start.alias("periodStart"),
             F.date_format(
                 F.date_sub(F.add_months(year_start, 12), 1), "yyyyMMdd"
             ).alias("periodEnd"),
-            F.date_format("o_orderdate", "yyyyMMdd").alias("filingDate"),
-            F.when(F.col("o_orderstatus") == "P", True).alias("isAmendment"),  # NULL unless P
+            filing_ymd.alias("filingDate"),
+            # full reference cover inventory (form700_cover_schema.csv) —
+            # deterministic functions of the order row so the DuckDB
+            # oracle mirrors each cell exactly
+            F.concat(F.lit("AGY-"), F.col("o_orderpriority")).alias("agency"),
+            F.concat(F.lit("Agency "), F.col("o_orderpriority")).alias("agencyName"),
+            F.substring(F.col("o_orderpriority"), 1, 1).alias("agencyPrefix"),
+            period_start.alias("annualStartDate"),
+            F.when(okey % 11 == 0, F.date_format("o_orderdate", "yyyy")).alias(
+                "candidateElectionYear"
+            ),
+            F.when(okey % 11 == 0, F.concat(F.lit("Office-"), F.col("o_orderstatus"))).alias(
+                "candidateOfficeSought"
+            ),
+            F.lit("ethics").alias("categories"),
+            F.when(okey % 7 == 0, filing_ymd).alias("dateAssumedOffice"),
+            F.when(okey % 17 == 0, filing_ymd).alias("dateLeftOffice"),
+            F.when(okey % 3 == 0, "City description").alias("descriptionCity"),
+            F.when(okey % 5 == 0, "County description").alias("descriptionCounty"),
+            F.when(okey % 19 == 0, "Multi-county description").alias(
+                "descriptionMultiCounty"
+            ),
+            F.when(okey % 23 == 0, "Other description").alias("descriptionOther"),
+            F.concat(F.lit("First-"), custkey_s).alias("firstName"),
+            F.concat(F.lit("Last-"), custkey_s).alias("lastName"),
+            F.when(okey % 2 == 0, "M").alias("middleName"),
+            F.lit("700").alias("form"),
+            okey.alias("id"),
+            F.concat(F.lit("INT-"), okey.cast("string")).alias("internalId"),
+            (F.col("o_orderstatus") == "F").alias("isAnnual"),
+            (okey % 7 == 0).alias("isAssuming"),
+            # NULL-unless-true checkbox: C4 coalesces NULL -> False
+            F.when(okey % 11 == 0, True).alias("isCandidate"),
+            F.lit(1).alias("commentCount"),
+            (okey % 3 == 0).alias("isCity"),
+            (okey % 5 == 0).alias("isCounty"),
+            (okey % 13 == 0).alias("isJudgeOrCourt"),
+            (okey % 17 == 0).alias("isLeaving"),
+            (okey % 19 == 0).alias("isMultiCounty"),
+            (okey % 23 == 0).alias("isOther"),
+            (okey % 29 == 0).alias("isState"),
+            F.when(okey % 17 == 0, period_start).alias("leavingStatementStartDate"),
+            F.col("o_orderstatus").alias("transactionType"),
+            F.date_format("o_orderdate", "yyyy").alias("year"),
             F.array(
                 F.struct(
                     F.concat(F.lit("Office-"), F.col("o_orderpriority")).alias("office"),
@@ -227,7 +322,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
             # comments: one per filing, embedded newline exercises C7
             F.array(
                 F.struct(
-                    F.col("o_orderkey").alias("id"),
+                    okey.alias("id"),
                     F.concat(F.lit("Line1\nLine2-"), F.col("o_orderstatus")).alias(
                         "comment"
                     ),
@@ -235,8 +330,25 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("comments"),
         )
     )
-    return cover.join(items, cover.filingId == items.l_orderkey, "left").drop(
+    filings = cover.join(items, cover.filingId == items.l_orderkey, "left").drop(
         "l_orderkey"
+    )
+    # per-schedule counts (cover schema's schedule*Count audit columns,
+    # form700_cover_schema.csv:41-47) — sizes of the just-built arrays,
+    # so the counts are consistent with the nested payload by
+    # construction.  The reference's source carries C1/C2 as separate
+    # schedules; the synthetic corpus models one scheduleC, reported as
+    # C1 with C2 pinned to 0.
+    return filings.withColumns(
+        {
+            "scheduleA1Count": F.coalesce(F.size("scheduleA1"), F.lit(0)),
+            "scheduleA2Count": F.coalesce(F.size("scheduleA2"), F.lit(0)),
+            "scheduleBCount": F.coalesce(F.size("scheduleB"), F.lit(0)),
+            "scheduleC1Count": F.coalesce(F.size("scheduleC"), F.lit(0)),
+            "scheduleC2Count": F.lit(0),
+            "scheduleDCount": F.coalesce(F.size("scheduleD"), F.lit(0)),
+            "scheduleECount": F.coalesce(F.size("scheduleE"), F.lit(0)),
+        }
     )
 
 

@@ -421,17 +421,79 @@ def _numcast_sql(expr: str) -> str:
 @register(
     "ref_pipeline_cover",
     oracle=f"""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
-           CAST(o.o_custkey AS DOUBLE) AS filer_id,
-           o.o_orderstatus = 'P' AS is_amendment,
+    SELECT concat('AGY-', o.o_orderpriority) AS agency,
+           concat('Agency ', o.o_orderpriority) AS agency_name,
+           substr(o.o_orderpriority, 1, 1) AS agency_prefix,
+           strftime(date_trunc('year', o.o_orderdate), '%Y%m%d') AS annual_start_date,
+           CASE WHEN o.o_orderkey % 11 = 0 THEN strftime(o.o_orderdate, '%Y')
+                ELSE '' END AS candidate_election_year,
+           CASE WHEN o.o_orderkey % 11 = 0 THEN concat('Office-', o.o_orderstatus)
+                ELSE '' END AS candidate_office_sought,
+           'ethics' AS categories,
+           CASE WHEN o.o_orderkey % 7 = 0 THEN strftime(o.o_orderdate, '%Y%m%d')
+                ELSE '' END AS date_assumed_office,
+           CASE WHEN o.o_orderkey % 17 = 0 THEN strftime(o.o_orderdate, '%Y%m%d')
+                ELSE '' END AS date_left_office,
+           CASE WHEN o.o_orderkey % 3 = 0 THEN 'City description'
+                ELSE '' END AS description_city,
+           CASE WHEN o.o_orderkey % 5 = 0 THEN 'County description'
+                ELSE '' END AS description_county,
+           CASE WHEN o.o_orderkey % 19 = 0 THEN 'Multi-county description'
+                ELSE '' END AS description_multi_county,
+           CASE WHEN o.o_orderkey % 23 = 0 THEN 'Other description'
+                ELSE '' END AS description_other,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           concat('First-', CAST(o.o_custkey AS VARCHAR)) AS first_name,
+           concat('Last-', CAST(o.o_custkey AS VARCHAR)) AS last_name,
+           CASE WHEN o.o_orderkey % 2 = 0 THEN 'M' ELSE '' END AS middle_name,
+           '700' AS form,
+           CAST(o.o_orderkey AS VARCHAR) AS id,
+           concat('INT-', CAST(o.o_orderkey AS VARCHAR)) AS internal_id,
+           o.o_orderstatus = 'F' AS is_annual,
+           o.o_orderkey % 7 = 0 AS is_assuming,
+           o.o_orderkey % 11 = 0 AS is_candidate,
+           1.0 AS comment_count,
+           o.o_orderkey % 3 = 0 AS is_city,
+           o.o_orderkey % 5 = 0 AS is_county,
+           o.o_orderkey % 13 = 0 AS is_judge_or_court,
+           o.o_orderkey % 17 = 0 AS is_leaving,
+           o.o_orderkey % 19 = 0 AS is_multi_county,
+           o.o_orderkey % 23 = 0 AS is_other,
+           o.o_orderkey % 29 = 0 AS is_state,
+           CASE WHEN o.o_orderkey % 17 = 0
+                THEN strftime(date_trunc('year', o.o_orderdate), '%Y%m%d')
+                ELSE '' END AS leaving_statement_start_date,
+           COALESCE(CAST(k.a1n AS DOUBLE), 0.0) AS schedule_a1_count,
+           COALESCE(CAST(k.a2n AS DOUBLE), 0.0) AS schedule_a2_count,
+           COALESCE(CAST(k.bn AS DOUBLE), 0.0) AS schedule_b_count,
+           COALESCE(CAST(k.cn AS DOUBLE), 0.0) AS schedule_c1_count,
+           0.0 AS schedule_c2_count,
+           COALESCE(CAST(k.dn AS DOUBLE), 0.0) AS schedule_d_count,
+           COALESCE(CAST(k.en AS DOUBLE), 0.0) AS schedule_e_count,
+           o.o_orderstatus AS transaction_type,
+           strftime(o.o_orderdate, '%Y') AS year,
            {_FILER_SQL}
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (
+        SELECT l_orderkey,
+               COUNT(*) AS a1n,
+               COUNT(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS a2n,
+               COUNT(CASE WHEN l_linenumber % 3 = 1 THEN 1 END) AS bn,
+               COUNT(CASE WHEN l_linenumber % 3 = 2 THEN 1 END) AS cn,
+               COUNT(CASE WHEN l_linenumber % 4 = 1 THEN 1 END) AS dn,
+               COUNT(CASE WHEN l_linenumber % 5 = 2 THEN 1 END) AS en
+        FROM lineitem GROUP BY l_orderkey
+    ) k ON k.l_orderkey = o.o_orderkey
     """,
     tags=("refparity", "pipeline"),
     doc=(
-        "EP1 cover table: N2 offices stringify + P1/C1 clean from the "
-        "cover schema CSV, registry-routed (N3)."
+        "EP1 cover table over the FULL reference column inventory (49 "
+        "fields, /root/reference/form700_schemas/form700_cover_schema.csv): "
+        "N2 offices stringify + P1/C1 clean, registry-routed (N3).  The "
+        "schedule*Count audit columns are sizes of the synthesized nested "
+        "arrays, so count-vs-payload consistency (A5) is checked for free."
     ),
 )
 def ref_pipeline_cover(spark, sf_dir):
@@ -481,25 +543,77 @@ def ref_pipeline_end_to_end(spark, sf_dir):
 @register(
     "ref_pipeline_scheduleA2",
     oracle=f"""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
-           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
-           COALESCE('Biz-' || l.l_linestatus, '') AS business_name,
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           COALESCE(CAST(l.l_linenumber AS VARCHAR), '') AS id,
+           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Commerce Way', '') AS address,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN l.l_partkey % 2 = 0 THEN 'Owner'
+                         ELSE 'Partner' END, '') AS business_position,
+           COALESCE('Type-' || l.l_returnflag, '') AS business_type,
+           COALESCE(l.l_linestatus, '') AS city,
+           COALESCE(strftime(l.l_shipdate, '%Y%m%d'), '') AS date_acquired,
+           COALESCE(CASE WHEN l.l_returnflag = 'R'
+                         THEN strftime(l.l_shipdate + INTERVAL 30 DAY, '%Y%m%d')
+                    END, '') AS date_disposed,
+           COALESCE('Desc ' || {_QTY_S}, '') AS description,
+           COALESCE('Biz-' || l.l_linestatus, '') AS entity_name,
            {_numcast_sql(
                _QTY_S + " || (CASE WHEN l.l_returnflag = 'A' THEN '%' ELSE '' END)"
-           )} AS fair_market_value,
+           )} AS fair_market_value_schedule_a2,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '100001-1000000'
+                         ELSE '10001-100000' END, '')
+             AS fair_market_value_schedule_a2_as_range,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 10 AS DOUBLE), 0.0)
+             AS gross_income_received,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 25 THEN '10001-100000'
+                         ELSE '1001-10000' END, '')
+             AS gross_income_received_as_range,
            COALESCE(CASE WHEN l.l_returnflag = 'R'
                THEN 'source:' || l.l_linestatus || ',amount:' || {_QTY_S}
                     || '|source:ROYALTY,amount:'
                     || CAST(CAST(l.l_quantity AS BIGINT) * 2 AS VARCHAR)
                ELSE 'source:' || l.l_linestatus || ',amount:' || {_QTY_S}
            END, '') AS income_sources,
-           COALESCE('P-' || CAST(o.o_orderkey AS VARCHAR) || '-'
-                    || CAST(l.l_linenumber AS VARCHAR) || '-'
-                    || CAST(rp.i AS VARCHAR), '') AS real_property_parcel_number,
+           COALESCE(l.l_returnflag, '') AS nature_of_investment,
+           COALESCE(CASE WHEN l.l_returnflag = 'N' THEN 'Other investment' END, '')
+             AS nature_of_investment_other_description,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'CA' END AS state,
+           COALESCE(l.l_linestatus, '') AS transaction_type,
+           COALESCE('9410' || CAST(l.l_linenumber AS VARCHAR), '') AS zip,
+           COALESCE(CASE WHEN rp.i IS NOT NULL
+                         THEN 'RP-Biz-' || l.l_linestatus END, '')
+             AS real_property_business_name,
+           COALESCE(CASE WHEN rp.i IS NOT NULL
+                         THEN strftime(l.l_shipdate, '%Y%m%d') END, '')
+             AS real_property_date_acquired,
+           COALESCE(CASE WHEN rp.i = 2
+                         THEN strftime(l.l_shipdate + INTERVAL 60 DAY, '%Y%m%d')
+                    END, '') AS real_property_date_disposed,
            COALESCE(CASE WHEN rp.i IS NOT NULL THEN l.l_linestatus END, '')
-             AS real_property_city,
+             AS real_property_description_or_city_or_location,
            COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 1000 + rp.i AS DOUBLE), 0.0)
              AS real_property_fair_market_value,
+           COALESCE(CASE WHEN rp.i IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '1000001-2000000'
+                         ELSE '100001-1000000' END, '')
+             AS real_property_fair_market_value_as_range,
+           COALESCE(CASE WHEN rp.i = 1 THEN 'SOLE'
+                         WHEN rp.i = 2 THEN 'PARTNERSHIP' END, '')
+             AS real_property_investment_type,
+           COALESCE(CASE WHEN rp.i IS NOT NULL
+                         THEN 'Ownership/Deed of Trust' END, '')
+             AS real_property_nature_of_interest,
+           COALESCE(CASE WHEN rp.i IS NOT NULL
+                          AND CAST(l.l_quantity AS BIGINT) > 45
+                         THEN {_QTY_S} END, '')
+             AS real_property_nature_of_interest_lease_years_remaining,
+           '' AS real_property_nature_of_interest_other_description,
+           COALESCE('P-' || CAST(o.o_orderkey AS VARCHAR) || '-'
+                    || CAST(l.l_linenumber AS VARCHAR) || '-'
+                    || CAST(rp.i AS VARCHAR), '') AS real_property_parcel_address,
            {_FILER_SQL}
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -511,10 +625,11 @@ def ref_pipeline_end_to_end(spark, sf_dir):
     """,
     tags=("refparity", "pipeline"),
     doc=(
-        "EP1 scheduleA2: the registry's richest routing — offices + "
-        "incomeSources stringify (N2) AND realProperties explode with the "
-        "E2 realProperty prefix rename, incl. the empty-array -> one "
-        "NULL-child-row explode_outer case."
+        "EP1 scheduleA2 over the FULL reference inventory (39 fields incl. "
+        "all 11 realProperty* children, form700_scheduleA2_schema.csv): "
+        "offices + incomeSources stringify (N2) AND realProperties explode "
+        "with the E2 realProperty prefix rename, incl. the empty-array -> "
+        "one NULL-child-row explode_outer case."
     ),
 )
 def ref_pipeline_scheduleA2(spark, sf_dir):

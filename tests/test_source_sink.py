@@ -366,8 +366,8 @@ class TestCreateDDL:
         # column metadata: snake_case field names + declared types (K3)
         meta = json.load(open(os.path.join(str(tmp_path), "_dataset.json")))
         by_field = {c["fieldName"]: c for c in meta["columns"]}
-        assert by_field["filing_id"]["dataTypeName"] == "number"
-        assert by_field["is_amendment"]["dataTypeName"] == "checkbox"
+        assert by_field["filing_id"]["dataTypeName"] == "text"
+        assert by_field["is_annual"]["dataTypeName"] == "checkbox"
         assert meta["category"] == info.category and list(info.tags)
 
         # create -> write -> audit: the replace write keeps the DDL metadata
@@ -570,7 +570,7 @@ class TestForm700Pipeline:
                 assert col == col.lower() and "." not in col, (name, col)
         assert "loanhighest_balance" in out["scheduleB"].columns
         # E2 prefix only on realProperties children (scheduleA2), not gifts
-        assert "real_property_parcel_number" in out["scheduleA2"].columns
+        assert "real_property_parcel_address" in out["scheduleA2"].columns
         assert "gift_value" in out["scheduleD"].columns
 
     def test_dual_run_private_and_redacted(self, spark, sf_dir):
