@@ -108,8 +108,17 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = F.col("l_partkey")
     okey_s = F.col("l_orderkey").cast("string")
 
+    ship_ymd = F.date_format("l_shipdate", "yyyyMMdd")
+    disposed_ymd = F.when(
+        F.col("l_returnflag") == "R",
+        F.date_format(F.date_add("l_shipdate", 30), "yyyyMMdd"),
+    )
+    # full reference scheduleA1 item (form700_scheduleA1_schema.csv)
     a1 = F.struct(
         m.alias("id"),
+        F.concat(F.lit("Desc-"), rf).alias("businessDescription"),
+        ship_ymd.alias("dateAcquired"),
+        disposed_ymd.alias("dateDisposed"),
         # dirty number string exercising the C2 cast:
         # '12', '12k' (letter->0), '12%' (%->0)
         F.concat(
@@ -117,11 +126,20 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(m % 3 == 0, "k").otherwise(""),
             F.when(rf == "R", "%").otherwise(""),
         ).alias("fairMarketValue"),
+        F.when(qty > 30, "100001-1000000")
+        .otherwise("10001-100000")
+        .alias("fairMarketValueAsRange"),
+        F.concat(F.lit("Ent-"), ship).alias("nameOfBusinessEntity"),
         rf.alias("natureOfInvestment"),
+        F.when(rf == "N", "Other investment").alias("natureOfInvestmentOtherDescription"),
+        (qty * 7).alias("partnershipAmount"),
+        F.when(qty > 35, "10001-100000")
+        .otherwise("1001-10000")
+        .alias("partnershipAmountAsRange"),
+        ship.alias("transactionType"),
     )
 
     income = lambda src, amt: F.struct(src.alias("source"), amt.alias("amount"))
-    ship_ymd = F.date_format("l_shipdate", "yyyyMMdd")
     # full reference realProperties element (the 11 realProperty*
     # children of form700_scheduleA2_schema.csv:30-40, pre-E2-prefix)
     rp_elem = lambda i: F.struct(
@@ -191,48 +209,133 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("realProperties"),
     )
 
+    zip_s = F.concat(F.lit("9410"), m.cast("string"))
+    term_s = F.when(qty > 30, "30 years").otherwise("15 years")
+    # full reference scheduleB item (form700_scheduleB_schema.csv)
     b = F.struct(
         m.alias("id"),
-        F.concat(okey_s, F.lit(" Main St")).alias("parcelAddress"),
-        F.concat(qty_s, F.when(pk % 3 == 0, "k").otherwise("")).alias("grossIncome"),
+        ship.alias("city"),
+        ship_ymd.alias("dateAcquired"),
+        disposed_ymd.alias("dateDisposed"),
+        F.concat(qty_s, F.when(rf == "A", "%").otherwise("")).alias(
+            "fairMarketValueScheduleB"
+        ),
+        F.when(qty > 30, "100001-1000000")
+        .otherwise("10001-100000")
+        .alias("fairMarketValueScheduleBAsRange"),
+        F.concat(qty_s, F.when(pk % 3 == 0, "k").otherwise("")).alias(
+            "grossIncomeReceived"
+        ),
+        F.when(qty > 25, "10001-100000")
+        .otherwise("1001-10000")
+        .alias("grossIncomeReceivedAsRange"),
         # doubly-nested struct -> dotted loan.* columns after N1 flatten
         # (reference scheduleB schema declares loan.address et al.)
         F.struct(
             F.concat(F.lit("Lender Plaza "), m.cast("string")).alias("address"),
+            F.lit("Lending").alias("businessActivity"),
+            ship.alias("city"),
+            F.when(pk % 2 == 0, F.concat(F.lit("Guarantor-"), rf)).alias("guarantor"),
             (qty * 100).alias("highestBalance"),
+            F.when(qty > 30, "100001-1000000")
+            .otherwise("10001-100000")
+            .alias("highestBalanceAsRange"),
             F.concat(qty_s, F.lit("%")).alias("interestRate"),
-            F.concat(F.lit("Bank-"), rf).alias("lender"),
+            F.concat(F.lit("Bank-"), rf).alias("nameOfLender"),
+            F.lit("CA").alias("state"),
+            term_s.alias("term"),
+            zip_s.alias("zip"),
         ).alias("loan"),
         F.array(income(ship, qty * 3)).alias("incomeSources"),
+        F.lit("Ownership/Deed of Trust").alias("natureOfInterest"),
+        F.when(qty > 45, qty_s).alias("natureOfInterest_LeaseYearsRemaining"),
+        F.lit(None).cast("string").alias("natureOfInterest_OtherDescription"),
+        F.concat(okey_s, F.lit(" Main St")).alias("parcelOrAddress"),
+        ship.alias("transactionType"),
     )
 
+    # full reference scheduleC item (form700_scheduleC_schema.csv; the
+    # reference's C loan* fields are FLAT names, unlike B's dotted loan.*)
     c_item = F.struct(
         m.alias("id"),
-        F.concat(F.lit("Emp-"), ship).alias("employerName"),
+        F.concat(okey_s, F.lit(" Income Ave")).alias("incomeAddress"),
+        F.lit("Consulting").alias("incomeBusinessActivity"),
+        F.when(pk % 2 == 0, "Owner").otherwise("Advisor").alias("incomeBusinessPosition"),
+        ship.alias("incomeCity"),
+        (qty * 12).alias("incomeGrossIncome"),
+        F.when(qty > 25, "10001-100000")
+        .otherwise("1001-10000")
+        .alias("incomeGrossIncomeAsRange"),
         F.when(
             pk % 2 == 1,
             F.array(income(rf, qty), income(F.lit("SPOUSE"), qty + 5)),
         )
         .otherwise(F.array(income(rf, qty)))
         .alias("incomeSources"),
+        F.lit("CA").alias("incomeState"),
+        zip_s.alias("incomeZip"),
+        F.concat(F.lit("Loan Plaza "), m.cast("string")).alias("loanAddress"),
+        F.lit("Lending").alias("loanBusinessActivity"),
+        ship.alias("loanCity"),
+        (qty * 50).alias("loanHighestBalance"),
+        F.when(qty > 30, "100001-1000000")
+        .otherwise("10001-100000")
+        .alias("loanHighestBalanceAsRange"),
+        F.concat(qty_s, F.lit("%")).alias("loanInterestRate"),
+        F.concat(F.lit("Bank-"), rf).alias("loanNameOfLender"),
+        F.when(pk % 2 == 0, "None").otherwise("Personal residence").alias("loanSecurity"),
+        F.lit("CA").alias("loanState"),
+        term_s.alias("loanTerm"),
+        zip_s.alias("loanZip"),
+        F.concat(F.lit("Emp-"), ship).alias("nameOfIncomeSource"),
+        rf.alias("reasonForIncome"),
+        F.when(rf == "N", "Other reason").alias("reasonForIncomeOther"),
+        F.when(rf == "R", "Sale of property").alias("reasonForIncomeSale"),
+        ship.alias("transactionType"),
     )
 
+    # full reference scheduleD item (form700_scheduleD_schema.csv);
+    # amount/description/giftDate are gift-level (explode, no prefix)
     gift = lambda i: F.struct(
-        (qty + i).alias("giftValue"),
+        (qty + i).alias("amount"),
         F.concat(ship, F.lit(f" gift {i}")).alias("description"),
+        F.date_format(F.date_add("l_shipdate", i), "yyyyMMdd").alias("giftDate"),
     )
     d = F.struct(
         m.alias("id"),
-        F.concat(F.lit("Donor-"), rf).alias("donorName"),
+        F.concat(okey_s, F.lit(" Gift Ln")).alias("address"),
+        F.lit("Retail").alias("businessActivity"),
+        ship.alias("city"),
+        F.concat(F.lit("Donor-"), rf).alias("nameOfSource"),
+        F.lit("CA").alias("state"),
+        ship.alias("transactionType"),
+        zip_s.alias("zip"),
         F.slice(
             F.array(gift(1), gift(2)), F.lit(1), F.when(qty > 40, 2).otherwise(1)
         ).alias("gifts"),
     )
 
+    # full reference scheduleE item (form700_scheduleE_schema.csv)
     e = F.struct(
         m.alias("id"),
-        ship.alias("destination"),
-        F.concat(qty_s, F.when(rf == "N", "n").otherwise("")).alias("travelAmount"),
+        F.concat(okey_s, F.lit(" Travel Rd")).alias("address"),
+        F.concat(qty_s, F.when(rf == "N", "n").otherwise("")).alias("amount"),
+        F.lit("Advocacy").alias("businessActivity"),
+        ship.alias("city"),
+        F.when(qty > 20, F.date_format(F.date_add("l_shipdate", 5), "yyyyMMdd")).alias(
+            "endDate"
+        ),
+        (pk % 2 == 0).alias("isNonprofit"),
+        F.when(pk % 7 == 0, True).alias("isOther"),
+        (qty > 25).alias("madeSpeech"),
+        F.concat(F.lit("Src-"), rf).alias("nameOfSource"),
+        F.when(pk % 7 == 0, "Other payment").alias("otherDescription"),
+        ship_ymd.alias("startDate"),
+        F.lit("CA").alias("state"),
+        ship.alias("transactionType"),
+        F.concat(F.lit("Travel to "), ship).alias("travelDescription"),
+        F.when(qty > 15, "REIMBURSEMENT").otherwise("ADVANCE").alias("typeOfPayment"),
+        zip_s.alias("zip"),
     )
 
     def sched(cond: Column, item: Column) -> Column:
@@ -326,6 +429,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.lit("Line1\nLine2-"), F.col("o_orderstatus")).alias(
                         "comment"
                     ),
+                    F.col("o_orderstatus").alias("transactionType"),
                 )
             ).alias("comments"),
         )

@@ -507,14 +507,32 @@ def ref_pipeline_cover(spark, sf_dir):
 # pipeline check and the incremental-pipeline check (whose law is
 # "incremental merge == full recompute").
 _A1_PIPELINE_SQL = f"""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
-           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           COALESCE(CAST(l.l_linenumber AS VARCHAR), '') AS id,
+           COALESCE('Desc-' || l.l_returnflag, '') AS business_description,
+           COALESCE(strftime(l.l_shipdate, '%Y%m%d'), '') AS date_acquired,
+           COALESCE(CASE WHEN l.l_returnflag = 'R'
+                         THEN strftime(l.l_shipdate + INTERVAL 30 DAY, '%Y%m%d')
+                    END, '') AS date_disposed,
            {_numcast_sql(
                _QTY_S
                + " || (CASE WHEN l.l_linenumber % 3 = 0 THEN 'k' ELSE '' END)"
                + " || (CASE WHEN l.l_returnflag = 'R' THEN '%' ELSE '' END)"
            )} AS fair_market_value,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '100001-1000000'
+                         ELSE '10001-100000' END, '') AS fair_market_value_as_range,
+           COALESCE('Ent-' || l.l_linestatus, '') AS name_of_business_entity,
            COALESCE(l.l_returnflag, '') AS nature_of_investment,
+           COALESCE(CASE WHEN l.l_returnflag = 'N' THEN 'Other investment' END, '')
+             AS nature_of_investment_other_description,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 7 AS DOUBLE), 0.0)
+             AS partnership_amount,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 35 THEN '10001-100000'
+                         ELSE '1001-10000' END, '') AS partnership_amount_as_range,
+           COALESCE(l.l_linestatus, '') AS transaction_type,
            {_FILER_SQL}
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -642,18 +660,53 @@ def ref_pipeline_scheduleA2(spark, sf_dir):
 @register(
     "ref_pipeline_scheduleB",
     oracle=f"""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
-           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
-           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Main St', '') AS parcel_address,
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           COALESCE(CAST(l.l_linenumber AS VARCHAR), '') AS id,
+           COALESCE(l.l_linestatus, '') AS city,
+           COALESCE(strftime(l.l_shipdate, '%Y%m%d'), '') AS date_acquired,
+           COALESCE(CASE WHEN l.l_returnflag = 'R'
+                         THEN strftime(l.l_shipdate + INTERVAL 30 DAY, '%Y%m%d')
+                    END, '') AS date_disposed,
+           {_numcast_sql(
+               _QTY_S + " || (CASE WHEN l.l_returnflag = 'A' THEN '%' ELSE '' END)"
+           )} AS fair_market_value_schedule_b,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '100001-1000000'
+                         ELSE '10001-100000' END, '')
+             AS fair_market_value_schedule_b_as_range,
            {_numcast_sql(
                _QTY_S + " || (CASE WHEN l.l_partkey % 3 = 0 THEN 'k' ELSE '' END)"
-           )} AS gross_income,
+           )} AS gross_income_received,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 25 THEN '10001-100000'
+                         ELSE '1001-10000' END, '') AS gross_income_received_as_range,
            COALESCE('Lender Plaza ' || CAST(l.l_linenumber AS VARCHAR), '')
              AS loanaddress,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'Lending' END
+             AS loanbusiness_activity,
+           COALESCE(l.l_linestatus, '') AS loancity,
+           COALESCE(CASE WHEN l.l_partkey % 2 = 0
+                         THEN 'Guarantor-' || l.l_returnflag END, '') AS loanguarantor,
            COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 100 AS DOUBLE), 0.0)
              AS loanhighest_balance,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '100001-1000000'
+                         ELSE '10001-100000' END, '') AS loanhighest_balance_as_range,
            {_numcast_sql(_QTY_S + " || '%'")} AS loaninterest_rate,
-           COALESCE('Bank-' || l.l_returnflag, '') AS loanlender,
+           COALESCE('Bank-' || l.l_returnflag, '') AS loanname_of_lender,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'CA' END AS loanstate,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '30 years'
+                         ELSE '15 years' END, '') AS loanterm,
+           COALESCE('9410' || CAST(l.l_linenumber AS VARCHAR), '') AS loanzip,
+           CASE WHEN l.l_linenumber IS NULL THEN ''
+                ELSE 'Ownership/Deed of Trust' END AS nature_of_interest,
+           COALESCE(CASE WHEN CAST(l.l_quantity AS BIGINT) > 45 THEN {_QTY_S} END, '')
+             AS nature_of_interest_lease_years_remaining,
+           '' AS nature_of_interest_other_description,
+           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Main St', '') AS parcel_or_address,
+           COALESCE(l.l_linestatus, '') AS transaction_type,
            COALESCE('source:' || l.l_linestatus || ',amount:'
                     || CAST(CAST(l.l_quantity AS BIGINT) * 3 AS VARCHAR), '')
              AS income_sources,
@@ -681,13 +734,23 @@ def ref_pipeline_scheduleB(spark, sf_dir):
 @register(
     "ref_pipeline_scheduleD",
     oracle=f"""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
-           COALESCE(CAST(l.l_linenumber AS DOUBLE), 0.0) AS id,
-           COALESCE('Donor-' || l.l_returnflag, '') AS donor_name,
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           COALESCE(CAST(l.l_linenumber AS VARCHAR), '') AS id,
+           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Gift Ln', '') AS address,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'Retail' END
+             AS business_activity,
+           COALESCE(l.l_linestatus, '') AS city,
+           COALESCE('Donor-' || l.l_returnflag, '') AS name_of_source,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'CA' END AS state,
+           COALESCE(l.l_linestatus, '') AS transaction_type,
+           COALESCE('9410' || CAST(l.l_linenumber AS VARCHAR), '') AS zip,
            COALESCE(CAST(CAST(l.l_quantity AS BIGINT) + g.i AS DOUBLE), 0.0)
-             AS gift_value,
+             AS amount,
            COALESCE(l.l_linestatus || ' gift ' || CAST(g.i AS VARCHAR), '')
              AS description,
+           COALESCE(strftime(l.l_shipdate + to_days(g.i), '%Y%m%d'), '')
+             AS gift_date,
            {_FILER_SQL}
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -712,9 +775,11 @@ def ref_pipeline_scheduleD(spark, sf_dir):
 @register(
     "ref_pipeline_comments",
     oracle=f"""
-    SELECT CAST(o.o_orderkey AS DOUBLE) AS filing_id,
-           CAST(o.o_orderkey AS DOUBLE) AS id,
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           CAST(o.o_orderkey AS VARCHAR) AS id,
            'Line1Line2-' || o.o_orderstatus AS comment,
+           o.o_orderstatus AS transaction_type,
            {_FILER_SQL}
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -780,7 +845,7 @@ def ref_pipeline_incremental(spark, sf_dir):
     fresh_src = filings.join(changed, "filingId", "left_semi")
     fresh = run_form700_pipeline(fresh_src, datasets=("scheduleA1",))["scheduleA1"]
     # merge: retire every row of a changed filing, append its fresh rows
-    changed_out_keys = changed.select(fid.cast("double").alias("filing_id"))
+    changed_out_keys = changed.select(fid.cast("string").alias("filing_id"))
     return prev_out.join(changed_out_keys, "filing_id", "left_anti").unionByName(
         fresh
     )

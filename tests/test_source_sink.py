@@ -571,7 +571,7 @@ class TestForm700Pipeline:
         assert "loanhighest_balance" in out["scheduleB"].columns
         # E2 prefix only on realProperties children (scheduleA2), not gifts
         assert "real_property_parcel_address" in out["scheduleA2"].columns
-        assert "gift_value" in out["scheduleD"].columns
+        assert "amount" in out["scheduleD"].columns  # gift child, unprefixed
 
     def test_dual_run_private_and_redacted(self, spark, sf_dir):
         from form700_etl_spark.plans.form700 import run_dual
