@@ -21,7 +21,12 @@ SURVEY §7 "hard parts" says design that out, not port it):
    rather than duplicates (client contract: upsert by chunk id is
    idempotent);
 3. per-chunk retry with exponential backoff + per-chunk throttle;
-4. audit via a Spark accumulator (A2), reconciled on the driver (A3).
+4. audit (A2/A3) from per-partition count records returned by the write
+   pass itself — one scan, and exact under task retry because Spark
+   only surfaces results from each task's final successful attempt
+   (the commit-message pattern; the V2 writer in
+   ``sinks/chunked_datasource.py`` is the same design at the API level
+   and the primary path when the sink is addressable as a format).
 
 The client is an injectable protocol; ``LocalDirClient`` (one JSON
 file per chunk id — naturally idempotent) serves tests and local runs.
@@ -235,29 +240,44 @@ class ChunkedSink:
         self.config = config
 
     def write(self, df: DataFrame, dataset: str = "dataset") -> SinkReport:
-        spark = df.sparkSession
+        """ONE data pass: each partition writes its chunks and returns a
+        tiny ``(rows_read, rows_client_reported)`` record, collected on
+        the driver — the same retry-safe commit-message idea as the V2
+        writer (sinks/chunked_datasource.py, the primary path when the
+        sink can be addressed as a DataFrame format).  ``collect`` only
+        returns results from the final *successful* attempt of each
+        task, so a retried task never double-counts — the exactness an
+        accumulator cannot give (accumulators re-add on re-execution)
+        and the reason this is not ``df.count()`` + ``foreachPartition``
+        (which would scan the input twice).
+
+        The A3 reconciliation stays meaningful because the two counts
+        have independent sources: ``rows_read`` is what the task pulled
+        from the iterator, ``rows_client_reported`` is what the
+        endpoint's ``upsert`` acknowledged."""
         config, client = self.config, self.client
-        inserted = spark.sparkContext.accumulator(0)
 
         if config.mode == "replace":
             client.truncate()  # once, on the driver, before any writes
 
-        def write_partition(rows_iter) -> None:
+        def write_partition(rows_iter):
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             chunk: list[dict] = []
             chunk_idx = 0
+            rows_read = 0
+            rows_reported = 0
 
             def flush() -> None:
-                nonlocal chunk_idx
+                nonlocal chunk_idx, rows_reported
                 if not chunk:
                     return
                 chunk_id = f"{dataset}-p{pid:05d}-c{chunk_idx:05d}"
                 delay = config.delay_s
                 for attempt in range(config.tries):
                     try:
-                        inserted.add(client.upsert(chunk_id, list(chunk)))
+                        rows_reported += client.upsert(chunk_id, list(chunk))
                         break
                     except Exception:
                         if attempt == config.tries - 1:
@@ -271,16 +291,13 @@ class ChunkedSink:
 
             for row in rows_iter:
                 chunk.append(row.asDict(recursive=True))
+                rows_read += 1
                 if len(chunk) >= config.chunk_size:
                     flush()
             flush()
+            yield (rows_read, rows_reported)
 
-        # A1 audit total as its own action, deliberately NOT an
-        # accumulator/Observation on the write pass: accumulators
-        # double-count under task retry, and Observation metrics never
-        # fire on the RDD-backed foreachPartition action.  The V2 writer
-        # (sinks/chunked_datasource.py) is the single-pass design — its
-        # commit messages carry exact retry-safe per-task counts.
-        total = df.count()
-        df.foreachPartition(write_partition)
-        return SinkReport(dataset=dataset, total_records=total, rows_inserted=inserted.value)
+        counts = df.rdd.mapPartitions(write_partition).collect()
+        total = sum(c[0] for c in counts)
+        inserted = sum(c[1] for c in counts)
+        return SinkReport(dataset=dataset, total_records=total, rows_inserted=inserted)

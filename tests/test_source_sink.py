@@ -628,3 +628,56 @@ class TestFormatSurface:
             got = [tuple(r) for r in back.collect()]
             assert got == want, f"{fmt} round trip diverged"
             assert back.schema == schema, f"{fmt} schema diverged"
+
+
+class TestEmailNotifier:
+    """K9 notifier (Form700.py:556-583): message assembly with an
+    injectable transport; subject carries the job verdict, body the
+    per-dataset A3 reconciliation, attachment the K8 job-log CSV."""
+
+    def _reports(self):
+        from form700_etl_spark.sinks.chunked import SinkReport
+
+        return [
+            SinkReport(dataset="cover", total_records=100, rows_inserted=100),
+            SinkReport(dataset="scheduleA1", total_records=250, rows_inserted=240),
+        ]
+
+    def test_mixed_run_subject_body_attachment(self, tmp_path):
+        from form700_etl_spark.sinks.notify import EmailNotifier, RecordingTransport
+
+        transport = RecordingTransport()
+        notifier = EmailNotifier(
+            transport, sender="etl@example.invalid", recipients=("ops@example.invalid",)
+        )
+        csv_path = str(tmp_path / "job_log.csv")
+        msg = notifier.send_job_status(self._reports(), csv_path)
+
+        assert transport.sent == [msg]
+        assert msg["Subject"] == "form700 load: FAILURE"  # one dataset short
+        assert msg["To"] == "ops@example.invalid"
+        body = msg.get_body(("plain",)).get_content()
+        assert "cover: SUCCESS (100/100 rows)" in body
+        assert "scheduleA1: FAILURE (240/250 rows)" in body
+        # the attachment is byte-identical to the K8 CSV on disk
+        atts = [p for p in msg.iter_attachments()]
+        assert len(atts) == 1 and atts[0].get_filename() == "job_log.csv"
+        assert atts[0].get_content() == open(csv_path, newline="").read()
+        assert "dataset,totalRecords,rowsInserted,status" in atts[0].get_content()
+
+    def test_all_green_run_is_success(self, tmp_path):
+        from form700_etl_spark.sinks.chunked import SinkReport
+        from form700_etl_spark.sinks.notify import EmailNotifier, RecordingTransport
+
+        transport = RecordingTransport()
+        notifier = EmailNotifier(transport)
+        ok = [SinkReport(dataset="cover", total_records=5, rows_inserted=5)]
+        msg = notifier.send_job_status(ok, str(tmp_path / "log.csv"))
+        assert msg["Subject"] == "form700 load: SUCCESS"
+
+    def test_smtp_transport_builds_without_network(self):
+        # construction is side-effect-free; the wire call is in send()
+        from form700_etl_spark.sinks.notify import SmtpTransport
+
+        t = SmtpTransport("smtp.example.invalid", 587, starttls=True)
+        assert t.host == "smtp.example.invalid"
