@@ -73,6 +73,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    # Streaming throughput (separate from the batch total so round-over-
+    # round batch comparisons stay apples-to-apples): drive the tumbling-
+    # window aggregation over the full events fixture via the file-source
+    # stream and report steady-state events/second.
+    from form700_etl_spark.io import table as _table
+    from form700_etl_spark.streaming.events_stream import stream_tumbling_counts
+
+    n_events = _table(spark, sf_dir, "events").count()
+    stream_best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        stream_tumbling_counts(spark, sf_dir).count()
+        stream_best = min(stream_best, time.perf_counter() - start)
+    streaming = {
+        "query": "stream_tumbling_hourly",
+        "sec": round(stream_best, 3),
+        "events": n_events,
+        "events_per_s": round(n_events / stream_best),
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -81,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
                 "method": "best-of-2 per query (steady-state)",
             }
