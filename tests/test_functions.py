@@ -353,3 +353,24 @@ def test_titleize_and_schema_bootstrap(tmp_path):
     assert [r["fieldName"] for r in rows] == ["filingId", "departmentName"]
     assert rows[1]["name"] == "Department Name"
     assert all(r["dataTypeName"] == "" for r in rows)  # human fills types
+
+
+def test_shingle_df_cap_drops_hot_shingles_only(spark):
+    """The hot-shingle document-frequency cap (operators.dedup.shingle
+    max_shingle_df) must drop exactly the shingles shared by more than
+    the cap's doc count, and leave rarer shingles' rows intact — the
+    skew guard wired into dedup_ngram_jaccard / dedup_clusters_connected."""
+    from form700_etl_spark.operators.dedup import shingle
+
+    # 5 docs share the same 3-gram ("a b c"); 1 doc is unique
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(5)] + [(99, "x y z")],
+        "doc_id long, text string",
+    )
+    uncapped = shingle(docs, n=3)
+    assert uncapped.count() == 6
+    capped = shingle(docs, n=3, max_shingle_df=4)
+    rows = {(r.doc_id, r.shingle) for r in capped.collect()}
+    assert rows == {(99, "x y z")}  # hot shingle gone, rare one intact
+    # cap at exactly the df keeps it (cap is "more than", not "at least")
+    assert shingle(docs, n=3, max_shingle_df=5).count() == 6
