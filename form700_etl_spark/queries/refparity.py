@@ -773,6 +773,131 @@ def ref_pipeline_scheduleD(spark, sf_dir):
 
 
 @register(
+    "ref_pipeline_scheduleC",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           COALESCE(CAST(l.l_linenumber AS VARCHAR), '') AS id,
+           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Income Ave', '')
+             AS income_address,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'Consulting' END
+             AS income_business_activity,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN l.l_partkey % 2 = 0 THEN 'Owner'
+                         ELSE 'Advisor' END, '') AS income_business_position,
+           COALESCE(l.l_linestatus, '') AS income_city,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 12 AS DOUBLE), 0.0)
+             AS income_gross_income,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 25 THEN '10001-100000'
+                         ELSE '1001-10000' END, '') AS income_gross_income_as_range,
+           COALESCE(CASE WHEN l.l_partkey % 2 = 1
+               THEN 'source:' || l.l_returnflag || ',amount:' || {_QTY_S}
+                    || '|source:SPOUSE,amount:'
+                    || CAST(CAST(l.l_quantity AS BIGINT) + 5 AS VARCHAR)
+               ELSE 'source:' || l.l_returnflag || ',amount:' || {_QTY_S}
+           END, '') AS income_sources,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'CA' END AS income_state,
+           COALESCE('9410' || CAST(l.l_linenumber AS VARCHAR), '') AS income_zip,
+           COALESCE('Loan Plaza ' || CAST(l.l_linenumber AS VARCHAR), '')
+             AS loan_address,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'Lending' END
+             AS loan_business_activity,
+           COALESCE(l.l_linestatus, '') AS loan_city,
+           COALESCE(CAST(CAST(l.l_quantity AS BIGINT) * 50 AS DOUBLE), 0.0)
+             AS loan_highest_balance,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '100001-1000000'
+                         ELSE '10001-100000' END, '') AS loan_highest_balance_as_range,
+           {_numcast_sql(_QTY_S + " || '%'")} AS loan_interest_rate,
+           COALESCE('Bank-' || l.l_returnflag, '') AS loan_name_of_lender,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN l.l_partkey % 2 = 0 THEN 'None'
+                         ELSE 'Personal residence' END, '') AS loan_security,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'CA' END AS loan_state,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 30 THEN '30 years'
+                         ELSE '15 years' END, '') AS loan_term,
+           COALESCE('9410' || CAST(l.l_linenumber AS VARCHAR), '') AS loan_zip,
+           COALESCE('Emp-' || l.l_linestatus, '') AS name_of_income_source,
+           COALESCE(l.l_returnflag, '') AS reason_for_income,
+           COALESCE(CASE WHEN l.l_returnflag = 'N' THEN 'Other reason' END, '')
+             AS reason_for_income_other,
+           COALESCE(CASE WHEN l.l_returnflag = 'R' THEN 'Sale of property' END, '')
+             AS reason_for_income_sale,
+           COALESCE(l.l_linestatus, '') AS transaction_type,
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 3 = 2) l
+           ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 scheduleC over the full reference inventory (35 fields; the "
+        "flat income*/loan* field families, unlike B's dotted loan.* "
+        "struct) — incomeSources stringify with the two-element SPOUSE "
+        "variant."
+    ),
+)
+def ref_pipeline_scheduleC(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings, datasets=("scheduleC",))["scheduleC"]
+
+
+@register(
+    "ref_pipeline_scheduleE",
+    oracle=f"""
+    SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,
+           CAST(o.o_custkey AS VARCHAR) AS filer_id,
+           COALESCE(CAST(l.l_linenumber AS VARCHAR), '') AS id,
+           COALESCE(CAST(l.l_orderkey AS VARCHAR) || ' Travel Rd', '') AS address,
+           {_numcast_sql(
+               _QTY_S + " || (CASE WHEN l.l_returnflag = 'N' THEN 'n' ELSE '' END)"
+           )} AS amount,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'Advocacy' END
+             AS business_activity,
+           COALESCE(l.l_linestatus, '') AS city,
+           COALESCE(CASE WHEN CAST(l.l_quantity AS BIGINT) > 20
+                         THEN strftime(l.l_shipdate + INTERVAL 5 DAY, '%Y%m%d')
+                    END, '') AS end_date,
+           COALESCE(l.l_partkey % 2 = 0, FALSE) AS is_nonprofit,
+           COALESCE(l.l_partkey % 7 = 0, FALSE) AS is_other,
+           COALESCE(CAST(l.l_quantity AS BIGINT) > 25, FALSE) AS made_speech,
+           COALESCE('Src-' || l.l_returnflag, '') AS name_of_source,
+           COALESCE(CASE WHEN l.l_partkey % 7 = 0 THEN 'Other payment' END, '')
+             AS other_description,
+           COALESCE(strftime(l.l_shipdate, '%Y%m%d'), '') AS start_date,
+           CASE WHEN l.l_linenumber IS NULL THEN '' ELSE 'CA' END AS state,
+           COALESCE(l.l_linestatus, '') AS transaction_type,
+           COALESCE('Travel to ' || l.l_linestatus, '') AS travel_description,
+           COALESCE(CASE WHEN l.l_linenumber IS NULL THEN NULL
+                         WHEN CAST(l.l_quantity AS BIGINT) > 15 THEN 'REIMBURSEMENT'
+                         ELSE 'ADVANCE' END, '') AS type_of_payment,
+           COALESCE('9410' || CAST(l.l_linenumber AS VARCHAR), '') AS zip,
+           {_FILER_SQL}
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_linenumber % 5 = 2) l
+           ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("refparity", "pipeline"),
+    doc=(
+        "EP1 scheduleE over the full reference inventory (26 fields incl. "
+        "the checkbox trio isNonprofit/isOther/madeSpeech with the C4 "
+        "NULL->False semantics on itemless filings)."
+    ),
+)
+def ref_pipeline_scheduleE(spark, sf_dir):
+    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    return run_form700_pipeline(filings, datasets=("scheduleE",))["scheduleE"]
+
+
+@register(
     "ref_pipeline_comments",
     oracle=f"""
     SELECT CAST(o.o_orderkey AS VARCHAR) AS filing_id,

@@ -108,7 +108,9 @@ def test_schema_registry_contract():
         "comments",
     }
     s = load_schema("scheduleA1")
-    assert s.fields[0] == "filingId" and s.type_map["fairMarketValue"] == "number"
+    # reference field order: the filer block leads (form700_scheduleA1_schema.csv)
+    assert s.fields[0] == "filerName" and s.type_map["fairMarketValue"] == "number"
+    assert "filingId" in s.fields and s.type_map["filingId"] == "text"
     # scheduleB declares the reference's dotted loan.* fields
     b = load_schema("scheduleB")
     assert "loan.address" in b.fields and b.type_map["loan.highestBalance"] == "number"
