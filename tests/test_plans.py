@@ -149,3 +149,35 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the 1997 slice
     expected = o.filter(F.col("o_year") == 1997).count()
     assert back.count() == expected > 0
+
+
+def test_pipeline_prunes_unused_schedule_arrays(spark, sf_dir):
+    """Building one dataset must not pay for the other schedules'
+    nested-array construction: cover needs only the count(when)
+    aggregates (zero collect_list in its optimized plan), and a single
+    schedule's plan carries exactly its own collect_list.  A regression
+    (e.g. counts re-expressed as size(collect_list)) forces the full
+    nested payload to materialize per filing — invisible at sf0.001,
+    ruinous at 100 TB."""
+    from form700_etl_spark.plans.form700 import run_form700_pipeline, synthesize_filings
+
+    filings = synthesize_filings(spark, sf_dir)
+    cover = run_form700_pipeline(filings, datasets=("cover",))["cover"]
+    cover_plan = cover._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert cover_plan.count("collect_list") == 0, "cover must not build schedule arrays"
+    a2 = run_form700_pipeline(filings, datasets=("scheduleA2",))["scheduleA2"]
+    a2_plan = a2._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert a2_plan.count("collect_list") == 1, "scheduleA2 builds exactly its own array"
+
+
+def test_pipeline_enrichment_join_broadcasts(spark, sf_dir):
+    """The cover's customer join must broadcast (J1): a sort-merge there
+    shuffles every filing row at 100 TB for a dimension-sized side."""
+    from form700_etl_spark.plans.form700 import run_form700_pipeline, synthesize_filings
+
+    df = run_form700_pipeline(
+        synthesize_filings(spark, sf_dir), datasets=("scheduleA2",)
+    )["scheduleA2"]
+    phys = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
