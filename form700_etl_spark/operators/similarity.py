@@ -51,20 +51,51 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def kmeans_centroids(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
-                     id_col: str = "neighbor_id", vec_col: str = "nvec") -> list:
-    """Deterministic Lloyd's k-means entirely in DataFrame ops:
-    init = the ``n_centroids`` lowest-id vectors; assign = argmin
-    squared distance (broadcast centroid literals); update = per-
-    dimension mean via posexplode + groupBy.  Returns driver-side
-    [(cluster_id, [float,...])] — centroids are tiny by construction.
+                     id_col: str = "neighbor_id", vec_col: str = "nvec",
+                     train_sample: int | None = 16_384) -> list:
+    """Deterministic Lloyd's k-means for IVF training.  Returns
+    driver-side [(cluster_id, [float,...])] — centroids are tiny by
+    construction.  Init = the ``n_centroids`` lowest-id vectors.
 
-    At 100 TB this is the standard IVF training loop: each iteration is
-    one broadcast + one (cluster, dim)-keyed aggregation; only K×dim
-    floats ever reach the driver."""
-    init = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(corpus.orderBy(id_col).limit(n_centroids).collect())
-    ]
+    Default path (``train_sample`` set): train on a deterministic
+    hash-ordered sample of at most ``train_sample`` vectors, collected
+    once and iterated in numpy on the driver.  This is how IVF indexes
+    are actually trained over huge corpora (faiss trains its
+    quantizer on a subsample, not the full set): driver memory is
+    bounded at sample×dim floats regardless of corpus size, the whole
+    training costs ONE distributed job (a TakeOrdered sample), and
+    Lloyd iterations are then free — vs. two distributed passes per
+    iteration.  The hash order (xxhash64 of the id) makes the sample
+    reproducible and unbiased by storage order.
+
+    ``train_sample=None`` keeps the fully-distributed loop: assign =
+    Arrow-batched argmin pass, update = per-dimension mean via
+    posexplode + groupBy; one broadcast + one (cluster, dim)-keyed
+    aggregation per iteration, only K×dim floats ever on the driver.
+    Use it when the training set itself must exceed driver memory —
+    rarely right for IVF, where sample quality saturates long before
+    that."""
+    import numpy as np
+
+    init_rows = corpus.orderBy(id_col).limit(n_centroids).collect()
+    init = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)]
+    if train_sample is not None:
+        sample = (
+            corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(train_sample)
+            .collect()
+        )
+        mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
+        cm = np.array([vec for _, vec in init], dtype=np.float64)
+        for _ in range(iters):
+            d = -2.0 * (mat @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+            labels = np.argmin(d, axis=1)
+            for ci in range(len(cm)):
+                members = mat[labels == ci]
+                if len(members):  # empty cluster keeps its centroid
+                    cm[ci] = members.mean(axis=0)
+        return [(i, [float(x) for x in cm[i]]) for i in range(len(cm))]
     centroids = init
     for _ in range(iters):
         assigned = assign_clusters(corpus, centroids, vec_col=vec_col)
