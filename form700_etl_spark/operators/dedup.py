@@ -164,7 +164,8 @@ def lsh_candidates(signatures: DataFrame, band_rows: int = BAND_ROWS,
 
 
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | None = None,
-                   round_to: int = 6, shingles_distinct: bool = True) -> DataFrame:
+                   round_to: int = 6, shingles_distinct: bool = True,
+                   pairs_materialized: bool = False) -> DataFrame:
     """Exact Jaccard for each candidate pair via the inverted index:
     the (doc2, shingle) join touches only shared shingles.
 
@@ -176,8 +177,11 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | Non
     The pair set and the candidate-restricted shingle set are each
     consumed by MULTIPLE downstream joins; both are localCheckpointed
     so the (potentially full-corpus) lineage behind them runs once,
-    not once per consumer.  Both are O(candidates) — tiny."""
-    pairs = pairs.localCheckpoint()
+    not once per consumer.  Both are O(candidates) — tiny.  Callers
+    that already materialized ``pairs`` pass ``pairs_materialized=True``
+    to skip a redundant second checkpoint copy."""
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint()
     if not shingles_distinct:
         cand_docs = (
             pairs.select(F.col("doc1").alias("doc_id"))

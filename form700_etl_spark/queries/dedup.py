@@ -290,7 +290,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         n=3,
         distinct=False,
     )
-    return verify_jaccard(candidates, raw_cand, shingles_distinct=False)
+    return verify_jaccard(
+        candidates, raw_cand, shingles_distinct=False, pairs_materialized=True
+    )
 
 
 @register(
