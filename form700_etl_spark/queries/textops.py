@@ -557,3 +557,58 @@ def doc_corpus_stats(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --------------------------------------------------------------- fuzzy join
+
+_CORRUPT_SQL = """
+    CASE CAST(p_partkey % 4 AS INT)
+        WHEN 0 THEN concat(substr(p_name, 1, 2), substr(p_name, 4))
+        WHEN 1 THEN p_name || 'x'
+        WHEN 2 THEN concat(substr(p_name, 1, 4), 'zq', substr(p_name, 7))
+        ELSE p_name
+    END
+"""
+
+
+@register(
+    "fuzzy_join_part_names",
+    oracle=f"""
+    WITH clean AS (SELECT p_partkey AS match_id, p_name AS name FROM part),
+    dirty AS (
+        SELECT p_partkey AS query_id, {_CORRUPT_SQL} AS qname FROM part
+    )
+    SELECT d.query_id, c.match_id,
+           CAST(levenshtein(d.qname, c.name) AS INT) AS dist
+    FROM dirty d JOIN clean c
+      ON lower(substr(d.qname, 1, 3)) = lower(substr(c.name, 1, 3))
+     AND abs(length(d.qname) - length(c.name)) <= 2
+    WHERE levenshtein(d.qname, c.name) <= 2
+    """,
+    tags=("join", "fuzzy", "text"),
+    doc=(
+        "Fuzzy (edit-distance <= 2) join: deterministically corrupted part "
+        "names (char drop / append / substitution) linked back to the clean "
+        "list via prefix blocking + length band + exact levenshtein verify — "
+        "the record-linkage shape, no n² cross product (operators/fuzzy.py)."
+    ),
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    from ..operators.fuzzy import fuzzy_join
+
+    p = table(spark, sf_dir, "part")
+    p4 = (F.col("p_partkey") % 4).cast("int")
+    corrupted = (
+        F.when(p4 == 0, F.concat(F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")))
+        .when(p4 == 1, F.concat(F.col("p_name"), F.lit("x")))
+        .when(
+            p4 == 2,
+            F.concat(F.substring("p_name", 1, 4), F.lit("zq"), F.expr("substring(p_name, 7)")),
+        )
+        .otherwise(F.col("p_name"))
+    )
+    dirty = p.select(F.col("p_partkey").alias("query_id"), corrupted.alias("qname"))
+    clean = p.select(F.col("p_partkey").alias("match_id"), F.col("p_name").alias("name"))
+    return fuzzy_join(dirty, clean, "qname", "name", max_dist=2, prefix_len=3).select(
+        "query_id", "match_id", "dist"
+    )
