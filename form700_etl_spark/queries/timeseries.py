@@ -202,3 +202,95 @@ def window_rolling_7d_distinct_users(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
     )
+
+
+@register(
+    "timeseries_linear_interpolate",
+    oracle="""
+    -- floor(epoch(ts)): Spark's ts.cast('long') truncates sub-second
+    -- micros while DuckDB's CAST(DOUBLE AS BIGINT) rounds — without the
+    -- floor the interpolation weights differ by one second and the
+    -- rounded output flips in the last decimal.
+    WITH masked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    walls AS (
+        SELECT event_id, user_id, ts, v,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL
+                               THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+                 OVER w_prev AS pt,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL
+                                THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+                 OVER w_next AS nt
+        FROM masked
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           v IS NULL AS was_missing,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN nt IS NULL THEN pv
+                      WHEN pt IS NULL THEN nv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                             / CAST(nt - pt AS DOUBLE))
+                 END, 4) AS value_filled
+    FROM walls
+    """,
+    tags=("time", "window"),
+    doc=(
+        "Two-sided linear interpolation of missing per-user values: "
+        "last/first non-null walls via IGNORE NULLS windows, then the "
+        "time-weighted blend — edges carry the single available wall.  "
+        "Two ordered window passes over one shuffle by user_id; no UDF, "
+        "no self-join.  (The one-sided variant is timeseries_locf_gapfill.)"
+    ),
+)
+def timeseries_linear_interpolate(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    t = F.col("ts").cast("long")
+    masked = e.select("event_id", "user_id", "ts", v.alias("v"), t.alias("t"))
+    order = [F.col("ts"), F.col("event_id")]
+    w_prev = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("t"))
+    walls = masked.select(
+        "event_id", "user_id", "ts", "v", "t",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (F.col("t") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .when(F.col("pt").isNull(), F.col("nv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return walls.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("v").isNull().alias("was_missing"),
+        F.round(filled, 4).alias("value_filled"),
+    )
