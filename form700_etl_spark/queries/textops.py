@@ -612,3 +612,93 @@ def fuzzy_join_part_names(spark, sf_dir):
     return fuzzy_join(dirty, clean, "qname", "name", max_dist=2, prefix_len=3).select(
         "query_id", "match_id", "dist"
     )
+
+
+# ------------------------------------------------- boilerplate line removal
+
+_BP_CHUNK = 2  # tokens per segment ("line" granularity in the token-soup fixture)
+_BP_MAX_DF = 8  # segments in more than this many docs are boilerplate
+
+
+@register(
+    "text_boilerplate_line_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(tk[(i*{_BP_CHUNK}+1):(i*{_BP_CHUNK}+{_BP_CHUNK})], ' ') AS chunk
+        FROM toks, unnest(range(0, CAST(ceil(len(tk) / {_BP_CHUNK}.0) AS INT))) AS t(i)
+    ),
+    hot AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) > {_BP_MAX_DF}
+    ),
+    kept AS (
+        SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+        WHERE c.chunk NOT IN (SELECT chunk FROM hot)
+    )
+    SELECT t.doc_id,
+           COALESCE(k.cleaned_text, '') AS cleaned_text,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(
+               CAST(ceil(len(t.tk) / {_BP_CHUNK}.0) AS BIGINT)
+               - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t
+    LEFT JOIN (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY pos) AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = t.doc_id
+    """,
+    tags=("text", "dedup"),
+    doc=(
+        "Cross-document boilerplate removal (the C4/Dolma line-dedup "
+        "step): split each doc into fixed non-overlapping token segments, "
+        "drop segments appearing in more than N distinct docs corpus-wide, "
+        "reassemble the survivors in order.  One segment-keyed aggregation "
+        "+ a broadcast anti-join; reassembly is a sorted collect per doc."
+    ),
+)
+def text_boilerplate_line_removal(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n = _BP_CHUNK
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    chunk_structs = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(tk) / {n}.0) AS INT) - 1), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(tk, i*{n}+1, {n})) AS chunk))"
+    )
+    chunks = toks.select(
+        "doc_id", F.size("tk").alias("n_tok"), F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "n_tok", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk"))
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > _BP_MAX_DF)
+        .select("chunk")
+    )
+    kept = chunks.join(F.broadcast(hot), "chunk", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = toks.select(
+        "doc_id", F.ceil(F.size("tk") / F.lit(float(n))).cast("long").alias("n_chunks")
+    )
+    return (
+        base.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
