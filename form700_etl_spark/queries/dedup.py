@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.dedup import BAND_ROWS as _BAND_ROWS
 from ..operators.dedup import MAX_SHINGLE_DF
+from ..operators.dedup import N_HASHES as _N_HASHES
 from ..registry import register
 
 # ------------------------------------------------------------- shared pieces
@@ -205,8 +207,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 # --------------------------------------------------------------- MinHash-LSH
 
-_N_HASHES = 12
-_BAND_ROWS = 3  # -> 4 bands
 
 
 def _minhash_sql() -> str:
