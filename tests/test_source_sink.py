@@ -681,3 +681,44 @@ class TestEmailNotifier:
 
         t = SmtpTransport("smtp.example.invalid", 587, starttls=True)
         assert t.host == "smtp.example.invalid"
+
+
+class TestBinaryFileSource:
+    """`binaryFile` is the built-in ingestion path for multimodal
+    payloads (one row per file: path, length, content bytes) — feed it
+    straight into the multimodal feature extractor to prove the whole
+    media pipeline runs off real files, not just the synthesized
+    column."""
+
+    def test_binary_files_flow_into_feature_extract(self, spark, tmp_path):
+        from form700_etl_spark.operators.multimodal import extract_features
+
+        blobs = {i: bytes([i]) * (100 + i) for i in range(8)}
+        for i, payload in blobs.items():
+            (tmp_path / f"media-{i}.bin").write_bytes(payload)
+
+        files = spark.read.format("binaryFile").load(str(tmp_path))
+        assert {"path", "length", "content"} <= set(files.columns)
+        media = files.select(
+            F.regexp_extract("path", r"media-(\d+)\.bin", 1).cast("long").alias("doc_id"),
+            F.lit("image").alias("media_type"),
+            F.col("content").alias("payload"),
+            F.struct(
+                F.col("length").alias("n_bytes"),
+                F.lit("image").alias("declared_type"),
+            ).alias("meta"),
+        )
+        rows = {r.doc_id: r for r in extract_features(media).collect()}
+        assert set(rows) == set(blobs)
+        for i, payload in blobs.items():
+            assert rows[i].n_bytes == len(payload)
+
+    def test_path_glob_filter_prunes_files(self, spark, tmp_path):
+        (tmp_path / "keep-1.bin").write_bytes(b"a" * 10)
+        (tmp_path / "skip-1.dat").write_bytes(b"b" * 10)
+        kept = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(str(tmp_path))
+        )
+        assert kept.count() == 1
