@@ -181,3 +181,12 @@ def test_pipeline_enrichment_join_broadcasts(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastHashJoin" in phys
     assert "SortMergeJoin" not in phys
+
+
+def test_fuzzy_join_is_hash_join_not_cartesian(spark, sf_dir):
+    """The fuzzy join's prefix block must be the equi key Spark hashes
+    on; if a refactor folds it into the filter, the plan degrades to a
+    nested-loop cross product — fine at sf0.001, n² at corpus scale."""
+    plan = executed_plan_of(spark, sf_dir, "fuzzy_join_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
