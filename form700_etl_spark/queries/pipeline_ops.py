@@ -520,3 +520,66 @@ def training_pipeline_end_to_end(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS total, SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM counts),
+    rates AS (
+        SELECT c.lang,
+               round(least(
+                   1.0,
+                   (sqrt(CAST(c.n AS DOUBLE)) / t.z)
+                     * (CAST(t.total AS DOUBLE) / 2.0) / CAST(c.n AS DOUBLE)
+               ), 6) AS rate
+        FROM counts c, tot t
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_H4_UNIFORM} < r.rate
+    GROUP BY d.lang
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+    doc=(
+        "Temperature-based mixture resampling (alpha-sampling, alpha = "
+        "1/T = 0.5, the XLM-R/mBERT recipe): per-language target share "
+        "proportional to sqrt(n), scaled to a half-corpus budget and "
+        "capped at keep-everything.  Rare languages are up-weighted "
+        "relative to their natural share, head languages down-sampled.  "
+        "Same scan-side deterministic-hash membership as the other "
+        "sampling ops — the tiny rate table broadcasts, the corpus is "
+        "filtered in place with no shuffle; rates round at 1e-6 so the "
+        "cross-engine float reduction order cannot flip a boundary row."
+    ),
+)
+def sample_temperature_mixture(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"),
+    )
+    rates = counts.crossJoin(tot).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.sqrt(F.col("n").cast("double")) / F.col("z"))
+                * (F.col("total").cast("double") / F.lit(2.0))
+                / F.col("n").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(h, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
