@@ -702,3 +702,68 @@ def text_boilerplate_line_removal(spark, sf_dir):
             (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+@register(
+    "text_intra_doc_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(tk[(i*{_BP_CHUNK}+1):(i*{_BP_CHUNK}+{_BP_CHUNK})], ' ') AS chunk
+        FROM toks, unnest(range(0, CAST(ceil(len(tk) / {_BP_CHUNK}.0) AS INT))) AS t(i)
+    ),
+    ranked AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY doc_id, chunk ORDER BY pos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos)
+             AS deduped_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+    doc=(
+        "Intra-document repetition removal: within each doc, repeated "
+        "token segments keep only their first occurrence (the remove-"
+        "repetitions step complementing the Gopher duplicate-fraction "
+        "SIGNAL).  One window over (doc, segment) + an ordered per-doc "
+        "reassembly — all inside a single doc_id-clustered exchange."
+    ),
+)
+def text_intra_doc_dedup(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n = _BP_CHUNK
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    chunk_structs = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(tk) / {n}.0) AS INT) - 1), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(tk, i*{n}+1, {n})) AS chunk))"
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk")
+    )
+    rn = F.row_number().over(W.partitionBy("doc_id", "chunk").orderBy("pos"))
+    ranked = chunks.withColumn("rn", rn)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+                )
+            ),
+            lambda s: s.getField("chunk"),
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        kept_text.alias("deduped_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+    )
