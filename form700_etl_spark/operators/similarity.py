@@ -254,3 +254,158 @@ def topk_neighbors(queries: DataFrame, corpus: DataFrame, k: int,
         .filter(F.col("rk") <= k)
         .drop("qvec", "nvec", "nbucket")
     )
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+
+def pq_train_codebooks(corpus: DataFrame, n_subspaces: int = 8, n_codes: int = 16,
+                       iters: int = 5, train_sample: int = 16_384,
+                       id_col: str = "neighbor_id", vec_col: str = "nvec") -> list:
+    """Product-quantization codebooks (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011): split the
+    vector into ``n_subspaces`` contiguous sub-vectors and k-means each
+    subspace independently to ``n_codes`` centroids.
+
+    Training follows the same bounded-sample recipe as
+    ``kmeans_centroids``: ONE distributed job collects a deterministic
+    hash-ordered sample, Lloyd runs in numpy on the driver, and the
+    codebooks (n_subspaces × n_codes × sub_dim floats — kilobytes)
+    broadcast to every encoder task.  Returns a nested python list
+    ``codebooks[m][k] = [float,...]``."""
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_sample)
+        .collect()
+    )
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    books = []
+    for m in range(n_subspaces):
+        x = mat[:, m * sub:(m + 1) * sub]
+        # deterministic init: first n_codes distinct-ish rows of the sample
+        cm = x[:n_codes].copy()
+        for _ in range(iters):
+            d = -2.0 * (x @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+            labels = np.argmin(d, axis=1)
+            for ci in range(n_codes):
+                members = x[labels == ci]
+                if len(members):
+                    cm[ci] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cm])
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: list,
+              id_col: str = "neighbor_id", vec_col: str = "nvec") -> DataFrame:
+    """Encode each vector as ``n_subspaces`` uint8 codes (nearest
+    centroid per subspace) — an Arrow-batched numpy pass, no shuffle.
+    At 64-dim float32 → 8 codes this is a 32× memory compression of
+    the corpus index."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        books = [np.array(b, dtype=np.float64) for b in bc.value]
+        sub = books[0].shape[1]
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(v), len(books)), dtype=np.int32)
+            for m, cm in enumerate(books):
+                x = v[:, m * sub:(m + 1) * sub]
+                d = -2.0 * (x @ cm.T) + (cm * cm).sum(axis=1)[None, :]
+                codes[:, m] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes.tolist())})
+
+    return corpus.mapInPandas(encode, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, n_subspaces: int = 8,
+            n_codes: int = 16, rerank: int = 4) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC) + exact rerank:
+
+    1. train codebooks on a bounded sample (one job);
+    2. encode the corpus to uint8 codes (Arrow pass, no shuffle) —
+       the only per-vector state the search touches;
+    3. per query, precompute the (n_subspaces × n_codes) distance
+       table driver-side and broadcast it; each partition scores its
+       codes by ``rerank*k`` table lookups per row and emits a partial
+       candidate top-k — the corpus float vectors are NOT read here;
+    4. exact-cosine rerank of the per-query candidates against the
+       true vectors (a broadcast semi-join back to the corpus), so the
+       returned scores are exact and deterministic.
+
+    At 100 TB the scan side holds codes only (32× smaller than the
+    raw float32 corpus) — the standard memory-bound ANN trade."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    books = pq_train_codebooks(corpus, n_subspaces=n_subspaces, n_codes=n_codes)
+    encoded = pq_encode(corpus, books).localCheckpoint()
+
+    q_rows = queries.select("query_id", "qvec").collect()
+    books_np = [np.array(b, dtype=np.float64) for b in books]
+    sub = books_np[0].shape[1]
+    tables = {}
+    for r in q_rows:
+        qv = np.array(r.qvec, dtype=np.float64)
+        t = np.empty((len(books_np), books_np[0].shape[0]), dtype=np.float64)
+        for m, cm in enumerate(books_np):
+            qs = qv[m * sub:(m + 1) * sub]
+            t[m] = ((cm - qs[None, :]) ** 2).sum(axis=1)
+        tables[int(r.query_id)] = t
+    bc = spark.sparkContext.broadcast(tables)
+    n_cand = rerank * k
+
+    def score(batches):
+        tabs = bc.value
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            cols = np.arange(codes.shape[1])
+            for qid, t in tabs.items():
+                adist = t[cols[None, :], codes].sum(axis=1)
+                take = min(n_cand, len(adist))
+                idx = np.argpartition(adist, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(int(i) for i in ids[idx])
+                out_d.extend(float(x) for x in adist[idx])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "adist": out_d})
+
+    candidates = encoded.mapInPandas(
+        score, schema="query_id long, neighbor_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    shortlist = (
+        candidates.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank on the true vectors, self-matches excluded
+    cand_vecs = corpus.join(
+        F.broadcast(shortlist.select("neighbor_id").distinct()), "neighbor_id", "left_semi"
+    )
+    q = queries.select("query_id", "qvec")
+    joined = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(cand_vecs, "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    sims = joined.withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cosine")
+    )

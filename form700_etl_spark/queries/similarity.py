@@ -283,3 +283,27 @@ def embedding_quantize_int8(spark, sf_dir):
         F.round(F.avg(F.round("scale", 6)), 6).alias("avg_scale"),
         F.round(F.avg(recon), 6).alias("avg_recon_l2"),
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # approximate-recall ANN: rows-only; recall tested vs exact
+    tags=("similarity", "topk", "pq"),
+    doc=(
+        "Product-quantization ANN (Jégou et al. 2011): codebooks trained "
+        "on a bounded hash-ordered sample, corpus encoded to 8 uint8 codes "
+        "per vector (32x memory compression of the scan side), asymmetric-"
+        "distance candidate scan via broadcast lookup tables, exact-cosine "
+        "rerank of the shortlist.  The memory-bound ANN path complementing "
+        "IVF's compute-bound one."
+    ),
+)
+def ann_pq_topk(spark, sf_dir):
+    from ..operators.similarity import pq_topk
+
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("vec"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    return pq_topk(q, cand, k=5, n_codes=32, rerank=16)

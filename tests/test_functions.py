@@ -376,3 +376,38 @@ def test_shingle_df_cap_drops_hot_shingles_only(spark):
     assert rows == {(99, "x y z")}  # hot shingle gone, rare one intact
     # cap at exactly the df keeps it (cap is "more than", not "at least")
     assert shingle(docs, n=3, max_shingle_df=5).count() == 6
+
+
+def test_pq_recall_against_exact(spark, sf_dir):
+    """PQ ANN must recover most exact top-5 neighbors after the ADC
+    shortlist + exact rerank (recall tested the same way as IVF), and
+    its returned cosines must be EXACT (the rerank recomputes them on
+    the true vectors, so any reported pair's score equals the exact
+    plan's score for that pair)."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.operators.similarity import pq_topk, topk_neighbors, vec_double
+
+    v = table(spark, sf_dir, "embeddings").select("vec_id", vec_double().alias("vec"))
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    exact = topk_neighbors(q, cand, k=5).collect()
+    approx = pq_topk(q, cand, k=5, n_codes=32, rerank=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        approx_scores[(r.query_id, r.neighbor_id)] = r.cosine
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    hits = sum(len(exact_sets[k] & approx_sets.get(k, set())) for k in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6, f"PQ recall too low: {hits}/{total}"
+    for key, score in approx_scores.items():
+        if key in exact_scores:
+            assert score == exact_scores[key]  # rerank scores are exact

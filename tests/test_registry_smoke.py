@@ -37,6 +37,7 @@ _EAGER = {
     "dedup_minhash_lsh",
     "dedup_clusters_connected",
     "ann_ivf_topk",
+    "ann_pq_topk",
 }
 
 
