@@ -391,10 +391,19 @@ def _simhash_select_sql() -> str:
     ),
 )
 def dedup_simhash(spark, sf_dir):
+    sigs = _simhash_sigs(spark, sf_dir)
+    groups = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return sigs.join(groups, "simhash").select("doc_id", "simhash", "canonical_id", "group_size")
+
+
+def _simhash_sigs(spark, sf_dir) -> DataFrame:
+    """32-bit SimHash per doc: per-bit +1/-1 token contributions, then
+    the signed majority per bit — all 32 sums in ONE aggregation pass
+    (map-side partials)."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
-    # per-bit +1/-1 contributions, then the signed majority per bit —
-    # all 32 sums in ONE aggregation pass (map-side partials)
     contribs = []
     for j in range(_SIMHASH_BITS):
         digit = F.conv(F.substring(F.md5("token"), j + 1, 1), 16, 10).cast("int")
@@ -407,8 +416,72 @@ def dedup_simhash(spark, sf_dir):
     for j in range(_SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = term if sig_expr is None else (sig_expr + term)
-    sigs = sums.select("doc_id", sig_expr.cast("long").alias("simhash"))
-    groups = sigs.groupBy("simhash").agg(
-        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    return sums.select("doc_id", sig_expr.cast("long").alias("simhash"))
+
+
+_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 8 bits each; pigeonhole: hamming <= 3 -> >= 1 exact band
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_simhash_select_sql()} AS BIGINT) AS simhash
+        FROM tokens GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b,
+               (simhash // CAST(power(2, b * 8) AS BIGINT)) % 256 AS band_val
+        FROM sigs, unnest(range(0, {_SIMHASH_BANDS})) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
+                        x.doc_id AS doc2, x.simhash AS s2
+        FROM bands a JOIN bands x
+          ON a.b = x.b AND a.band_val = x.band_val AND a.doc_id < x.doc_id
     )
-    return sigs.join(groups, "simhash").select("doc_id", "simhash", "canonical_id", "group_size")
+    SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
+    """,
+    tags=("dedup", "lsh"),
+    doc=(
+        "SimHash near-duplicate PAIRS within Hamming distance "
+        f"{_HAMMING_MAX}: the 32-bit signature splits into {_SIMHASH_BANDS} "
+        "8-bit bands; by pigeonhole any pair within the distance budget "
+        "shares at least one band exactly, so band-equality blocking is "
+        "COMPLETE (not approximate) for this radius — candidates verify "
+        "with bit_count(xor).  Complements dedup_simhash's exact-signature "
+        "clustering with the near-match listing."
+    ),
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            ((F.col("simhash") / F.lit(1 << (b * 8))).cast("long") % 256).alias("band_val"),
+        )
+        for b in range(_SIMHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.b").alias("b"), F.col("bk.band_val").alias("band_val"))
+    a = bands.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"), "b", "band_val")
+    x = bands.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"), "b", "band_val")
+    cand = (
+        a.join(x, ["b", "band_val"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "s1", "doc2", "s2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc1", "doc2", "hamming")
+    )
