@@ -190,3 +190,16 @@ def test_fuzzy_join_is_hash_join_not_cartesian(spark, sf_dir):
     plan = executed_plan_of(spark, sf_dir, "fuzzy_join_part_names")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolation_single_shuffle_single_window(spark, sf_dir):
+    """The two-sided interpolation walls (prev/next, different frames,
+    same partitioning+ordering) must collapse into ONE Window operator
+    over ONE user_id exchange.  (Assert on the pre-execution physical
+    plan — the post-AQE string repeats the exchange subtree and would
+    double-count.)"""
+    df = QUERIES["timeseries_linear_interpolate"].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert len(re.findall(r"Exchange hashpartitioning", phys)) == 1
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(re.findall(r"\bWindow \[", opt)) == 1
