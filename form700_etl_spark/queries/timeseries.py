@@ -220,10 +220,12 @@ def window_rolling_7d_distinct_users(spark, sf_dir):
         SELECT event_id, user_id, ts, v,
                CAST(floor(epoch(ts)) AS BIGINT) AS t,
                last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CAST(round(v * 100) AS BIGINT) IGNORE NULLS) OVER w_prev AS pc,
                last_value(CASE WHEN v IS NOT NULL
                                THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
                  OVER w_prev AS pt,
                first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CAST(round(v * 100) AS BIGINT) IGNORE NULLS) OVER w_next AS nc,
                first_value(CASE WHEN v IS NOT NULL
                                 THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
                  OVER w_next AS nt
@@ -237,13 +239,20 @@ def window_rolling_7d_distinct_users(spark, sf_dir):
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            v IS NULL AS was_missing,
-           round(CASE WHEN v IS NOT NULL THEN v
-                      WHEN nt IS NULL THEN pv
-                      WHEN pt IS NULL THEN nv
-                      WHEN nt = pt THEN pv
-                      ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
-                                             / CAST(nt - pt AS DOUBLE))
-                 END, 4) AS value_filled
+           -- the blend runs in EXACT integer arithmetic (cents-quantized
+           -- walls), then one integer round-half-up to 1e-4 and a single
+           -- division back to double: a float expression like
+           -- pv + (nv-pv)*frac is vulnerable to one engine emitting a
+           -- fused multiply-add, which moved a boundary value across the
+           -- round(…,4) edge at sf0.1 (1 cell in 100k).  Integer ops have
+           -- no ulps; both engines produce identical bits.
+           CASE WHEN v IS NOT NULL THEN round(v, 4)
+                WHEN nt IS NULL THEN round(pv, 4)
+                WHEN pt IS NULL THEN round(nv, 4)
+                WHEN nt = pt THEN round(pv, 4)
+                ELSE CAST((200 * (pc * (nt - pt) + (nc - pc) * (t - pt))
+                           + (nt - pt)) // (2 * (nt - pt)) AS DOUBLE) / 10000.0
+           END AS value_filled
     FROM walls
     """,
     tags=("time", "window"),
@@ -269,28 +278,42 @@ def timeseries_linear_interpolate(spark, sf_dir):
         W.partitionBy("user_id").orderBy(*order)
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
+    from ..functions.money import cents
+
     t_obs = F.when(F.col("v").isNotNull(), F.col("t"))
     walls = masked.select(
         "event_id", "user_id", "ts", "v", "t",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(cents("v"), ignorenulls=True).over(w_prev).alias("pc"),
         F.last(t_obs, ignorenulls=True).over(w_prev).alias("pt"),
         F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(cents("v"), ignorenulls=True).over(w_next).alias("nc"),
         F.first(t_obs, ignorenulls=True).over(w_next).alias("nt"),
     )
-    frac = (F.col("t") - F.col("pt")).cast("double") / (
-        F.col("nt") - F.col("pt")
-    ).cast("double")
+    # integer-exact blend: interpolate cents-quantized walls, round half
+    # up to 1e-4 with integer division, divide back to double ONCE — no
+    # float multiply-add whose last ulp could differ across engines (the
+    # reason the earlier pv + (nv-pv)*frac form mismatched 1-in-100k
+    # cells at sf0.1: one engine fuses the multiply-add).
+    gap = F.col("nt") - F.col("pt")
+    num = F.col("pc") * gap + (F.col("nc") - F.col("pc")) * (F.col("t") - F.col("pt"))
+    e4 = F.expr("(200 * __num + __gap) div (2 * nullif(__gap, 0))")
     filled = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("nt").isNull(), F.col("pv"))
-        .when(F.col("pt").isNull(), F.col("nv"))
-        .when(F.col("nt") == F.col("pt"), F.col("pv"))
-        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        F.when(F.col("v").isNotNull(), F.round("v", 4))
+        .when(F.col("nt").isNull(), F.round("pv", 4))
+        .when(F.col("pt").isNull(), F.round("nv", 4))
+        .when(F.col("nt") == F.col("pt"), F.round("pv", 4))
+        .otherwise(F.col("__e4").cast("double") / F.lit(10000.0))
     )
-    return walls.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        F.col("v").isNull().alias("was_missing"),
-        F.round(filled, 4).alias("value_filled"),
+    return (
+        walls.withColumn("__gap", gap)
+        .withColumn("__num", num)
+        .withColumn("__e4", e4)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("v").isNull().alias("was_missing"),
+            filled.alias("value_filled"),
+        )
     )
