@@ -405,3 +405,64 @@ def table_checksum_orders(spark, sf_dir):
             .alias("checksum_b"),
         )
     )
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+    """,
+    tags=("scale", "validation", "agg"),
+    doc=(
+        "Referential-integrity audit: orphan counts for every declared "
+        "FK edge, one row per edge.  Each edge is a LEFT ANTI join "
+        "counted — parent sides that are dimension-sized broadcast, the "
+        "fact side is scanned once per edge with no wide shuffle; the "
+        "pipeline-health check run before any enrichment join is trusted."
+    ),
+)
+def audit_referential_integrity(spark, sf_dir):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for fk, child, ckey, parent, pkey in edges:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pkey)
+        orphans = c.join(F.broadcast(p), c[ckey] == p[pkey], "left_anti")
+        outs.append(
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+    return reduce(DataFrame.unionByName, outs)
