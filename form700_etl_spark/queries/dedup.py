@@ -9,8 +9,8 @@ Scale design (100 TB):
 - MinHash+LSH: fixed-width signature computed in ONE aggregation pass
   (K min-aggregates), banded into LSH keys; only band-collisions are
   verified — the candidate set, not the n² pair space, is shuffled.
-- SimHash: 16-bit signatures, banded blocking on bytes, Hamming
-  verification via bit_count(xor).
+- SimHash: 64-bit signatures (two 32-bit halves), 16-bit band blocking
+  (Manku/Jain/Sarma WWW 2007), Hamming verification via bit_count(xor).
 
 Determinism: all hashing is md5 (identical hex output in Spark and
 DuckDB); min-over-hex-strings is a valid random-permutation min.
@@ -349,137 +349,206 @@ def dedup_clusters_connected(spark, sf_dir):
 
 
 # ------------------------------------------------------------------- SimHash
+#
+# 64-bit fingerprint per Manku/Jain/Sarma, "Detecting near-duplicates
+# for web crawling" (WWW 2007): bit j of a token's hash is bit (j % 4)
+# of hex digit (j // 4) of md5(token) — all 16 hex digits contribute 4
+# bits each.  The signature is carried as TWO non-negative 32-bit
+# halves (simhash_lo = bits 0..31, simhash_hi = bits 32..63) so that
+# neither engine ever touches the sign bit of a 64-bit integer; Hamming
+# distance is bit_count(xor(lo)) + bit_count(xor(hi)).
 
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 64
+_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 16 bits each; pigeonhole: hamming <= 3 -> >= 1 exact band
 
 
-def _simhash_select_sql() -> str:
-    # bit j of a token = high bit of hex digit j of md5(token):
-    # (strpos('0123456789abcdef', substr(md5(token), j+1, 1)) - 1) >= 8
-    terms = []
-    for j in range(_SIMHASH_BITS):
-        bit = f"CASE WHEN strpos('0123456789abcdef', substr(md5(token), {j + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END"
-        terms.append(f"CASE WHEN SUM({bit}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
-    return " + ".join(terms)
+def _simhash_halves_sql() -> tuple[str, str]:
+    """DuckDB expressions for (simhash_lo, simhash_hi) over grouped tokens."""
+
+    def half(lo_bit: int) -> str:
+        terms = []
+        for j in range(lo_bit, lo_bit + 32):
+            digit = f"(strpos('0123456789abcdef', substr(md5(token), {j // 4 + 1}, 1)) - 1)"
+            bit = f"CASE WHEN ({digit} & {1 << (j % 4)}) <> 0 THEN 1 ELSE -1 END"
+            terms.append(
+                f"CASE WHEN SUM({bit}) > 0 THEN CAST({1 << (j - lo_bit)} AS BIGINT) ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    return half(0), half(32)
+
+
+def _simhash_sigs_sql() -> str:
+    lo, hi = _simhash_halves_sql()
+    return f"""
+    tokens AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST({lo} AS BIGINT) AS simhash_lo,
+               CAST({hi} AS BIGINT) AS simhash_hi
+        FROM tokens GROUP BY doc_id
+    )
+    """
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH tokens AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-    ),
-    sigs AS (
-        SELECT doc_id, CAST({_simhash_select_sql()} AS BIGINT) AS simhash
-        FROM tokens GROUP BY doc_id
-    )
-    SELECT s.doc_id, s.simhash,
+    WITH {_simhash_sigs_sql()}
+    SELECT s.doc_id, s.simhash_lo, s.simhash_hi,
            CAST(g.canonical_id AS BIGINT) AS canonical_id,
            CAST(g.group_size AS BIGINT) AS group_size
     FROM sigs s JOIN (
-        SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
-        FROM sigs GROUP BY simhash
-    ) g ON s.simhash = g.simhash
+        SELECT simhash_lo, simhash_hi, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+        FROM sigs GROUP BY simhash_lo, simhash_hi
+    ) g ON s.simhash_lo = g.simhash_lo AND s.simhash_hi = g.simhash_hi
     """,
     tags=("dedup", "lsh"),
     doc=(
-        "SimHash(32-bit, md5-derived bits) dedup: signature-equality clusters "
-        "with canonical representatives.  One wide aggregation computes all "
-        "32 signed bit-majorities in a single pass; clustering is a plain "
-        "hash-groupBy on the signature — O(n), no pair join.  (Near-match "
-        "pair listing within Hamming distance is the minhash/jaccard path.)"
+        "SimHash(64-bit, md5-derived bits, carried as two 32-bit halves) "
+        "dedup: signature-equality clusters with canonical representatives.  "
+        "One wide aggregation computes all 64 signed bit-majorities in a "
+        "single pass; clustering is a plain hash-groupBy on the signature — "
+        "O(n), no pair join.  (Near-match pair listing within a Hamming "
+        "radius is dedup_simhash_hamming.)"
     ),
 )
 def dedup_simhash(spark, sf_dir):
     sigs = _simhash_sigs(spark, sf_dir)
-    groups = sigs.groupBy("simhash").agg(
+    groups = sigs.groupBy("simhash_lo", "simhash_hi").agg(
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )
-    return sigs.join(groups, "simhash").select("doc_id", "simhash", "canonical_id", "group_size")
+    return sigs.join(groups, ["simhash_lo", "simhash_hi"]).select(
+        "doc_id", "simhash_lo", "simhash_hi", "canonical_id", "group_size"
+    )
 
 
 def _simhash_sigs(spark, sf_dir) -> DataFrame:
-    """32-bit SimHash per doc: per-bit +1/-1 token contributions, then
-    the signed majority per bit — all 32 sums in ONE aggregation pass
-    (map-side partials)."""
+    """64-bit SimHash per doc as two 32-bit halves: per-bit +1/-1 token
+    contributions, then the signed majority per bit — all 64 sums in ONE
+    aggregation pass (map-side partials)."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    tok_h = tokens.select("doc_id", F.md5("token").alias("h"))
     contribs = []
     for j in range(_SIMHASH_BITS):
-        digit = F.conv(F.substring(F.md5("token"), j + 1, 1), 16, 10).cast("int")
-        contribs.append(F.when(digit >= 8, 1).otherwise(-1).alias(f"b{j}"))
-    per_tok = tokens.select("doc_id", *contribs)
+        digit = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
+        bit_set = digit.bitwiseAND(F.lit(1 << (j % 4))) != 0
+        contribs.append(F.when(bit_set, 1).otherwise(-1).alias(f"b{j}"))
+    per_tok = tok_h.select("doc_id", *contribs)
     sums = per_tok.groupBy("doc_id").agg(
         *[F.sum(F.col(f"b{j}")).alias(f"s{j}") for j in range(_SIMHASH_BITS)]
     )
-    sig_expr = None
-    for j in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_expr = term if sig_expr is None else (sig_expr + term)
-    return sums.select("doc_id", sig_expr.cast("long").alias("simhash"))
+
+    def half(lo_bit: int):
+        expr = None
+        for j in range(lo_bit, lo_bit + 32):
+            term = F.when(
+                F.col(f"s{j}") > 0, F.lit(1 << (j - lo_bit)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            expr = term if expr is None else (expr + term)
+        return expr.cast("long")
+
+    return sums.select(
+        "doc_id", half(0).alias("simhash_lo"), half(32).alias("simhash_hi")
+    )
 
 
-_HAMMING_MAX = 3
-_SIMHASH_BANDS = 4  # 8 bits each; pigeonhole: hamming <= 3 -> >= 1 exact band
+# Band extraction shared by the Spark plan and the oracle: 4 bands of
+# 16 bits — (lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16).
+_BANDS_SQL = """
+    bands AS (
+        SELECT doc_id, simhash_lo, simhash_hi,
+               unnest([
+                   struct_pack(b := 0, band_val := simhash_lo & 65535),
+                   struct_pack(b := 1, band_val := simhash_lo // 65536),
+                   struct_pack(b := 2, band_val := simhash_hi & 65535),
+                   struct_pack(b := 3, band_val := simhash_hi // 65536)
+               ]) AS bk
+        FROM sigs
+    )
+"""
 
 
 @register(
     "dedup_simhash_hamming",
     oracle=f"""
-    WITH tokens AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-    ),
-    sigs AS (
-        SELECT doc_id, CAST({_simhash_select_sql()} AS BIGINT) AS simhash
-        FROM tokens GROUP BY doc_id
-    ),
-    bands AS (
-        SELECT doc_id, simhash, b,
-               (simhash // CAST(power(2, b * 8) AS BIGINT)) % 256 AS band_val
-        FROM sigs, unnest(range(0, {_SIMHASH_BANDS})) AS t(b)
-    ),
+    WITH {_simhash_sigs_sql()},
+    {_BANDS_SQL},
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc1, a.simhash AS s1,
-                        x.doc_id AS doc2, x.simhash AS s2
+        SELECT DISTINCT a.doc_id AS doc1, a.simhash_lo AS l1, a.simhash_hi AS h1,
+                        x.doc_id AS doc2, x.simhash_lo AS l2, x.simhash_hi AS h2
         FROM bands a JOIN bands x
-          ON a.b = x.b AND a.band_val = x.band_val AND a.doc_id < x.doc_id
+          ON a.bk.b = x.bk.b AND a.bk.band_val = x.bk.band_val AND a.doc_id < x.doc_id
     )
-    SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) AS INT) AS hamming
     FROM cand
-    WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
+    WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= {_HAMMING_MAX}
     """,
     tags=("dedup", "lsh"),
     doc=(
         "SimHash near-duplicate PAIRS within Hamming distance "
-        f"{_HAMMING_MAX}: the 32-bit signature splits into {_SIMHASH_BANDS} "
-        "8-bit bands; by pigeonhole any pair within the distance budget "
-        "shares at least one band exactly, so band-equality blocking is "
-        "COMPLETE (not approximate) for this radius — candidates verify "
-        "with bit_count(xor).  Complements dedup_simhash's exact-signature "
-        "clustering with the near-match listing."
+        f"{_HAMMING_MAX} (Manku/Jain/Sarma, WWW 2007): the 64-bit signature "
+        f"splits into {_SIMHASH_BANDS} 16-bit bands; by pigeonhole any pair "
+        "within the distance budget shares at least one band exactly, so "
+        "band-equality blocking is COMPLETE (not approximate) for this "
+        "radius — candidates verify with bit_count(xor).  Band-key "
+        "cardinality is 4 x 65 536 = 262 144 blocks (vs 4 x 256 for the "
+        "former 32-bit/8-bit scheme), and the 64-bit signature itself is "
+        "far more discriminating, so expected block size — and with it the "
+        "candidate self-join — shrinks by ~256x at any corpus size.  The "
+        "residual worst case is a corpus of true near-duplicates, where "
+        "the output itself is quadratic; a per-block frequency cap would "
+        "bound that but break the completeness guarantee, so it is left to "
+        "the exact-dedup pass that precedes near-dup in the curation "
+        "pipeline."
     ),
 )
 def dedup_simhash_hamming(spark, sf_dir):
     sigs = _simhash_sigs(spark, sf_dir).localCheckpoint()
     band_structs = [
-        F.struct(
-            F.lit(b).alias("b"),
-            ((F.col("simhash") / F.lit(1 << (b * 8))).cast("long") % 256).alias("band_val"),
-        )
-        for b in range(_SIMHASH_BANDS)
+        F.struct(F.lit(0).alias("b"), F.col("simhash_lo").bitwiseAND(F.lit(65535)).alias("band_val")),
+        F.struct(F.lit(1).alias("b"), F.shiftright("simhash_lo", 16).alias("band_val")),
+        F.struct(F.lit(2).alias("b"), F.col("simhash_hi").bitwiseAND(F.lit(65535)).alias("band_val")),
+        F.struct(F.lit(3).alias("b"), F.shiftright("simhash_hi", 16).alias("band_val")),
     ]
     bands = sigs.select(
-        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "simhash", F.col("bk.b").alias("b"), F.col("bk.band_val").alias("band_val"))
-    a = bands.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"), "b", "band_val")
-    x = bands.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"), "b", "band_val")
+        "doc_id", "simhash_lo", "simhash_hi", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        "simhash_lo",
+        "simhash_hi",
+        F.col("bk.b").alias("b"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("simhash_lo").alias("l1"),
+        F.col("simhash_hi").alias("h1"),
+        "b",
+        "band_val",
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("simhash_lo").alias("l2"),
+        F.col("simhash_hi").alias("h2"),
+        "b",
+        "band_val",
+    )
     cand = (
         a.join(x, ["b", "band_val"])
         .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "s1", "doc2", "s2")
+        .select("doc1", "l1", "h1", "doc2", "l2", "h2")
         .distinct()
     )
-    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    hamming = (
+        F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
+        + F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    ).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _HAMMING_MAX)
