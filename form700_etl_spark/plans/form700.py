@@ -44,7 +44,7 @@ from ..functions.cleaning import (
     strip_newlines,
 )
 from ..functions.nested import explode_outer_flat, flatten_dotted, stringify_structs
-from ..io import table
+from ..io import maybe_broadcast, table
 from ..schema_registry import TableInfo, load_schema, load_table_registry
 
 SCHEDULE_NAMES = (
@@ -371,7 +371,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     filing_ymd = F.date_format("o_orderdate", "yyyyMMdd")
     period_start = F.date_format(year_start, "yyyyMMdd")
     cover = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left")
         .select(
             # keys stay LONG in the nested source (join key below); the
             # clean pass casts them to the schema's declared text type

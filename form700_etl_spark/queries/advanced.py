@@ -10,7 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_sql
-from ..io import table
+from ..io import maybe_broadcast, table
 from ..registry import register
 
 
@@ -104,7 +104,7 @@ def q18_large_volume_orders(spark, sf_dir):
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "o_orderkey",
             "c_name",
@@ -369,7 +369,7 @@ def events_user_zscore_outliers(spark, sf_dir):
     # filter on the UNROUNDED z (as the oracle does) — filtering after
     # rounding would disagree on values within half an ulp of 2.5
     return (
-        e.join(F.broadcast(stats), e.user_id == F.col("uid"))
+        e.join(maybe_broadcast(stats), e.user_id == F.col("uid"))
         .filter(F.abs(z) > 2.5)
         .select(
             "event_id",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import checkbox_cast, number_cast, snake_case, strip_newlines, text_cast
 from ..functions.money import cents, cents_sql
 from ..functions.nested import stringify_structs
-from ..io import table
+from ..io import maybe_broadcast, table
 from ..registry import register
 
 # Dirty-value construction shared by Spark and SQL (identical CASE logic).
@@ -276,14 +276,19 @@ def ref_explode_prefix_rename(spark, sf_dir):
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
     tags=("refparity", "join"),
-    doc="J1: broadcast left enrichment join — attach parent (cover) columns to every child row.",
+    doc=(
+        "J1: left enrichment join — attach parent (cover) columns to every "
+        "child row.  Parent side hints broadcast only under the "
+        "maybe_broadcast size bound (orders scales with SF; at 100 TB AQE "
+        "plans the exchange instead)."
+    ),
 )
 def ref_enrichment_join(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
     )
-    return l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey, "left").select(
+    return l.join(maybe_broadcast(o), l.l_orderkey == o.o_orderkey, "left").select(
         "l_orderkey",
         "l_linenumber",
         "o_custkey",

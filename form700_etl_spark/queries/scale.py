@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_sql
-from ..io import table
+from ..io import maybe_broadcast, table
 from ..registry import register
 
 
@@ -439,8 +439,10 @@ def table_checksum_orders(spark, sf_dir):
     doc=(
         "Referential-integrity audit: orphan counts for every declared "
         "FK edge, one row per edge.  Each edge is a LEFT ANTI join "
-        "counted — parent sides that are dimension-sized broadcast, the "
-        "fact side is scanned once per edge with no wide shuffle; the "
+        "counted — parent key sides hint broadcast only while their "
+        "size estimate stays under the maybe_broadcast bound (nation "
+        "always; orders/customer only at small SF — at 100 TB those "
+        "edges fall back to an AQE-planned shuffled anti join); the "
         "pipeline-health check run before any enrichment join is trusted."
     ),
 )
@@ -459,7 +461,7 @@ def audit_referential_integrity(spark, sf_dir):
     for fk, child, ckey, parent, pkey in edges:
         c = table(spark, sf_dir, child)
         p = table(spark, sf_dir, parent).select(pkey)
-        orphans = c.join(F.broadcast(p), c[ckey] == p[pkey], "left_anti")
+        orphans = c.join(maybe_broadcast(p), c[ckey] == p[pkey], "left_anti")
         outs.append(
             c.agg(F.count(F.lit(1)).alias("n_child"))
             .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))

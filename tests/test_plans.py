@@ -73,6 +73,28 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_sf_scaling_broadcast_hint_is_size_gated(spark, sf_dir):
+    """customer/supplier/part (SF-scaling tables) hint broadcast through
+    maybe_broadcast, not a hard F.broadcast: under the default bound they
+    still broadcast at test SF, but with the bound set to 0 no forced
+    hint survives in the analyzed plan — the strategy belongs to AQE.
+    (A hard hint on an SF-scaling side is a driver OOM at 100 TB.)"""
+    from form700_etl_spark.io import (
+        BROADCAST_HINT_CONF,
+        DEFAULT_BROADCAST_HINT_MAX_BYTES,
+    )
+
+    plan = plan_of(spark, sf_dir, "q18_large_volume_orders")
+    assert "BroadcastHashJoin" in plan, plan
+    spark.conf.set(BROADCAST_HINT_CONF, "0")
+    try:
+        df = QUERIES["q18_large_volume_orders"].fn(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        assert "ResolvedHint" not in analyzed, analyzed
+    finally:
+        spark.conf.set(BROADCAST_HINT_CONF, str(DEFAULT_BROADCAST_HINT_MAX_BYTES))
+
+
 def test_q5_all_dims_broadcast_one_fact_shuffle(spark, sf_dir):
     """Q5 joins lineitem against orders/customer/supplier/nation/region:
     every dimension side must broadcast; only fact-fact traffic plus the
