@@ -571,12 +571,19 @@ _CORRUPT_SQL = """
 """
 
 
+_FUZZY_MAX_BLOCK_DF = 2000  # > largest natural (prefix, length) block at sf0.1 (977)
+
+
 @register(
     "fuzzy_join_part_names",
     oracle=f"""
     WITH clean AS (SELECT p_partkey AS match_id, p_name AS name FROM part),
     dirty AS (
         SELECT p_partkey AS query_id, {_CORRUPT_SQL} AS qname FROM part
+    ),
+    hot AS (
+        SELECT lower(substr(name, 1, 3)) AS bk, length(name) AS bl
+        FROM clean GROUP BY 1, 2 HAVING COUNT(*) > {_FUZZY_MAX_BLOCK_DF}
     )
     SELECT d.query_id, c.match_id,
            CAST(levenshtein(d.qname, c.name) AS INT) AS dist
@@ -584,13 +591,23 @@ _CORRUPT_SQL = """
       ON lower(substr(d.qname, 1, 3)) = lower(substr(c.name, 1, 3))
      AND abs(length(d.qname) - length(c.name)) <= 2
     WHERE levenshtein(d.qname, c.name) <= 2
+      AND NOT EXISTS (
+          SELECT 1 FROM hot h
+          WHERE h.bk = lower(substr(c.name, 1, 3)) AND h.bl = length(c.name)
+      )
     """,
     tags=("join", "fuzzy", "text"),
     doc=(
         "Fuzzy (edit-distance <= 2) join: deterministically corrupted part "
         "names (char drop / append / substitution) linked back to the clean "
-        "list via prefix blocking + length band + exact levenshtein verify — "
-        "the record-linkage shape, no n² cross product (operators/fuzzy.py)."
+        "list via (prefix, length) blocking — the length band is folded into "
+        "the equi key by replicating the reference side across the band — "
+        "plus exact levenshtein verify; the record-linkage shape, no n² "
+        "cross product (operators/fuzzy.py).  Hot-block guard: reference "
+        f"rows in a (prefix, length) block larger than {_FUZZY_MAX_BLOCK_DF} "
+        "are excluded from matching (mirrored in the oracle); the cap sits "
+        "above the largest natural block at sf0.1 (977), so it only trims "
+        "adversarial skew."
     ),
 )
 def fuzzy_join_part_names(spark, sf_dir):
@@ -609,9 +626,10 @@ def fuzzy_join_part_names(spark, sf_dir):
     )
     dirty = p.select(F.col("p_partkey").alias("query_id"), corrupted.alias("qname"))
     clean = p.select(F.col("p_partkey").alias("match_id"), F.col("p_name").alias("name"))
-    return fuzzy_join(dirty, clean, "qname", "name", max_dist=2, prefix_len=3).select(
-        "query_id", "match_id", "dist"
-    )
+    return fuzzy_join(
+        dirty, clean, "qname", "name",
+        max_dist=2, prefix_len=3, max_block_df=_FUZZY_MAX_BLOCK_DF,
+    ).select("query_id", "match_id", "dist")
 
 
 # ------------------------------------------------- boilerplate line removal

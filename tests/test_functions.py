@@ -411,3 +411,31 @@ def test_pq_recall_against_exact(spark, sf_dir):
     for key, score in approx_scores.items():
         if key in exact_scores:
             assert score == exact_scores[key]  # rerank scores are exact
+
+
+def test_fuzzy_join_hot_block_cap_excludes_only_hot_blocks(spark):
+    """fuzzy_join's max_block_df guard: reference rows in a
+    (prefix, length) block larger than the cap stop matching; rows in
+    small blocks are unaffected; matches across the length band still
+    work (band folded into the equi key via probe-length replication)."""
+    from form700_etl_spark.operators.fuzzy import fuzzy_join
+
+    # hot block: 4 same-prefix same-length names; cold block: 1 name
+    right = spark.createDataFrame(
+        [(i, f"abcde{i}") for i in range(4)] + [(9, "zyxwv")],
+        "match_id long, name string",
+    )
+    left = spark.createDataFrame(
+        [(1, "abcde0"), (2, "zyxw")],  # second probes across the band (len 4 vs 5)
+        "query_id long, qname string",
+    )
+    uncapped = fuzzy_join(left, right, "qname", "name", max_dist=2, prefix_len=3)
+    got = {(r.query_id, r.match_id) for r in uncapped.collect()}
+    assert (1, 0) in got and (2, 9) in got
+    capped = fuzzy_join(
+        left, right, "qname", "name", max_dist=2, prefix_len=3, max_block_df=3
+    )
+    got_capped = {(r.query_id, r.match_id) for r in capped.collect()}
+    assert all(m != 9 or q == 2 for q, m in got_capped)
+    assert (2, 9) in got_capped          # cold block intact
+    assert not any(q == 1 for q, _ in got_capped)  # hot block excluded
