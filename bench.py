@@ -50,6 +50,15 @@ HEADLINE = [
     # at bench SF its time is dominated by synthetic-source generation,
     # which would measure the fixture, not the engine.
     "ref_pipeline_scheduleA2",
+    # round-4 operators (bench blind spot closed in round 5): the
+    # heaviest dedup variant, the fuzzy join, both new text-dedup
+    # passes, the interpolation window, and the PQ ANN path.
+    "dedup_simhash_hamming",
+    "fuzzy_join_part_names",
+    "timeseries_linear_interpolate",
+    "text_intra_doc_dedup",
+    "text_boilerplate_line_removal",
+    "ann_pq_topk",
 ]
 
 
