@@ -330,7 +330,7 @@ def pq_encode(corpus: DataFrame, codebooks: list,
 
 
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, n_subspaces: int = 8,
-            n_codes: int = 16, rerank: int = 4) -> DataFrame:
+            n_codes: int = 16, rerank: int = 4, max_queries: int = 1024) -> DataFrame:
     """PQ ANN with asymmetric distance (ADC) + exact rerank:
 
     1. train codebooks on a bounded sample (one job);
@@ -345,7 +345,14 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, n_subspaces: int = 8,
        returned scores are exact and deterministic.
 
     At 100 TB the scan side holds codes only (32× smaller than the
-    raw float32 corpus) — the standard memory-bound ANN trade."""
+    raw float32 corpus) — the standard memory-bound ANN trade.
+
+    Query-side contract: the query set is collected to the driver (its
+    ADC tables broadcast), so it must be BOUNDED — ``max_queries`` is
+    enforced, not advisory (each query costs ~n_subspaces*n_codes*8 B
+    of broadcast plus one scoring pass per corpus batch).  For larger
+    probe sets, chunk the queries and union the results, or use the
+    IVF/matmul paths whose probe side stays a DataFrame."""
     import numpy as np
     import pandas as pd
 
@@ -353,7 +360,13 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, n_subspaces: int = 8,
     books = pq_train_codebooks(corpus, n_subspaces=n_subspaces, n_codes=n_codes)
     encoded = pq_encode(corpus, books).localCheckpoint()
 
-    q_rows = queries.select("query_id", "qvec").collect()
+    q_rows = queries.select("query_id", "qvec").limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk collected more than max_queries={max_queries} query rows; "
+            "chunk the query set (union the per-chunk results) or raise the "
+            "bound explicitly if the driver can hold the ADC tables"
+        )
     books_np = [np.array(b, dtype=np.float64) for b in books]
     sub = books_np[0].shape[1]
     tables = {}
