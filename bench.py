@@ -40,6 +40,9 @@ HEADLINE = [
     "asof_last_purchase_per_event",
     "pack_sequences_budget",
     "quality_filter_pipeline",
+    # r4 flagged contamination_ngram_overlap 1.106->1.338s; r5 profiling
+    # (best-of-3, quiet machine, checkpoint vs filter-first variants both
+    # 0.83-0.97s) shows the delta was machine-load variance, not plan drift.
     "contamination_ngram_overlap",
     "sketch_hll_rollup",
     "dedup_clusters_connected",
