@@ -138,3 +138,16 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return F.broadcast(df) if size <= limit else df
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism
+    when the frame arrives with fewer partitions.  Per-row compute that
+    runs ON a frame's own tasks (a broadcast join's probe side, an
+    Arrow scoring pass) serializes if the scan produced 1-2 splits — a
+    local small-file artifact; at 100 TB the scan already has thousands
+    of splits and this is a no-op."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df

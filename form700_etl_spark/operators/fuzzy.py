@@ -76,11 +76,10 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str, right_col: str,
     # The verify work (one banded-DP levenshtein per candidate) lands on
     # the left side's tasks when the right side broadcasts; a small scan
     # arriving as 1-2 partitions would serialize millions of verifies on
-    # one core.  Spread it to the cluster's parallelism — a no-op at
-    # 100 TB where the scan already has thousands of splits.
-    parallelism = left.sparkSession.sparkContext.defaultParallelism
-    if left.rdd.getNumPartitions() < parallelism:
-        left = left.repartition(parallelism)
+    # one core.
+    from ..io import ensure_parallelism
+
+    left = ensure_parallelism(left)
 
     lkey = F.lower(F.substring(F.col(left_col), 1, prefix_len))
     llen = F.length(F.col(left_col))

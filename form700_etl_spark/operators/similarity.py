@@ -148,32 +148,73 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 8
              n_probe: int = 2, iters: int = 2) -> DataFrame:
     """IVF ANN: train centroids, bucket the corpus by nearest centroid,
     probe each query's ``n_probe`` nearest clusters, exact-rerank inside.
-    Scanned fraction ≈ n_probe / n_centroids of the corpus."""
+    Scanned fraction ≈ n_probe / n_centroids of the corpus.
+
+    The in-cluster rerank is a vectorized Arrow pass (per-cluster BLAS
+    similarity block, partial top-k per batch), mirroring the matmul
+    brute-force path: only ~partitions × queries × (k+1) candidate rows
+    ever reach the final per-query window.  An earlier shape scored
+    candidates with the per-row JVM fold and windowed the full
+    |probes|·|cluster| candidate set — interpreted higher-order-function
+    evaluation dominated the runtime ~10x at corpus scale (measured in
+    the round-5 10x probe, SCALE.md)."""
     import numpy as np
+    import pandas as pd
+
+    from ..io import ensure_parallelism
 
     centroids = kmeans_centroids(corpus, n_centroids=n_centroids, iters=iters)
-    bucketed = assign_clusters(corpus, centroids)
+    # the rerank runs on the corpus side's tasks — spread an
+    # under-partitioned scan first
+    bucketed = assign_clusters(ensure_parallelism(corpus), centroids)
     # queries are tiny (the broadcast side): probe sets computed driver-side
     spark = queries.sparkSession
     q_rows = queries.select("query_id", "qvec").collect()
     cm = np.array([vec for _, vec in centroids], dtype=np.float64)
     c_ids = np.array([cid for cid, _ in centroids])
-    probe_rows = []
+    by_cluster: dict[int, list] = {}
     for r in q_rows:
         qv = np.array(r.qvec, dtype=np.float64)
         d = ((cm - qv[None, :]) ** 2).sum(axis=1)
         for cid in c_ids[np.argsort(d)[:n_probe]]:
-            probe_rows.append((r.query_id, [float(x) for x in r.qvec], int(cid)))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qvec array<double>, cluster int"
+            by_cluster.setdefault(int(cid), []).append((int(r.query_id), qv))
+    probe_tabs = {}
+    for cid, members in by_cluster.items():
+        q_mat = np.array([qv for _, qv in members])
+        probe_tabs[cid] = (
+            np.array([qid for qid, _ in members]),
+            q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True),
+        )
+    bc = spark.sparkContext.broadcast(probe_tabs)
+
+    def score(batches):
+        tabs = bc.value
+        for pdf in batches:
+            out = []
+            for cid, grp in pdf.groupby("cluster"):
+                probe = tabs.get(int(cid))
+                if probe is None:
+                    continue
+                qid_arr, qn = probe
+                n_mat = np.array(list(grp["nvec"]), dtype=np.float64)
+                n_mat = n_mat / np.linalg.norm(n_mat, axis=1, keepdims=True)
+                sims = n_mat @ qn.T  # (batch rows, queries probing this cluster)
+                nids = grp["neighbor_id"].to_numpy()
+                for qi, qid in enumerate(qid_arr):
+                    col = sims[:, qi]
+                    take = min(k + 1, len(col))  # +1 in case self is present
+                    for j in np.argpartition(-col, take - 1)[:take]:
+                        nid = int(nids[j])
+                        if nid != qid:
+                            out.append((int(qid), nid, round(float(col[j]), 6)))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    candidates = bucketed.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
     )
-    joined = F.broadcast(probes).join(bucketed, "cluster").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    sims = joined.withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        sims.withColumn("rk", F.row_number().over(w).cast("int"))
+        candidates.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cosine")
     )

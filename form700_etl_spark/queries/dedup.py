@@ -429,14 +429,28 @@ def dedup_simhash(spark, sf_dir):
 def _simhash_sigs(spark, sf_dir) -> DataFrame:
     """64-bit SimHash per doc as two 32-bit halves: per-bit +1/-1 token
     contributions, then the signed majority per bit — all 64 sums in ONE
-    aggregation pass (map-side partials)."""
+    aggregation pass (map-side partials).
+
+    Bit extraction decodes the first 16 md5 hex digits into two longs
+    ONCE per token (2 conv calls) and pulls each bit with shift/mask
+    integer ops — not 64 substring+conv string evaluations.  Bit j of
+    the signature is bit (j % 4) of hex digit (j // 4), identical to
+    the oracle's digit-wise expression: hex digit d of a chunk of 8
+    digits holds its bits at positions (28 - 4*d + k) of the decoded
+    32-bit integer (most-significant digit first)."""
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
-    tok_h = tokens.select("doc_id", F.md5("token").alias("h"))
+    tok_h = tokens.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long").alias("c0"),
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long").alias("c1"),
+    )
     contribs = []
     for j in range(_SIMHASH_BITS):
-        digit = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
-        bit_set = digit.bitwiseAND(F.lit(1 << (j % 4))) != 0
+        digit_idx, k = j // 4, j % 4
+        chunk = F.col(f"c{digit_idx // 8}")
+        shift = 28 - 4 * (digit_idx % 8) + k
+        bit_set = F.shiftright(chunk, shift).bitwiseAND(F.lit(1)) == 1
         contribs.append(F.when(bit_set, 1).otherwise(-1).alias(f"b{j}"))
     per_tok = tok_h.select("doc_id", *contribs)
     sums = per_tok.groupBy("doc_id").agg(

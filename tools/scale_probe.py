@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Scale probe: 10x corpus growth for the dedup / fuzzy / ANN family.
+
+Local testdata tops out at sf0.1, so the 100 TB grades are otherwise
+design-argument only.  This one-off probe synthesizes a 10x corpus
+(documents 5k -> 50k, embeddings 2k -> 20k, part 20k -> 200k) into a
+temp dir, runs each probe query once at sf0.1 and once at 10x, and
+prints a growth table (wall time + output rows) for SCALE.md.
+
+Generator fidelity choices (documented, deliberate):
+
+- **Vocabulary scales with the corpus** (Heaps' law).  The sf0.1
+  fixture's documents draw from a 31-word vocabulary; replaying that
+  vocab at 50k docs saturates the 3-gram shingle space (every shingle's
+  df blows past the hot-shingle cap) and would measure a fixture
+  artifact, not the operator.  The probe corpus uses a 310-word vocab
+  (the original 31 plus 279 synthetic), keeping per-shingle df roughly
+  constant — the regime the cap is designed for.
+- Documents mirror the fixture's shape: 10-100 tokens/doc, the
+  fixture's empirical language distribution, 20 sources, ~0.16%
+  injected exact duplicates.
+- Part names stay 2-word color-noun names; the first-word vocabulary
+  grows 10x (synthetic 4-8 char words) so (prefix, length) block
+  cardinality grows with the table as it would for real catalogs.
+- Embeddings stay 64-dim float32 with 10 label clusters.
+
+Run:  python tools/scale_probe.py            # writes table to stdout
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import string
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_hamming",
+    "fuzzy_join_part_names",
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_matmul",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+]
+SCALE = 10
+
+
+def synth_tables(out_dir: str) -> None:
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    con = duckdb.connect()
+
+    # ----- documents: 10x rows, 10x vocab -----------------------------
+    base_vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    ]
+    vocab = base_vocab + [f"w{i:03d}" for i in range(len(base_vocab) * (SCALE - 1))]
+    vocab = np.array(vocab)
+    langs, lang_counts = zip(
+        *con.execute(
+            f"SELECT lang, count(*) FROM read_parquet('{SF_DIR}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    lang_p = np.array(lang_counts, dtype=float) / sum(lang_counts)
+
+    n_docs = 5000 * SCALE
+    n_tok = rng.integers(10, 101, size=n_docs)
+    texts = [" ".join(rng.choice(vocab, size=k)) for k in n_tok]
+    # ~0.16% exact duplicates (the fixture has 8 dup pairs / 5000 docs)
+    for i in rng.choice(n_docs, size=n_docs // 625, replace=False):
+        texts[i] = texts[int(rng.integers(0, n_docs))]
+    doc_tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(rng.choice(langs, size=n_docs, p=lang_p)),
+            "source": pa.array([f"src{i}" for i in rng.integers(0, 20, size=n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(doc_tbl, os.path.join(out_dir, "documents.parquet"))
+
+    # ----- part: 10x rows, growing first-word vocabulary --------------
+    part = con.execute(f"SELECT * FROM read_parquet('{SF_DIR}/part.parquet')").df()
+    names = part["p_name"].tolist()
+    first_words = sorted({n.split(" ")[0] for n in names})
+    second_words = sorted({n.split(" ", 1)[1] for n in names})
+    synth_first = [
+        "".join(rng.choice(list(string.ascii_lowercase), size=int(rng.integers(4, 9))))
+        for _ in range(len(first_words) * (SCALE - 1))
+    ]
+    all_first = np.array(first_words + synth_first)
+    n_base = len(part)
+    frames = [part]
+    for i in range(1, SCALE):
+        rep = part.copy()
+        rep["p_partkey"] = rep["p_partkey"] + i * (part["p_partkey"].max() + 1)
+        rep["p_name"] = [
+            f"{all_first[int(j)]} {second_words[int(rng.integers(0, len(second_words)))]}"
+            for j in rng.integers(0, len(all_first), size=n_base)
+        ]
+        frames.append(rep)
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False),
+        os.path.join(out_dir, "part.parquet"),
+    )
+
+    # ----- embeddings: 10x rows, 10 label clusters, dim 64 ------------
+    n_vec, dim, n_lab = 2000 * SCALE, 64, 10
+    centers = rng.normal(size=(n_lab, dim))
+    labels = rng.integers(0, n_lab, size=n_vec)
+    vecs = (centers[labels] * 0.5 + rng.normal(size=(n_vec, dim))).astype(np.float32)
+    emb_tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vec), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(emb_tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+    # remaining fixture tables pass through unchanged
+    for name in ("region", "nation", "customer", "supplier", "orders", "lineitem", "events"):
+        shutil.copyfile(
+            os.path.join(SF_DIR, f"{name}.parquet"), os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def main() -> None:
+    from form700_etl_spark.registry import all_queries
+    from form700_etl_spark.session import get_spark
+
+    out_dir = os.environ.get("SCALE_PROBE_DIR") or tempfile.mkdtemp(prefix="spark_graft_10x_")
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        print(f"# synthesizing 10x corpus in {out_dir}", flush=True)
+        synth_tables(out_dir)
+
+    spark = get_spark("scale-probe")
+    queries = all_queries()
+    print(f"| query | sf0.1 s | 10x s | time ratio | sf0.1 rows | 10x rows | row ratio |")
+    print(f"|---|---|---|---|---|---|---|")
+    for name in PROBE_QUERIES:
+        fn = queries[name].fn
+        fn(spark, "/root/testdata/sf0.01").count()  # warm codegen/JIT for this plan
+        res = {}
+        for label, d in (("base", SF_DIR), ("10x", out_dir)):
+            start = time.perf_counter()
+            rows = fn(spark, d).count()
+            res[label] = (time.perf_counter() - start, rows)
+        t0, r0 = res["base"]
+        t1, r1 = res["10x"]
+        print(
+            f"| {name} | {t0:.2f} | {t1:.2f} | {t1 / t0:.1f}x "
+            f"| {r0} | {r1} | {r1 / max(r0, 1):.1f}x |",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
