@@ -512,3 +512,39 @@ def bloom_join_building_orders(spark, sf_dir):
             (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+def _zorder_events_sql() -> str:
+    from ..operators.zorder import zorder_key_sql
+
+    # Identical SQL text on both engines -> bit-identical keys.
+    return zorder_key_sql(["user_id", "CAST(round(value * 100) AS BIGINT)"], bits=16)
+
+
+@register(
+    "zorder_key_events",
+    oracle=f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST({{z}} AS BIGINT) AS zkey
+    FROM events
+    """.format(z=_zorder_events_sql()),
+    tags=("scale", "layout", "zorder"),
+    doc=(
+        "Morton (Z-order) clustering key over (user_id, value-cents): the "
+        "bit-interleaved key that zorder_write range-partitions and sorts "
+        "on so parquet min-max stats skip 2-D box predicates in BOTH "
+        "dimensions (operators/zorder.py; the Delta/Iceberg Z-ORDER "
+        "OPTIMIZE technique).  Pure projection — no shuffle; the oracle "
+        "evaluates the identical integer expression."
+    ),
+)
+def zorder_key_events(spark, sf_dir):
+    from ..operators.zorder import zorder_key
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        zorder_key(["user_id", "CAST(round(value * 100) AS BIGINT)"], bits=16)
+        .cast("long")
+        .alias("zkey"),
+    )
