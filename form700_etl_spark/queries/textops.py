@@ -785,3 +785,72 @@ def text_intra_doc_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
     )
+
+
+@register(
+    "text_global_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(tk[(i*{_BP_CHUNK}+1):(i*{_BP_CHUNK}+{_BP_CHUNK})], ' ') AS chunk
+        FROM toks, unnest(range(0, CAST(ceil(len(tk) / {_BP_CHUNK}.0) AS INT))) AS t(i)
+    ),
+    ranked AS (
+        SELECT doc_id, pos, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')
+             AS deduped_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+    doc=(
+        "Corpus-wide exact paragraph dedup (the Dolma dedupe-paragraphs "
+        "pass): every token segment keeps only its FIRST occurrence in "
+        "the whole corpus — ordered by (doc_id, pos) for determinism — "
+        "and every later occurrence in ANY document is dropped; docs are "
+        "reassembled from their surviving segments.  Differs from "
+        "text_boilerplate_line_removal (df-capped: hot segments vanish "
+        "everywhere) in that exactly one copy survives.  One segment-"
+        "keyed window exchange + one doc-keyed reassembly exchange; at "
+        "100 TB the segment key is hashed near-uniform, and the window "
+        "per segment is tiny (its duplicate count) so no skew window "
+        "materializes whole partitions."
+    ),
+)
+def text_global_segment_dedup(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n = _BP_CHUNK
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    chunk_structs = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(tk) / {n}.0) AS INT) - 1), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(tk, i*{n}+1, {n})) AS chunk))"
+    )
+    chunks = toks.select("doc_id", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk")
+    )
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
+    ranked = chunks.withColumn("rn", rn)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "chunk")))
+            ),
+            lambda s: s.getField("chunk"),
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        kept_text.alias("deduped_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+    )
