@@ -568,3 +568,116 @@ def dedup_simhash_hamming(spark, sf_dir):
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc1", "doc2", "hamming")
     )
+
+
+# --------------------------------------------------- canonical selection
+#
+# The step after clustering in a real curation pipeline: each near-dup
+# cluster keeps ONE representative — the highest-quality member — and
+# every other member is scheduled for dropping.  Quality is the
+# composite score from text_quality_score, compared through its
+# 6-decimal rounding (deterministic and identical on both engines) with
+# doc_id as the total-order tie-break.
+
+
+def _quality_sql() -> str:
+    from .textops import _STOPWORDS
+
+    return f"""
+        SELECT doc_id,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                     + len(list_filter(string_split(text, ' '),
+                           w -> list_contains({list(_STOPWORDS)!r}, w)))
+                       * 1.0 / len(string_split(text, ' ')) * 0.3
+                     + (1.0 - (length(text)
+                               - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                        * 1.0 / length(text)) * 0.2, 6) AS q
+        FROM documents
+    """
+
+
+@register(
+    "dedup_canonical_per_cluster",
+    oracle=f"""
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    shingles AS ({_CAPPED_SHINGLES_SQL.format(max_df=MAX_SHINGLE_DF)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sim_pairs AS (
+        SELECT p.doc1, p.doc2
+        FROM pairs p JOIN sizes s1 ON p.doc1 = s1.doc_id
+                     JOIN sizes s2 ON p.doc2 = s2.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.1
+    ),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM sim_pairs
+        UNION ALL SELECT doc2, doc1 FROM sim_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS doc, a AS label FROM edges
+        UNION
+        (
+            WITH RECURSIVE walk(doc, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.doc
+            )
+            SELECT doc, label FROM walk
+        )
+    ),
+    clusters AS (
+        SELECT doc AS doc_id, MIN(label) AS component_id
+        FROM reach GROUP BY doc
+    ),
+    quality AS ({{quality}}),
+    ranked AS (
+        SELECT c.component_id, c.doc_id, q.q,
+               row_number() OVER (PARTITION BY c.component_id
+                                  ORDER BY q.q DESC, c.doc_id) AS rn
+        FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT CAST(component_id AS BIGINT) AS component_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+           MAX(CASE WHEN rn = 1 THEN q END) AS canonical_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_to_drop
+    FROM ranked GROUP BY component_id
+    """.format(quality="{QUALITY}").replace("{QUALITY}", _quality_sql()),
+    tags=("dedup", "graph", "pipeline"),
+    doc=(
+        "Canonical-document selection per near-dup cluster: Jaccard "
+        "pairs -> connected components -> keep the highest-quality "
+        "member (text_quality_score composite, 6-decimal-rounded, "
+        "doc_id tie-break), count the rest as drops.  The post-"
+        "clustering step of a curation pipeline; one window over "
+        "cluster ids on top of the existing cluster plan."
+    ),
+)
+def dedup_canonical_per_cluster(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import connected_components
+    from .textops import text_quality_score
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    clusters = connected_components(pairs)
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("q")
+    )
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.groupBy("component_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("q"))).alias("canonical_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_to_drop"),
+    )
