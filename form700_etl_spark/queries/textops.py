@@ -854,3 +854,47 @@ def text_global_segment_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
     )
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    pairs AS (
+        SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM toks, unnest(range(1, len(tk))) AS t(i)
+    )
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 50
+    """,
+    tags=("text", "tokenizer"),
+    doc=(
+        "BPE merge-pair statistics: corpus-wide adjacent-token-pair "
+        "frequencies, the statistic a byte-pair-encoding trainer "
+        "computes each merge round (top pair = next merge).  Pair "
+        "generation is a per-row array transform (no shuffle), the "
+        "count is one hash aggregation with map-side partials, and the "
+        "top-k is a TakeOrdered — the same plan at 100 TB.  Fully "
+        "ordered output (count desc, pair asc) for determinism."
+    ),
+)
+def text_bpe_pair_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("tk"))
+    pair_structs = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2)) "
+        "ELSE array() END"
+    )
+    return (
+        toks.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
