@@ -114,3 +114,24 @@ register(
         "oracle = the exact batch self-join."
     ),
 )(stream_stream_click_purchase)
+
+
+from ..streaming.events_stream import stream_static_enrich  # noqa: E402
+
+register(
+    "stream_static_enrich_segments",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-static enrichment join run to completion: per-micro-batch "
+        "broadcast probe of the static customer dim, left-joined so "
+        "unmatched users survive; oracle = the batch left join."
+    ),
+)(stream_static_enrich)
