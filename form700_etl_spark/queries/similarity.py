@@ -307,3 +307,91 @@ def ann_pq_topk(spark, sf_dir):
     )
     cand = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
     return pq_topk(q, cand, k=5, n_codes=32, rerank=16)
+
+
+# --------------------------------------------- random projection (JL)
+#
+# Johnson-Lindenstrauss dimensionality reduction with a +/-1 projection
+# matrix (Achlioptas 2003: database-friendly random projections — sign
+# matrices preserve pairwise distances in expectation like Gaussians).
+# The matrix is a FIXED PUBLIC constant derived from md5 so both
+# engines embed identical sign literals; inputs are quantized to
+# integer micro-units first, so every intermediate sum is integer-exact
+# (< 2^53) on both engines and the single final division is IEEE-
+# identical — the money-cents determinism trick applied to vectors.
+
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+_RP_SCALE = 1_000_000
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp-{j}-{i}".encode()).hexdigest()[0], 16) % 2 else -1
+            for i in range(_RP_IN_DIMS)
+        ]
+        for j in range(_RP_OUT_DIMS)
+    ]
+
+
+def _rp_oracle_sql() -> str:
+    signs_rows = ", ".join(
+        f"({j}, {sv})" for j, sv in enumerate(_rp_signs())
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {_RP_SCALE})
+                                        AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    signs(j, sv) AS (VALUES {signs_rows})
+    SELECT q.vec_id,
+           CAST(s.j AS INT) AS dim,
+           CAST(SUM(q.xq[t.i] * s.sv[t.i]) AS BIGINT) AS value_micro
+    FROM q CROSS JOIN signs s, unnest(range(1, {_RP_IN_DIMS} + 1)) AS t(i)
+    GROUP BY q.vec_id, s.j
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle_sql(),
+    tags=("similarity", "embedding"),
+    doc=(
+        "JL random projection 64 -> 8 dims with a fixed md5-derived +/-1 "
+        "sign matrix (Achlioptas 2003).  Inputs quantized to integer "
+        "micro-units and emitted as exact integer micro-units — the JL "
+        "scale 1/(SCALE*sqrt(k)) is a constant applied downstream; a "
+        "final cross-engine float rounding step was 1-ulp unstable.  Per-row "
+        "fold, no shuffle.  The JVM higher-order fold costs ~in*out ops "
+        "per row — for heavy production use the same computation drops "
+        "into the Arrow matmul path (operators/similarity.py) unchanged."
+    ),
+)
+def embedding_random_projection(spark, sf_dir):
+    signs = _rp_signs()
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_RP_SCALE}) AS BIGINT))"
+        ).alias("xq"),
+    )
+    dims = []
+    for j, sv in enumerate(signs):
+        arr = ", ".join(str(s) for s in sv)
+        y = (
+            f"aggregate(zip_with(xq, array({arr}), (x, s) -> x * s), "
+            f"CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+        dims.append(f"struct(CAST({j} AS INT) AS dim, {y} AS value_micro)")
+    exploded = v.select(
+        "vec_id", F.explode(F.expr("array(" + ", ".join(dims) + ")")).alias("p")
+    )
+    return exploded.select(
+        "vec_id", F.col("p.dim").alias("dim"), F.col("p.value_micro").alias("value_micro")
+    )
