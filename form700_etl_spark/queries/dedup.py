@@ -553,11 +553,31 @@ def dedup_simhash_hamming(spark, sf_dir):
         "b",
         "band_val",
     )
+    # First-match-only emission replaces a wide DISTINCT exchange: a
+    # pair sharing several bands would surface once per shared band, so
+    # keep the row only at its LOWEST matching band — computable inline
+    # from the carried signatures (bands b' < b must all differ), which
+    # turns the dedup into a pure filter.  The oracle keeps its DISTINCT
+    # formulation; both emit exactly one row per qualifying pair.
+    def _band_eq(bp: int) -> F.Column:
+        extract = [
+            lambda lo, hi: lo.bitwiseAND(F.lit(65535)),
+            lambda lo, hi: F.shiftright(lo, 16),
+            lambda lo, hi: hi.bitwiseAND(F.lit(65535)),
+            lambda lo, hi: F.shiftright(hi, 16),
+        ][bp]
+        return extract(F.col("l1"), F.col("h1")) == extract(F.col("l2"), F.col("h2"))
+
+    first_match = (
+        F.when(F.col("b") == 0, F.lit(True))
+        .when(F.col("b") == 1, ~_band_eq(0))
+        .when(F.col("b") == 2, ~_band_eq(0) & ~_band_eq(1))
+        .otherwise(~_band_eq(0) & ~_band_eq(1) & ~_band_eq(2))
+    )
     cand = (
         a.join(x, ["b", "band_val"])
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter((F.col("doc1") < F.col("doc2")) & first_match)
         .select("doc1", "l1", "h1", "doc2", "l2", "h2")
-        .distinct()
     )
     hamming = (
         F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
