@@ -898,3 +898,179 @@ def text_bpe_pair_stats(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(50)
     )
+
+
+# ------------------------------------------------------- BPE training
+#
+# Byte-pair-encoding merge-table learning as a distributed plan: each
+# round counts adjacent-pair frequencies over the CURRENT tokenization,
+# adopts the top pair as a merge, applies it greedily left-to-right,
+# and recounts.  Greedy application is the subtle part: merge starts
+# are pair positions, but a run of overlapping starts (only possible
+# when w1 == w2) must merge at alternating positions from the run's
+# left edge.  That is window-expressible — group consecutive start
+# positions into runs, keep even offsets — identically in Spark and
+# DuckDB, so the whole iterative algorithm gets a cell-exact oracle.
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    parts = ["toks_0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    pairs_{r} AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS i, tk[u.i] AS w1, tk[u.i + 1] AS w2
+        FROM toks_{p}, unnest(range(1, len(tk))) AS u(i)
+    ),
+    top_{r} AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs_{r} GROUP BY w1, w2
+        ORDER BY n DESC, w1, w2 LIMIT 1
+    ),
+    starts_{r} AS (
+        SELECT pr.doc_id, pr.i FROM pairs_{r} pr JOIN top_{r} t USING (w1, w2)
+    ),
+    runs_{r} AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM starts_{r}
+    ),
+    keep_{r} AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   i - MIN(i) OVER (PARTITION BY doc_id, grp) AS off
+            FROM runs_{r}
+        ) WHERE off % 2 = 0
+    ),
+    toks_{r} AS (
+        SELECT s.doc_id, list(s.tok ORDER BY s.i) AS tk FROM (
+            SELECT tp.doc_id, tp.i,
+                   CASE WHEN k.i IS NOT NULL
+                        THEN (SELECT w1 || '_' || w2 FROM top_{r})
+                        ELSE tp.t END AS tok
+            FROM (
+                SELECT doc_id, CAST(u.i AS BIGINT) AS i, tk[u.i] AS t
+                FROM toks_{p}, unnest(range(1, len(tk) + 1)) AS u(i)
+            ) tp
+            LEFT JOIN keep_{r} k  ON k.doc_id = tp.doc_id AND k.i = tp.i
+            LEFT JOIN keep_{r} k2 ON k2.doc_id = tp.doc_id AND k2.i = tp.i - 1
+            WHERE k2.i IS NULL
+        ) s GROUP BY s.doc_id
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, w1, w2, n FROM top_{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CAST(round AS INT) AS round, w1 AS merge_w1, w2 AS merge_w2, n
+    FROM ({unions}) ORDER BY round
+    """
+    )
+
+
+def _bpe_merge_round(toks):
+    """One BPE round over ``toks(doc_id, tk)``: returns (top_pair_df,
+    merged_toks_df).  top is a 1-row frame (kept lazy — it re-enters the
+    plan via broadcast, no driver action)."""
+    from pyspark.sql import Window as W
+
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+                "i -> struct(CAST(i AS BIGINT) AS i, element_at(tk, i) AS w1, "
+                "element_at(tk, i + 1) AS w2)) ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.w1", "p.w2")
+    top = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+    )
+    starts = pairs.join(F.broadcast(top.select("w1", "w2")), ["w1", "w2"]).select(
+        "doc_id", "i"
+    )
+    runs = starts.withColumn(
+        "grp", F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))
+    )
+    keep = (
+        runs.withColumn(
+            "off", F.col("i") - F.min("i").over(W.partitionBy("doc_id", "grp"))
+        )
+        .filter(F.col("off") % 2 == 0)
+        .select("doc_id", "i")
+    )
+    toks_pos = toks.select("doc_id", F.posexplode("tk").alias("pos0", "t")).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("i"), "t"
+    )
+    merged = (
+        toks_pos.crossJoin(
+            F.broadcast(top.select(F.concat_ws("_", "w1", "w2").alias("mtok")))
+        )
+        .join(F.broadcast(keep.withColumn("is_start", F.lit(True))), ["doc_id", "i"], "left")
+        .join(
+            F.broadcast(
+                keep.select("doc_id", (F.col("i") + 1).alias("i")).withColumn(
+                    "is_drop", F.lit(True)
+                )
+            ),
+            ["doc_id", "i"],
+            "left",
+        )
+        .filter(F.col("is_drop").isNull())
+        .select(
+            "doc_id",
+            "i",
+            F.when(F.col("is_start"), F.col("mtok")).otherwise(F.col("t")).alias("tok"),
+        )
+    )
+    new_toks = merged.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, tok))), s -> s.tok)").alias("tk")
+    )
+    return top, new_toks
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle_sql(_BPE_ROUNDS),
+    tags=("text", "tokenizer", "iterative"),
+    doc=(
+        f"BPE tokenizer training, {_BPE_ROUNDS} merge rounds: per round, "
+        "count adjacent pairs over the current tokenization, adopt the "
+        "top pair (count desc, pair asc — deterministic), apply it "
+        "greedily left-to-right (run-grouped window keeps alternating "
+        "overlapping starts), recount.  Fully lazy — each round's top "
+        "pair re-enters the plan by broadcast, no driver action; the "
+        "oracle replays the identical rounds as layered CTEs.  Output "
+        "is the learned merge table."
+    ),
+)
+def text_bpe_train_merges(spark, sf_dir):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top, toks = _bpe_merge_round(toks)
+        tops.append(
+            top.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("w1").alias("merge_w1"),
+                F.col("w2").alias("merge_w2"),
+                "n",
+            )
+        )
+        if r < _BPE_ROUNDS:
+            # each round's tokenization feeds three downstream subtrees
+            # (pairs, positions, reassembly of the NEXT round); a local
+            # checkpoint caps the plan depth and recompute fan-out.
+            toks = toks.localCheckpoint(eager=False)
+    return reduce(DataFrame.unionByName, tops).orderBy("round")
