@@ -272,3 +272,64 @@ def band_join_value_buckets(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "events_funnel_signup_click_purchase",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_signup_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_signup_click_purchase
+    """,
+    tags=("events", "funnel"),
+    doc=(
+        "Ordered funnel analysis (signup -> click -> purchase): per user, "
+        "each stage must occur STRICTLY AFTER the previous stage's first "
+        "completion — the sequential-pattern semantic, not three "
+        "independent existence checks.  Three stage aggregations chained "
+        "by joins on the previous stage's first-completion time; every "
+        "stage prunes its scan to one event type before shuffling."
+    ),
+)
+def events_funnel_signup_click_purchase(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_signup_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_signup_click_purchase")))
+    )

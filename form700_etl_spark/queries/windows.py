@@ -281,3 +281,64 @@ def sessionize_user_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_s"),
     )
+
+
+@register(
+    "window_rolling_median_value",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    framed AS (
+        SELECT event_id, user_id,
+               list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        FROM c
+    )
+    SELECT event_id, user_id,
+           CAST(CASE WHEN len(arr) % 2 = 1
+                     THEN 2 * arr[(len(arr) + 1) // 2]
+                     ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+                END AS BIGINT) / 200.0 AS rolling_median
+    FROM framed
+    """,
+    tags=("window", "events"),
+    doc=(
+        "Exact rolling median of event value per user (5-row trailing "
+        "frame): sorted frame collect + the med2 trick — twice-the-median "
+        "as an exact integer over cents (2x middle, or the two middles "
+        "summed), one final division — so both engines agree bit-for-bit "
+        "with no float-comparison hazard.  One window over the user-"
+        "clustered exchange; tie-broken by event_id for determinism."
+    ),
+)
+def window_rolling_median_value(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.money import cents
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", cents("value").alias("cents")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        F.array_sort(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    med2 = F.expr(
+        "CAST(CASE WHEN size(arr) % 2 = 1 "
+        "THEN 2 * element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT)) "
+        "ELSE element_at(arr, CAST(size(arr) DIV 2 AS INT)) "
+        "   + element_at(arr, CAST(size(arr) DIV 2 + 1 AS INT)) END AS BIGINT)"
+    )
+    return framed.select(
+        "event_id", "user_id", (med2 / F.lit(200.0)).alias("rolling_median")
+    )
