@@ -548,3 +548,96 @@ def zorder_key_events(spark, sf_dir):
         .cast("long")
         .alias("zkey"),
     )
+
+
+# ---------------------------------------------------------- PageRank
+#
+# Fixed-point PageRank: ranks carried as integer micro-units with
+# integer division everywhere (contrib = rank DIV degree, damping =
+# (850 * sum) DIV 1000), so every iteration is EXACT on both engines —
+# the determinism trick that makes an iterative numeric algorithm
+# oracle-checkable.  Classic float PageRank would drift by summation
+# order; this one cannot.
+
+_PR_ITERS = 3
+
+
+def _pagerank_sql(iters: int) -> str:
+    parts = [
+        """pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    r{i} AS (
+        SELECT e.v AS node,
+               CAST(150000 + (850 * SUM(r.rank // d.d)) // 1000 AS BIGINT) AS rank
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.u
+        JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS key, rank AS rank_micro
+    FROM r{iters} ORDER BY rank_micro DESC, node LIMIT 20
+    """
+    )
+
+
+@register(
+    "graph_pagerank_bipartite",
+    oracle=_pagerank_sql(_PR_ITERS),
+    tags=("graph", "iterative", "scale"),
+    doc=(
+        f"PageRank, {_PR_ITERS} power iterations over the bipartite "
+        "customer-supplier graph induced by orders x lineitem (symmetric "
+        "edges; damping 0.85).  Ranks are integer micro-units with "
+        "integer division throughout, so each iteration is exact on both "
+        "engines — no float summation-order drift.  Per iteration: one "
+        "edge-keyed join against the previous ranks + one destination-"
+        "keyed aggregation; degrees computed once.  Top-20 by rank."
+    ),
+)
+def graph_pagerank_bipartite(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)  # reused by every iteration
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.u == ranks.node)
+            .join(deg, "u")
+            .select("v", F.expr("rank DIV d").alias("c"))
+        )
+        ranks = contrib.groupBy("v").agg(
+            F.expr("CAST(150000 + (850 * SUM(c)) DIV 1000 AS BIGINT)").alias("rank")
+        ).select(F.col("v").alias("node"), "rank")
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("CAST(node DIV 2 AS BIGINT)").alias("key"),
+            F.col("rank").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc(F.expr("key * 2 + CAST(node_type = 'supplier' AS INT)")))
+        .limit(20)
+    )
