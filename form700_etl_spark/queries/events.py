@@ -333,3 +333,61 @@ def events_funnel_signup_click_purchase(spark, sf_dir):
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_signup_click")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_signup_click_purchase")))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort_week
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort
+    FROM activity a
+    JOIN cohorts c ON c.user_id = a.user_id
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, a.week - c.cohort_week, s.n_cohort
+    """,
+    tags=("events", "analytics"),
+    doc=(
+        "Retention cohort analysis: users grouped by first-activity week, "
+        "distinct active users per (cohort, week offset) with cohort "
+        "sizes.  Weeks are days-since-epoch-anchor DIV 7 — pure integer "
+        "arithmetic, immune to engine week-truncation conventions.  Two "
+        "user-keyed aggregations + one broadcast-sized cohort join; the "
+        "distinct-activity projection collapses the input before any "
+        "join."
+    ),
+)
+def events_retention_cohorts(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7 AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        activity.join(cohorts, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "n_cohort",
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active", F.col("n_cohort").cast("long"))
+    )
