@@ -1074,3 +1074,66 @@ def text_bpe_train_merges(spark, sf_dir):
             # checkpoint caps the plan depth and recompute fan-out.
             toks = toks.localCheckpoint(eager=False)
     return reduce(DataFrame.unionByName, tops).orderBy("round")
+
+
+@register(
+    "text_quality_curriculum_bins",
+    oracle=f"""
+    WITH quality AS ({{Q}}),
+    qm AS (
+        SELECT doc_id, CAST(round(q * 1000000) AS BIGINT) AS m FROM quality
+    ),
+    n AS (SELECT COUNT(*) AS c FROM qm),
+    t AS (
+        SELECT
+            (SELECT max(m) FROM (SELECT m FROM qm ORDER BY m
+                LIMIT (SELECT CAST(ceil(0.25 * c) AS BIGINT) FROM n))) AS t25,
+            (SELECT max(m) FROM (SELECT m FROM qm ORDER BY m
+                LIMIT (SELECT CAST(ceil(0.50 * c) AS BIGINT) FROM n))) AS t50,
+            (SELECT max(m) FROM (SELECT m FROM qm ORDER BY m
+                LIMIT (SELECT CAST(ceil(0.75 * c) AS BIGINT) FROM n))) AS t75
+    )
+    SELECT doc_id, m AS quality_micro,
+           CAST(CASE WHEN m <= t25 THEN 1 WHEN m <= t50 THEN 2
+                     WHEN m <= t75 THEN 3 ELSE 4 END AS INT) AS bin
+    FROM qm, t
+    """.replace("{Q}", __import__("form700_etl_spark.queries.dedup", fromlist=["_quality_sql"])._quality_sql()),
+    tags=("text", "pipeline", "sampling"),
+    doc=(
+        "Curriculum quality binning: docs assigned to quartile bins by "
+        "EXACT order-statistic thresholds over the integer-micro-unit "
+        "quality score (threshold k = ceil(q*n)-th smallest; ties roll "
+        "into the lower bin — fully deterministic, no interpolated-"
+        "percentile cross-engine hazard).  Thresholds are three bounded "
+        "top-k jobs (k rows scanned, 1 value returned) broadcast as "
+        "literals; binning is a pure projection.  The curriculum/"
+        "mixture-schedule precursor: downstream samplers draw per-bin."
+    ),
+)
+def text_quality_curriculum_bins(spark, sf_dir):
+    import math
+
+    qdf = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1000000).cast("long").alias("quality_micro"),
+    )
+    n = qdf.count()  # bounded driver step: one scalar, like IVF's sample sizing
+    thresholds = []
+    for frac in (0.25, 0.50, 0.75):
+        k = int(math.ceil(frac * n))
+        t = (
+            qdf.orderBy("quality_micro")
+            .limit(k)
+            .agg(F.max("quality_micro"))
+            .collect()[0][0]
+        )
+        thresholds.append(t)
+    t25, t50, t75 = thresholds
+    bin_col = (
+        F.when(F.col("quality_micro") <= F.lit(t25), 1)
+        .when(F.col("quality_micro") <= F.lit(t50), 2)
+        .when(F.col("quality_micro") <= F.lit(t75), 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    return qdf.select("doc_id", "quality_micro", bin_col.alias("bin"))
