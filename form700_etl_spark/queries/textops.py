@@ -916,15 +916,15 @@ _BPE_ROUNDS = 4
 
 
 def _bpe_oracle_sql(rounds: int) -> str:
-    parts = ["toks_0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"]
+    parts = ["toks_0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)"]
     for r in range(1, rounds + 1):
         p = r - 1
         parts.append(f"""
-    pairs_{r} AS (
+    pairs_{r} AS MATERIALIZED (
         SELECT doc_id, CAST(u.i AS BIGINT) AS i, tk[u.i] AS w1, tk[u.i + 1] AS w2
         FROM toks_{p}, unnest(range(1, len(tk))) AS u(i)
     ),
-    top_{r} AS (
+    top_{r} AS MATERIALIZED (
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
         FROM pairs_{r} GROUP BY w1, w2
         ORDER BY n DESC, w1, w2 LIMIT 1
@@ -937,14 +937,14 @@ def _bpe_oracle_sql(rounds: int) -> str:
                i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
         FROM starts_{r}
     ),
-    keep_{r} AS (
+    keep_{r} AS MATERIALIZED (
         SELECT doc_id, i FROM (
             SELECT doc_id, i,
                    i - MIN(i) OVER (PARTITION BY doc_id, grp) AS off
             FROM runs_{r}
         ) WHERE off % 2 = 0
     ),
-    toks_{r} AS (
+    toks_{r} AS MATERIALIZED (
         SELECT s.doc_id, list(s.tok ORDER BY s.i) AS tk FROM (
             SELECT tp.doc_id, tp.i,
                    CASE WHEN k.i IS NOT NULL
@@ -959,11 +959,16 @@ def _bpe_oracle_sql(rounds: int) -> str:
             WHERE k2.i IS NULL
         ) s GROUP BY s.doc_id
     )""")
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_oracle_final(rounds: int) -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT {r} AS round, w1, w2, n FROM top_{r}" for r in range(1, rounds + 1)
     )
     return (
-        "WITH " + ",".join(parts) + f"""
+        _bpe_oracle_sql(rounds)
+        + f"""
     SELECT CAST(round AS INT) AS round, w1 AS merge_w1, w2 AS merge_w2, n
     FROM ({unions}) ORDER BY round
     """
@@ -1037,7 +1042,7 @@ def _bpe_merge_round(toks):
 
 @register(
     "text_bpe_train_merges",
-    oracle=_bpe_oracle_sql(_BPE_ROUNDS),
+    oracle=_bpe_oracle_final(_BPE_ROUNDS),
     tags=("text", "tokenizer", "iterative"),
     doc=(
         f"BPE tokenizer training, {_BPE_ROUNDS} merge rounds: per round, "
@@ -1137,3 +1142,80 @@ def text_quality_curriculum_bins(spark, sf_dir):
         .cast("int")
     )
     return qdf.select("doc_id", "quality_micro", bin_col.alias("bin"))
+
+
+@register(
+    "text_inverted_index_top_terms",
+    oracle="""
+    WITH postings AS (
+        SELECT DISTINCT doc_id, t.token
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS first_docs
+    FROM postings GROUP BY token
+    ORDER BY df DESC, token LIMIT 100
+    """,
+    tags=("text", "index"),
+    doc=(
+        "Inverted-index build (the retrieval-side artifact): per-token "
+        "document frequency and the first 10 postings (sorted doc ids, "
+        "comma-joined for a stable scalar output), top-100 terms by df.  "
+        "One distinct + one token-keyed aggregation; posting lists stay "
+        "bounded by the slice, so no token's list materializes "
+        "unboundedly — the full-index variant would write postings "
+        "partitioned by token-hash instead of collecting them."
+    ),
+)
+def text_inverted_index_top_terms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return (
+        postings.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)
+            ).alias("first_docs"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "text_bpe_compression_stats",
+    oracle=_bpe_oracle_sql(_BPE_ROUNDS)
+    + f"""
+    SELECT CAST((SELECT SUM(len(tk)) FROM toks_0) AS BIGINT) AS tokens_before,
+           CAST((SELECT SUM(len(tk)) FROM toks_{_BPE_ROUNDS}) AS BIGINT) AS tokens_after,
+           CAST((SELECT SUM(len(tk)) FROM toks_0)
+                - (SELECT SUM(len(tk)) FROM toks_{_BPE_ROUNDS}) AS BIGINT) AS tokens_saved
+    """,
+    tags=("text", "tokenizer", "iterative"),
+    doc=(
+        f"Corpus compression achieved by the {_BPE_ROUNDS} learned BPE "
+        "merges: total token count before vs after applying the merge "
+        "table (text_bpe_train_merges' rounds replayed on the corpus "
+        "itself).  The acceptance metric a tokenizer-training pipeline "
+        "tracks per merge batch."
+    ),
+)
+def text_bpe_compression_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    before = toks.agg(F.sum(F.size("tk")).cast("long").alias("tokens_before"))
+    cur = toks
+    for r in range(_BPE_ROUNDS):
+        _, cur = _bpe_merge_round(cur)
+        if r < _BPE_ROUNDS - 1:
+            cur = cur.localCheckpoint(eager=False)
+    after = cur.agg(F.sum(F.size("tk")).cast("long").alias("tokens_after"))
+    return before.crossJoin(after).select(
+        "tokens_before",
+        "tokens_after",
+        (F.col("tokens_before") - F.col("tokens_after")).alias("tokens_saved"),
+    )
