@@ -62,6 +62,20 @@ HEADLINE = [
     "text_intra_doc_dedup",
     "text_boilerplate_line_removal",
     "ann_pq_topk",
+    # round-5 operators: runtime join filter, layout key, corpus-wide
+    # paragraph dedup, cluster canonicalization, iterative PageRank and
+    # BPE training, exact rolling median, cohort/funnel analytics,
+    # inverted index, JL projection.
+    "bloom_join_building_orders",
+    "zorder_key_events",
+    "text_global_segment_dedup",
+    "dedup_canonical_per_cluster",
+    "graph_pagerank_bipartite",
+    "text_bpe_train_merges",
+    "window_rolling_median_value",
+    "events_retention_cohorts",
+    "text_inverted_index_top_terms",
+    "embedding_random_projection",
 ]
 
 

@@ -245,3 +245,34 @@ def test_bloom_probe_filters_before_fact_exchange(spark, sf_dir):
     # CartesianProduct / BroadcastNestedLoopJoin beyond the single
     # 1-row bitmap broadcast.
     assert plan.count("CartesianProduct") == 0, plan
+
+
+def test_zorder_and_projection_are_scan_side(spark, sf_dir):
+    """Pure per-row operators must not shuffle: the Morton key and the
+    JL projection are projections over the scan (0 Exchanges)."""
+    for name in ("zorder_key_events", "embedding_random_projection"):
+        plan = plan_of(spark, sf_dir, name)
+        assert tree_nodes(plan, "Exchange") == 0, (name, plan)
+
+
+def test_rolling_median_single_window_single_exchange(spark, sf_dir):
+    """One user-clustered exchange feeds one Window; the median itself
+    is frame arithmetic, not a second shuffle."""
+    plan = plan_of(spark, sf_dir, "window_rolling_median_value")
+    assert tree_nodes(plan, "Window") == 1, plan
+    assert tree_nodes(plan, "Exchange") == 1, plan
+
+
+def test_global_segment_dedup_two_exchanges(spark, sf_dir):
+    """Corpus-wide paragraph dedup: one segment-keyed window exchange +
+    one doc-keyed reassembly exchange — nothing else."""
+    plan = plan_of(spark, sf_dir, "text_global_segment_dedup")
+    assert tree_nodes(plan, "Window") == 1, plan
+    assert tree_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_inverted_index_topk_is_take_ordered(spark, sf_dir):
+    """The top-100 must be a TakeOrdered (partial per-partition top-k),
+    never a full global Sort materialization."""
+    plan = plan_of(spark, sf_dir, "text_inverted_index_top_terms")
+    assert "TakeOrderedAndProject" in plan, plan

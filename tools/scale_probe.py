@@ -50,6 +50,14 @@ PROBE_QUERIES = [
     "ann_cosine_topk_matmul",
     "ann_ivf_topk",
     "ann_pq_topk",
+    # round-5 operators
+    "dedup_canonical_per_cluster",
+    "text_global_segment_dedup",
+    "text_bpe_train_merges",
+    "text_inverted_index_top_terms",
+    "embedding_random_projection",
+    "bloom_join_building_orders",
+    "graph_pagerank_bipartite",
 ]
 SCALE = 10
 
@@ -137,8 +145,36 @@ def synth_tables(out_dir: str) -> None:
     )
     pq.write_table(emb_tbl, os.path.join(out_dir, "embeddings.parquet"))
 
+    # ----- orders/lineitem: 10x rows (key-shifted replicas) -----------
+    # Same customers and suppliers, 10x the orders — the realistic way
+    # an order fact grows — so the bloom probe's dim stays fixed while
+    # its fact scales, and the bipartite graph gains edges, not nodes.
+    import pandas as pd
+
+    orders = con.execute(f"SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')").df()
+    lineitem = con.execute(f"SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')").df()
+    okey_stride = int(orders["o_orderkey"].max()) + 1
+    o_frames, l_frames = [orders], [lineitem]
+    for i in range(1, SCALE):
+        o_rep = orders.copy()
+        o_rep["o_orderkey"] = o_rep["o_orderkey"] + i * okey_stride
+        # re-draw the customer per replica so new orders aren't clones
+        o_rep["o_custkey"] = rng.permutation(o_rep["o_custkey"].to_numpy())
+        o_frames.append(o_rep)
+        l_rep = lineitem.copy()
+        l_rep["l_orderkey"] = l_rep["l_orderkey"] + i * okey_stride
+        l_frames.append(l_rep)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(o_frames, ignore_index=True), preserve_index=False),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(l_frames, ignore_index=True), preserve_index=False),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+
     # remaining fixture tables pass through unchanged
-    for name in ("region", "nation", "customer", "supplier", "orders", "lineitem", "events"):
+    for name in ("region", "nation", "customer", "supplier", "events"):
         shutil.copyfile(
             os.path.join(SF_DIR, f"{name}.parquet"), os.path.join(out_dir, f"{name}.parquet")
         )
