@@ -342,3 +342,115 @@ def window_rolling_median_value(spark, sf_dir):
     return framed.select(
         "event_id", "user_id", (med2 / F.lit(200.0)).alias("rolling_median")
     )
+
+
+@register(
+    "window_mad_outliers_by_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_id, event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+                    + SUM(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END)
+                    AS BIGINT) AS m2
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT r.event_id, r.event_type, r.cents,
+               abs(2 * r.cents - m.m2) AS d2
+        FROM ranked r JOIN med m ON m.event_type = r.event_type
+    ),
+    dranked AS (
+        SELECT event_id, event_type, cents, d2,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY d2, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN d2 ELSE 0 END)
+                    + SUM(CASE WHEN rn = n // 2 + 1 THEN d2 ELSE 0 END)
+                    AS BIGINT) AS mad4
+        FROM dranked GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           d.cents / 100.0 AS value,
+           CAST(d.d2 AS BIGINT) AS dev2, m.mad4
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE 2 * d.d2 > 7 * m.mad4
+    """,
+    tags=("window", "events", "quality"),
+    doc=(
+        "Robust outlier detection via median absolute deviation, fully "
+        "integer-exact: the med2 trick twice (2x median of cents; then "
+        "4x MAD as the doubled median of doubled deviations), medians "
+        "as per-group ORDER-STATISTIC windows (row_number + count, no "
+        "collect), outlier iff 2*dev2 > 7*mad4 (i.e. |x - med| > 3.5 "
+        "MAD).  Complements the moment-based z-score query with the "
+        "estimator that survives heavy tails.  Two window passes over "
+        "the same event_type clustering."
+    ),
+)
+def window_mad_outliers_by_type(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.money import cents
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("cents")
+    )
+    wt = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.row_number().over(wt.orderBy("cents", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med2 = (
+        F.sum(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents")).otherwise(0))
+        + F.sum(F.when(F.col("rn") == F.expr("n DIV 2 + 1"), F.col("cents")).otherwise(0))
+    )
+    med = ranked.groupBy("event_type").agg(med2.alias("m2"))
+    dev = ranked.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.abs(2 * F.col("cents") - F.col("m2")).alias("d2"),
+    )
+    dranked = dev.select(
+        "event_id",
+        "event_type",
+        "cents",
+        "d2",
+        F.row_number().over(wt.orderBy("d2", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mad2 = (
+        F.sum(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("d2")).otherwise(0))
+        + F.sum(F.when(F.col("rn") == F.expr("n DIV 2 + 1"), F.col("d2")).otherwise(0))
+    )
+    mad = dranked.groupBy("event_type").agg(mad2.alias("mad4"))
+    return (
+        dev.join(mad, "event_type")
+        .filter(2 * F.col("d2") > 7 * F.col("mad4"))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents") / F.lit(100.0)).alias("value"),
+            F.col("d2").alias("dev2"),
+            "mad4",
+        )
+    )
