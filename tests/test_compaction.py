@@ -82,3 +82,27 @@ def test_verify_failure_leaves_source_untouched(spark, sf_dir, tmp_path, monkeyp
     monkeypatch.undo()
     assert spark.read.parquet(path).count() == n_rows
     assert not os.path.exists(path + ".compact-tmp")
+
+
+def test_streaming_append_then_compact(spark, sf_dir, tmp_path):
+    """The motivating workflow: micro-batch appends leave many small
+    files; compaction consolidates them without changing the row set."""
+    from form700_etl_spark.streaming.events_stream import read_events_stream
+
+    out = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        events.writeStream.foreachBatch(
+            lambda df, bid: df.repartition(8).write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_before = spark.read.parquet(out).count()
+    assert len(glob.glob(os.path.join(out, "part-*.parquet"))) >= 8
+    report = compact_parquet_dir(spark, out, target_bytes=1 << 30)
+    assert report.compacted and report.files_after == 1
+    assert spark.read.parquet(out).count() == n_before
