@@ -391,3 +391,128 @@ def events_retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_active"))
         .select("cohort_week", "week_offset", "n_active", F.col("n_cohort").cast("long"))
     )
+
+
+@register(
+    "events_gap_filled_hourly",
+    oracle="""
+    WITH spine AS (
+        SELECT t.h AS hour FROM (
+            SELECT unnest(generate_series(
+                TIMESTAMP '2024-01-01 00:00:00',
+                (SELECT date_trunc('hour', MAX(ts)) FROM events),
+                INTERVAL 1 HOUR)) AS h
+        ) t
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           ty.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN types ty
+    LEFT JOIN actual a ON a.hour = s.hour AND a.event_type = ty.event_type
+    """,
+    tags=("events", "timeseries"),
+    doc=(
+        "Time-series gap filling: a generated hourly spine (sequence + "
+        "explode — no data shuffle to build it) cross-joined with the "
+        "distinct type dimension, left-joined against the actual hourly "
+        "counts so silent hours surface as explicit zeros — what every "
+        "downstream forecaster/alerter needs.  The spine is bounded by "
+        "the observed time range; at 100 TB it is still only "
+        "hours x types rows (broadcast side), the facts aggregate once."
+    ),
+)
+def events_gap_filled_hourly(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    hi = e.agg(F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = hi.select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.col("hi"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    actual = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    singles AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+        FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(CAST(p.n_both AS DOUBLE) * (SELECT nu FROM n_users)
+                 / (sa.n * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    """,
+    tags=("events", "analytics"),
+    doc=(
+        "Event-type co-occurrence with lift (market-basket association "
+        "over users): distinct (user, type) collapses the fact table "
+        "first, the pair self-join runs on that reduced relation keyed "
+        "by user, and type marginals broadcast.  Lift = P(a,b)/P(a)P(b) "
+        "computed from exact integer counts with one final rounded "
+        "division."
+    ),
+)
+def events_type_cooccurrence(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    nu = e.agg(F.count_distinct("user_id").alias("nu"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.round(
+                F.col("n_both").cast("double") * F.col("nu") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
