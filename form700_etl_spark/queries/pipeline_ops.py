@@ -583,3 +583,160 @@ def sample_temperature_mixture(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# ------------------------------------- near-dedup + curriculum capstone
+
+
+def _near_dedup_curriculum_oracle() -> str:
+    from .dedup import (
+        MAX_SHINGLE_DF,
+        _CAPPED_SHINGLES_SQL,
+        _SHINGLES_SQL,
+        _quality_sql,
+    )
+
+    return f"""
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    shingles AS ({_CAPPED_SHINGLES_SQL.format(max_df=MAX_SHINGLE_DF)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    cpairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sim_pairs AS (
+        SELECT p.doc1, p.doc2
+        FROM cpairs p JOIN sizes s1 ON p.doc1 = s1.doc_id
+                      JOIN sizes s2 ON p.doc2 = s2.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.1
+    ),
+    edges AS (
+        SELECT doc1 AS a, doc2 AS b FROM sim_pairs
+        UNION ALL SELECT doc2, doc1 FROM sim_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS doc, a AS label FROM edges
+        UNION
+        (
+            WITH RECURSIVE walk(doc, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.doc
+            )
+            SELECT doc, label FROM walk
+        )
+    ),
+    clusters AS (
+        SELECT doc AS doc_id, MIN(label) AS component_id FROM reach GROUP BY doc
+    ),
+    quality AS ({_quality_sql()}),
+    qm AS (
+        SELECT doc_id, CAST(round(q * 1000000) AS BIGINT) AS m FROM quality
+    ),
+    ranked AS (
+        SELECT c.doc_id,
+               row_number() OVER (PARTITION BY c.component_id
+                                  ORDER BY q.m DESC, c.doc_id) AS rn
+        FROM clusters c JOIN qm q ON q.doc_id = c.doc_id
+    ),
+    drops AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    survivors AS (
+        SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tokens, q.m
+        FROM documents d JOIN qm q ON q.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    n AS (SELECT COUNT(*) AS c FROM survivors),
+    t AS (
+        SELECT
+            (SELECT max(m) FROM (SELECT m FROM survivors ORDER BY m
+                LIMIT (SELECT CAST(ceil(0.25 * c) AS BIGINT) FROM n))) AS t25,
+            (SELECT max(m) FROM (SELECT m FROM survivors ORDER BY m
+                LIMIT (SELECT CAST(ceil(0.50 * c) AS BIGINT) FROM n))) AS t50,
+            (SELECT max(m) FROM (SELECT m FROM survivors ORDER BY m
+                LIMIT (SELECT CAST(ceil(0.75 * c) AS BIGINT) FROM n))) AS t75
+    )
+    SELECT CAST(CASE WHEN m <= t25 THEN 1 WHEN m <= t50 THEN 2
+                     WHEN m <= t75 THEN 3 ELSE 4 END AS INT) AS bin,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM survivors, t
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "training_pipeline_near_dedup_curriculum",
+    oracle=_near_dedup_curriculum_oracle(),
+    tags=("pipeline", "flagship", "dedup"),
+    doc=(
+        "Capstone composition: near-dup clustering (capped-shingle "
+        "Jaccard pairs -> connected components) keeps only each "
+        "cluster's highest-quality member, then the surviving corpus is "
+        "curriculum-binned by exact order-statistic quality quartiles "
+        "and audited per (bin, language).  Demonstrates the operators "
+        "composing as one pipeline: the survivor frame is checkpointed "
+        "once and reused by the threshold jobs and the final audit."
+    ),
+)
+def training_pipeline_near_dedup_curriculum(spark, sf_dir):
+    import math
+
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import connected_components
+    from .dedup import dedup_ngram_jaccard
+    from .textops import text_quality_score
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    clusters = connected_components(pairs)
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1000000).cast("long").alias("m"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("component_id").orderBy(F.desc("m"), F.asc("doc_id"))
+    )
+    drops = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    d = table(spark, sf_dir, "documents")
+    survivors = (
+        d.join(drops, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            "m",
+        )
+        .localCheckpoint()  # reused by 3 threshold jobs + the final audit
+    )
+    n = survivors.count()
+    thresholds = []
+    for frac in (0.25, 0.50, 0.75):
+        k = int(math.ceil(frac * n))
+        thresholds.append(
+            survivors.orderBy("m").limit(k).agg(F.max("m")).collect()[0][0]
+        )
+    t25, t50, t75 = thresholds
+    bin_col = (
+        F.when(F.col("m") <= F.lit(t25), 1)
+        .when(F.col("m") <= F.lit(t50), 2)
+        .when(F.col("m") <= F.lit(t75), 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    return (
+        survivors.withColumn("bin", bin_col)
+        .groupBy("bin", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
