@@ -449,3 +449,29 @@ def histogram_fixed_width(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(W.partitionBy()), 6
         ).alias("frac"),
     )
+
+
+@register(
+    "pandas_udaf_cents_sum",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("udf", "agg"),
+    doc=(
+        "Custom aggregate (UDAF) surface: a GROUPED_AGG pandas_udf "
+        "summing exact integer cents per user — Arrow-batched, partial-"
+        "aggregated per partition by the engine.  The 2-decimal money "
+        "values sit far from .5 boundaries after *100, so pandas' "
+        "half-even rounding and SQL half-up agree and the result is "
+        "integer-exact against the plain SQL oracle.  Python UDAFs are "
+        "the EXTENSION point, not the hot path — the builtin-expression "
+        "twin is what production plans use; this pins the API."
+    ),
+)
+def pandas_udaf_cents_sum(spark, sf_dir):
+    from ..functions.udafs import cents_sum
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(cents_sum("value").alias("total_cents"))
