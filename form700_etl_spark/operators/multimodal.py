@@ -151,3 +151,63 @@ def chunk_docs_udtf():
         ChunkDocs,
         returnType="doc_id long, chunk_idx int, chunk_tokens int, chunk_md5 string",
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, in_width int, in_height int, "
+    "out_width int, out_height int, resized_sha string"
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 96, target_h: int = 64) -> DataFrame:
+    """Aspect-preserving fit of every image payload into (target_w,
+    target_h).  The decode is the same deterministic sha256 fake as
+    extract_features; the FIT ARITHMETIC is the real operator — pure
+    integers (cross-multiplication comparison + integer division), so
+    both engines agree exactly — and the 'resized payload' is a digest
+    of (payload, out dims), standing in for re-encoded bytes with the
+    batch shape and binary handling fully real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "image":
+                    continue
+                payload = bytes(row["payload"])
+                h = hashlib.sha256(payload).hexdigest()
+                in_w = 64 + int(h[:2], 16) % 64
+                in_h = 64 + int(h[2:4], 16) % 64
+                if in_w * target_h >= in_h * target_w:  # width-bound
+                    out_w = target_w
+                    out_h = in_h * target_w // in_w
+                else:
+                    out_h = target_h
+                    out_w = in_w * target_h // in_h
+                rows.append(
+                    (
+                        int(row["doc_id"]),
+                        row["media_type"],
+                        in_w,
+                        in_h,
+                        out_w,
+                        out_h,
+                        hashlib.sha256(
+                            payload + f"{out_w}x{out_h}".encode()
+                        ).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "in_width",
+                    "in_height",
+                    "out_width",
+                    "out_height",
+                    "resized_sha",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)

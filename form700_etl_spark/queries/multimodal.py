@@ -64,3 +64,41 @@ def multimodal_frame_sample(spark, sf_dir):
     # frame_sha is python-hashlib-only (no blob sha in the oracle) — project
     # the SQL-checkable columns; the digest column is covered by tests
     return frames.select("doc_id", "frame_index", F.col("frame_ts_s"))
+
+
+@register(
+    "multimodal_resize_audit",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CAST(64 + {_B0} % 64 AS INT) AS in_w,
+               CAST(64 + {_B1} % 64 AS INT) AS in_h
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, 'image' AS media_type,
+           in_w AS in_width, in_h AS in_height,
+           CAST(CASE WHEN in_w * 64 >= in_h * 96 THEN 96
+                     ELSE in_w * 64 // in_h END AS INT) AS out_width,
+           CAST(CASE WHEN in_w * 64 >= in_h * 96 THEN in_h * 96 // in_w
+                     ELSE 64 END AS INT) AS out_height,
+           substr(sha256(text ||
+               CAST(CASE WHEN in_w * 64 >= in_h * 96 THEN 96
+                         ELSE in_w * 64 // in_h END AS VARCHAR) || 'x' ||
+               CAST(CASE WHEN in_w * 64 >= in_h * 96 THEN in_h * 96 // in_w
+                         ELSE 64 END AS VARCHAR)), 1, 16) AS resized_sha
+    FROM dims
+    """,
+    tags=("multimodal",),
+    doc=(
+        "Aspect-preserving resize of every image payload into 96x64: "
+        "the fit arithmetic is pure integers (cross-multiplied "
+        "comparison + integer division) so the mapInPandas operator and "
+        "the SQL oracle agree exactly; decode stays the documented "
+        "sha256 fake, re-encode stands in as a digest of (payload, out "
+        "dims)."
+    ),
+)
+def multimodal_resize_audit(spark, sf_dir):
+    from ..operators.multimodal import resize_media
+
+    return resize_media(synthesize_media(spark, sf_dir))
