@@ -120,12 +120,19 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Apples-to-apples subtotal over exactly the query set BENCH_r04
+    # recorded (18.222 s): the headline list has since grown by 16
+    # queries, so the full-suite total is NOT comparable round-over-
+    # round — this field is.
+    r4_set = HEADLINE[:24]
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(HEADLINE),
+                "value_r4_query_set": round(sum(timings[n] for n in r4_set), 3),
                 "queries": timings,
                 "streaming": streaming,
                 "sf": sf,
