@@ -419,3 +419,35 @@ def sketch_countmin_topk(spark, sf_dir):
         .groupBy("token", "exact_n")
         .agg(F.min("n").alias("cms_estimate"))
     )
+
+
+@register(
+    "sql_udf_declarative_cents",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sql", "udf"),
+    doc=(
+        "Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr): "
+        "the cents cast defined ONCE as a catalog function and reused in "
+        "SQL — unlike Python UDFs it inlines into the plan and stays in "
+        "whole-stage codegen (the UDF that is NOT a slow path).  Oracle "
+        "is the inlined expression."
+    ),
+)
+def sql_udf_declarative_cents(spark, sf_dir):
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(SUM(to_cents(o_totalprice)) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
