@@ -315,3 +315,47 @@ def exact_dedup_groups(documents: DataFrame, key: F.Column | None = None,
         F.count(F.lit(1)).alias("group_size"),
         F.min("doc_id").alias("canonical_id"),
     )
+
+
+def incremental_lsh_probe(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    band_rows: int = BAND_ROWS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Incremental near-dup: band an INCOMING batch's signatures and
+    probe them against the EXISTING corpus index — no self-join over
+    the whole corpus.  Returns candidate (new_doc, old_doc) pairs.
+
+    This is how dedup runs in production once the corpus exists: the
+    old side is a precomputed banded index (bucketed table on
+    (band, key) at scale — only matching buckets are read); the new
+    side is one batch, small enough to BROADCAST, so probing 1M new
+    docs against a 10B-doc index moves only the batch, never the
+    index.  Signatures use the same md5-affine family as the batch
+    operator, so an index built by one is probe-compatible with the
+    other."""
+
+    def _bands(sig: DataFrame, out: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_hashes // band_rows)
+        ]
+        return sig.select(
+            F.col("doc_id").alias(out), F.explode(F.array(*structs)).alias("bk")
+        ).select(out, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    old_bands = _bands(sig_old, "old_doc")
+    new_bands = _bands(sig_new, "new_doc")
+    return (
+        old_bands.join(F.broadcast(new_bands), ["band", "key"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )

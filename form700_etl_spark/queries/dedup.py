@@ -701,3 +701,91 @@ def dedup_canonical_per_cluster(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - 1).alias("n_to_drop"),
     )
+
+
+@register(
+    "dedup_incremental_minhash_probe",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_minhash_sql()},
+    new_bands AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    old_bands AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+        FROM old_bands o JOIN new_bands n
+          ON o.bk.band = n.bk.band AND o.bk.key = n.bk.key
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.new_doc, c.old_doc, COUNT(*) AS common
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.new_doc
+        JOIN shingles b ON b.doc_id = c.old_doc AND b.shingle = a.shingle
+        GROUP BY c.new_doc, c.old_doc
+    )
+    SELECT v.new_doc, v.old_doc,
+           round(CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common), 6) AS jaccard
+    FROM verified v
+    JOIN sizes s1 ON v.new_doc = s1.doc_id
+    JOIN sizes s2 ON v.old_doc = s2.doc_id
+    """,
+    tags=("dedup", "lsh", "incremental"),
+    doc=(
+        "Incremental near-dup: the 20% 'incoming batch' (doc_id%5=0) is "
+        "MinHash-banded and probed against the banded index of the other "
+        "80% — batch broadcast, index never self-joined (the production "
+        "shape once a corpus exists; operators/dedup.py::"
+        "incremental_lsh_probe).  Collisions verify with exact Jaccard "
+        "restricted to candidate docs."
+    ),
+)
+def dedup_incremental_minhash_probe(spark, sf_dir):
+    from ..operators.dedup import (
+        incremental_lsh_probe,
+        minhash_signatures,
+        shingle,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    raw = shingle(docs, n=3, distinct=False)
+    sig = minhash_signatures(raw, n_hashes=_N_HASHES)
+    cand = incremental_lsh_probe(
+        sig.filter(F.col("doc_id") % 5 == 0),
+        sig.filter(F.col("doc_id") % 5 != 0),
+        band_rows=_BAND_ROWS,
+        n_hashes=_N_HASHES,
+    ).localCheckpoint()
+    # exact-Jaccard verify restricted to candidate docs (distinct
+    # shingle sets), mirroring the oracle's COUNT-over-distinct join.
+    cand_docs = (
+        cand.select(F.col("new_doc").alias("doc_id"))
+        .unionByName(cand.select(F.col("old_doc").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n=3, distinct=True
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
+    b = sh.select(F.col("doc_id").alias("old_doc"), "shingle")
+    common = (
+        cand.join(a, "new_doc")
+        .join(b, ["old_doc", "shingle"])
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("old_doc"), F.col("n").alias("n2"))
+    return (
+        common.join(s1, "new_doc")
+        .join(s2, "old_doc")
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
