@@ -516,3 +516,77 @@ def events_type_cooccurrence(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "events_point_in_time_join",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, value AS plan_value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS version
+        FROM events WHERE event_type = 'signup'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           CAST(v.version AS INT) AS version,
+           round(v.plan_value, 2) AS plan_value,
+           round(p.value, 2) AS purchase_value
+    FROM purchases p
+    JOIN versions v
+      ON v.user_id = p.user_id
+     AND p.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+    tags=("events", "join", "temporal"),
+    doc=(
+        "Point-in-time (AS OF) join against an SCD2-style version "
+        "history: signup events become validity-interval versions "
+        "(valid_from = ts, valid_to = next version's ts via lead), and "
+        "each purchase joins the version active AT ITS TIMESTAMP — the "
+        "temporal-correctness join every feature-store backfill needs "
+        "(no future leakage).  The interval build is one window; the "
+        "join is an equi-join on user plus range predicates, so AQE "
+        "plans it as an ordinary hash join with residual filters, not "
+        "a cross product."
+    ),
+)
+def events_point_in_time_join(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("plan_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wu).alias("valid_to"),
+            F.row_number().over(wu).alias("version"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return (
+        purchases.join(
+            versions,
+            (purchases.user_id == versions.user_id)
+            & (purchases.ts >= versions.valid_from)
+            & (versions.valid_to.isNull() | (purchases.ts < versions.valid_to)),
+        )
+        .select(
+            "event_id",
+            purchases.user_id.alias("user_id"),
+            F.col("version").cast("int"),
+            F.round("plan_value", 2).alias("plan_value"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )
