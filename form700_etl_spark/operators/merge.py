@@ -56,3 +56,24 @@ def scd2_apply(
         F.lit(open_marker).alias("valid_to"),
     )
     return closed.unionByName(new_versions)
+
+
+def table_diff(old: DataFrame, new: DataFrame, key: str, hash_col: str = "__row_hash") -> DataFrame:
+    """Snapshot reconciliation (CDC-style diff): classify every key as
+    added / removed / changed / unchanged between two table versions by
+    comparing a caller-supplied row fingerprint column ``hash_col``
+    (callers build it from engine-portable string renderings — integer
+    cents, ISO dates — so the same fingerprint is computable in any
+    engine).  One full outer join on the key; at 100 TB both sides
+    would be bucketed on the key so the join is exchange-free, and the
+    fingerprint comparison avoids comparing every column pairwise."""
+    o = old.select(F.col(key), F.col(hash_col).alias("__h_old"))
+    n = new.select(F.col(key), F.col(hash_col).alias("__h_new"))
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), "added")
+        .when(F.col("__h_new").isNull(), "removed")
+        .when(F.col("__h_old") != F.col("__h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(F.col(key), status.alias("status"))

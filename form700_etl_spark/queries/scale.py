@@ -641,3 +641,79 @@ def graph_pagerank_bipartite(spark, sf_dir):
         .orderBy(F.desc("rank_micro"), F.asc(F.expr("key * 2 + CAST(node_type = 'supplier' AS INT)")))
         .limit(20)
     )
+
+
+@register(
+    "table_diff_orders_snapshot",
+    oracle=f"""
+    WITH fp AS (
+        SELECT o_orderkey,
+               md5(concat_ws('|', o_orderstatus,
+                   CAST({cents_sql('o_totalprice')} AS VARCHAR),
+                   o_orderpriority)) AS h
+        FROM orders
+    ),
+    new_fp AS (
+        SELECT o_orderkey,
+               md5(concat_ws('|', o_orderstatus,
+                   CAST(CASE WHEN o_orderkey % 89 = 0
+                             THEN {cents_sql('o_totalprice')} + 100
+                             ELSE {cents_sql('o_totalprice')} END AS VARCHAR),
+                   o_orderpriority)) AS h
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM fp o FULL OUTER JOIN new_fp n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY status
+    """,
+    tags=("scale", "cdc", "validation"),
+    doc=(
+        "Snapshot diff (CDC reconciliation): two versions of orders — "
+        "the 'new' snapshot deterministically drops keys %97=0 and "
+        "bumps totalprice on keys %89=0 — are classified added/removed/"
+        "changed/unchanged by row fingerprint over one full outer join "
+        "(operators/merge.py::table_diff).  Fingerprints render money "
+        "as integer-cents strings so both engines hash identical bytes; "
+        "at scale both snapshots are bucketed on the key and the join "
+        "is exchange-free."
+    ),
+)
+def table_diff_orders_snapshot(spark, sf_dir):
+    from ..operators.merge import table_diff
+
+    o = table(spark, sf_dir, "orders")
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            cents("o_totalprice").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    old = o.select("o_orderkey", fp.alias("__row_hash"))
+    new_cents = F.when(
+        F.col("o_orderkey") % 89 == 0, cents("o_totalprice") + 100
+    ).otherwise(cents("o_totalprice"))
+    new_fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            new_cents.cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", new_fp.alias("__row_hash"))
+    )
+    return (
+        table_diff(old, new, "o_orderkey")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1229,3 +1229,45 @@ def text_bpe_compression_stats(spark, sf_dir):
 # representation pays 3 extra corpus-wide window sorts per round, so
 # the array form is kept.  At much larger doc lengths (book-scale
 # texts) the trade flips and the row variant is the one to revisit.
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS labeled_lang,
+               CASE greatest(s_en, s_es, s_de, s_fr)
+                    WHEN 0 THEN 'und'
+                    WHEN s_en THEN 'en'
+                    WHEN s_es THEN 'es'
+                    WHEN s_de THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scores
+    )
+    SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    tags=("text", "evaluation"),
+    doc=(
+        "Language-ID confusion matrix: the heuristic classifier's "
+        "predictions cross-tabulated against the corpus labels — the "
+        "evaluation artifact that tells a pipeline operator where the "
+        "classifier needs better markers (e.g. zh has no Latin-stopword "
+        "markers, so it lands in 'und'/en).  One aggregation over the "
+        "per-doc prediction plan."
+    ),
+)
+def text_langid_confusion(spark, sf_dir):
+    return (
+        text_language_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
