@@ -439,3 +439,18 @@ def test_fuzzy_join_hot_block_cap_excludes_only_hot_blocks(spark):
     assert all(m != 9 or q == 2 for q, m in got_capped)
     assert (2, 9) in got_capped          # cold block intact
     assert not any(q == 1 for q, _ in got_capped)  # hot block excluded
+
+
+def test_table_diff_all_four_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    ).select("k", F.md5("payload").alias("__row_hash"))
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, payload string"
+    ).select("k", F.md5("payload").alias("__row_hash"))
+    got = {r.k: r.status for r in table_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
