@@ -276,3 +276,39 @@ def test_inverted_index_topk_is_take_ordered(spark, sf_dir):
     never a full global Sort materialization."""
     plan = plan_of(spark, sf_dir, "text_inverted_index_top_terms")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# Queries whose plans INTENTIONALLY contain Python-eval or nested-loop
+# nodes: Arrow/pandas operators (multimodal, UDAF, scalar pandas_udf,
+# as-of merge), and 1-row broadcast "JVM variable" cross joins
+# (bloom bitmap, BPE top-pair, combine-style aggregates).
+_PYTHON_OK = {
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_audit",
+    "pandas_udaf_cents_sum",
+    "pandas_udf_scalar_normalize",
+}
+
+
+def test_registry_wide_no_accidental_python_or_cartesian(spark, sf_dir):
+    """EVERY registered query's analyzed plan is screened: Python-eval
+    nodes only in the declared Arrow-operator set, and no
+    CartesianProduct anywhere (1-row combine crossJoins lower to
+    broadcast nested loop, which is fine; a true cartesian is always a
+    bug).  One sweep, cheap (analysis only, no execution)."""
+    skipped = []
+    for name in sorted(QUERIES):
+        if "stream" in QUERIES[name].tags or name.startswith("stream_"):
+            skipped.append(name)  # streaming queries EXECUTE on build
+            continue
+        try:
+            plan = plan_of(spark, sf_dir, name)
+        except Exception:  # noqa: BLE001 — queries needing extra setup
+            skipped.append(name)
+            continue
+        if name not in _PYTHON_OK:
+            assert "EvalPython" not in plan, f"{name}: unexpected Python node"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # the screen must actually cover the registry, not silently skip it
+    assert len(skipped) <= 8, skipped
