@@ -165,9 +165,16 @@ def lsh_candidates(signatures: DataFrame, band_rows: int = BAND_ROWS,
 
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | None = None,
                    round_to: int = 6, shingles_distinct: bool = True,
-                   pairs_materialized: bool = False) -> DataFrame:
+                   pairs_materialized: bool = False,
+                   with_containment: bool = False) -> DataFrame:
     """Exact Jaccard for each candidate pair via the inverted index:
     the (doc2, shingle) join touches only shared shingles.
+
+    ``with_containment=True`` additionally emits Broder containment
+    (common / min(n1, n2)) — the asymmetric overlap measure that
+    catches a small document embedded inside a much larger one, where
+    Jaccard is diluted by the size gap (Broder, "On the resemblance
+    and containment of documents", SEQUENCES 1997).
 
     With ``shingles_distinct=False`` the input may carry duplicate
     (doc, shingle) rows; they are deduped HERE, after a broadcast
@@ -208,7 +215,11 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, threshold: float | Non
     out = common.join(s1, "doc1").join(s2, "doc2")
     if threshold is not None:
         out = out.filter(jac >= threshold)
-    return out.select("doc1", "doc2", F.round(jac, round_to).alias("jaccard"))
+    cols = ["doc1", "doc2", F.round(jac, round_to).alias("jaccard")]
+    if with_containment:
+        cont = F.col("common").cast("double") / F.least(F.col("n1"), F.col("n2"))
+        cols.append(F.round(cont, round_to).alias("containment"))
+    return out.select(*cols)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20,

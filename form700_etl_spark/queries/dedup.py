@@ -789,3 +789,152 @@ def dedup_incremental_minhash_probe(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------- cross-split decontamination
+
+
+# Split assignment is a pure function of doc_id (same md5 bucket rule as
+# pipeline_ops.split_train_test) so it can be computed INLINE on a pair
+# row — no join against a corpus-wide split table.
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def _split_col(c: str) -> F.Column:
+    h2 = F.substring(F.md5(F.col(c).cast("string")), 1, 2)
+    return F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+
+
+@register(
+    "dedup_cross_split_leakage",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_minhash_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc1, c.doc2, COUNT(*) AS common
+        FROM candidates c
+        JOIN shingles a ON a.doc_id = c.doc1
+        JOIN shingles b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+        GROUP BY c.doc1, c.doc2
+    ),
+    scored AS (
+        SELECT v.doc1, v.doc2,
+               {_SPLIT_SQL.format(c="v.doc1")} AS split1,
+               {_SPLIT_SQL.format(c="v.doc2")} AS split2,
+               round(CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common), 6) AS jaccard,
+               round(CAST(v.common AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+        FROM verified v
+        JOIN sizes s1 ON v.doc1 = s1.doc_id
+        JOIN sizes s2 ON v.doc2 = s2.doc_id
+    )
+    SELECT * FROM scored
+    WHERE split1 <> split2 AND (jaccard >= 0.5 OR containment >= 0.9)
+    """,
+    tags=("dedup", "lsh", "pipeline", "contamination"),
+    doc=(
+        "Eval-set decontamination at the NEAR-dup level: MinHash-LSH "
+        "candidates verified with exact Jaccard AND Broder containment "
+        "(common/min — catches an eval doc embedded in a larger train "
+        "doc, where Jaccard is size-diluted), kept only when the pair "
+        "crosses train/val/test boundaries.  Split membership is a pure "
+        "md5(doc_id) function computed inline on each pair row — no "
+        "corpus-wide split join.  Plan shape = dedup_minhash_lsh plus "
+        "two scalar columns; candidate volume, not n², is shuffled."
+    ),
+)
+def dedup_cross_split_leakage(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures, shingle, verify_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    raw = shingle(docs, n=3, distinct=False)
+    sig = minhash_signatures(raw, n_hashes=_N_HASHES)
+    candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
+    cand_docs = (
+        candidates.select(F.col("doc1").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+    )
+    raw_cand = shingle(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n=3, distinct=False
+    )
+    scored = verify_jaccard(
+        candidates,
+        raw_cand,
+        shingles_distinct=False,
+        pairs_materialized=True,
+        with_containment=True,
+    )
+    return (
+        scored.select(
+            "doc1",
+            "doc2",
+            _split_col("doc1").alias("split1"),
+            _split_col("doc2").alias("split2"),
+            "jaccard",
+            "containment",
+        )
+        .filter(
+            (F.col("split1") != F.col("split2"))
+            & ((F.col("jaccard") >= 0.5) | (F.col("containment") >= 0.9))
+        )
+    )
+
+
+# ------------------------------------------------ duplicate n-gram coverage
+
+
+@register(
+    "dedup_ngram_coverage",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    df AS (
+        SELECT shingle, COUNT(*) AS n_docs FROM shingles GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+        FROM shingles s JOIN df d ON s.shingle = d.shingle
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS dup_ngram_coverage
+    FROM per_doc
+    """,
+    tags=("dedup", "pipeline", "quality"),
+    doc=(
+        "Duplicate-n-gram coverage per document: the fraction of a "
+        "doc's distinct 3-gram shingles that also appear in at least "
+        "one OTHER doc — the corpus-dedup quality metric of RefinedWeb "
+        "(Penedo et al. 2023) / Gopher's repetition family.  Plan: one "
+        "shingle pass, a document-frequency agg keyed by shingle, and "
+        "a re-join to the shingle stream — two shuffles on the shingle "
+        "key, no pair join anywhere, so cost is linear in corpus "
+        "shingle volume at any scale."
+    ),
+)
+def dedup_ngram_coverage(spark, sf_dir):
+    sh = _shingles_cached(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+        ).alias("dup_ngram_coverage"),
+    )
