@@ -740,3 +740,48 @@ def training_pipeline_near_dedup_curriculum(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN n_chars >= 300 THEN 1.0
+                    WHEN n_chars >= 150 THEN 0.5
+                    ELSE 0.25 END AS keep_rate
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, keep_rate
+    FROM rated
+    WHERE {_H4_UNIFORM} < keep_rate
+    """,
+    tags=("pipeline", "sampling", "quality"),
+    doc=(
+        "Quality-weighted sampling: keep probability rises with a "
+        "quality proxy (document length bands here; any scored bin "
+        "works) — the curation move that over-samples high-quality "
+        "text instead of hard-filtering.  Membership is the same "
+        "md5-to-uniform comparison as the other samplers, so the "
+        "sample is deterministic across runs/retries/engines and the "
+        "whole op is a scan-side filter: zero shuffles at any scale."
+    ),
+)
+def sample_quality_weighted(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("n_chars") >= 300, 1.0)
+        .when(F.col("n_chars") >= 150, 0.5)
+        .otherwise(0.25)
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(h, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            rate.alias("keep_rate"),
+        )
+        .filter(u < F.col("keep_rate"))
+    )

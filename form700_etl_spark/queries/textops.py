@@ -1271,3 +1271,120 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------- trained token-vote ID
+
+
+# Split rule shared with pipeline_ops.split_train_test / the dedup
+# leakage screen: a pure md5(doc_id) bucket function, computed inline.
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "text_langid_trained_vote",
+    oracle=f"""
+    WITH split_docs AS (
+        SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    train_tokens AS (
+        SELECT unnest(toks) AS token, lang FROM split_docs WHERE split = 'train'
+    ),
+    model AS (
+        SELECT token, lang AS tok_lang FROM (
+            SELECT token, lang,
+                   row_number() OVER (
+                       PARTITION BY token ORDER BY COUNT(*) DESC, lang) AS rk
+            FROM train_tokens GROUP BY token, lang
+        ) t WHERE rk = 1
+    ),
+    eval_tokens AS (
+        SELECT doc_id, lang AS labeled_lang, unnest(toks) AS token
+        FROM split_docs WHERE split <> 'train'
+    ),
+    votes AS (
+        SELECT e.doc_id, m.tok_lang, COUNT(*) AS n
+        FROM eval_tokens e JOIN model m ON e.token = m.token
+        GROUP BY e.doc_id, m.tok_lang
+    ),
+    pred AS (
+        SELECT doc_id, tok_lang AS predicted_lang FROM (
+            SELECT doc_id, tok_lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY n DESC, tok_lang) AS rk
+            FROM votes
+        ) t WHERE rk = 1
+    ),
+    eval_docs AS (
+        SELECT doc_id, lang AS labeled_lang FROM split_docs WHERE split <> 'train'
+    )
+    SELECT d.labeled_lang,
+           coalesce(p.predicted_lang, 'und') AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM eval_docs d LEFT JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.labeled_lang, coalesce(p.predicted_lang, 'und')
+    """,
+    tags=("text", "evaluation", "pipeline"),
+    doc=(
+        "TRAINED language classifier (train/apply at corpus scale, all "
+        "integer-exact): each token is labeled with its majority "
+        "language over the train split (count argmax, lexical "
+        "tie-break); an eval doc's prediction is the majority label of "
+        "its known tokens ('und' when none).  The model is a TABLE "
+        "keyed by token — applied with an ordinary shuffle join, NOT a "
+        "driver-side broadcast dict, so vocabulary size is unbounded; "
+        "train is one (token,lang) count agg + one per-token window; "
+        "apply is one join + one per-doc window.  The final output is "
+        "the confusion matrix over the held-out splits."
+    ),
+)
+def text_langid_trained_vote(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    docs = d.select("doc_id", "lang", split.alias("split"),
+                    F.split(F.lower("text"), " ").alias("toks"))
+    train_tokens = (
+        docs.filter(F.col("split") == "train")
+        .select("lang", F.explode("toks").alias("token"))
+    )
+    w_tok = Window.partitionBy("token").orderBy(F.col("cnt").desc(), F.col("lang"))
+    model = (
+        train_tokens.groupBy("token", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_tok))
+        .filter(F.col("rk") == 1)
+        .select("token", F.col("lang").alias("tok_lang"))
+    )
+    eval_docs = docs.filter(F.col("split") != "train")
+    eval_tokens = eval_docs.select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    votes = (
+        eval_tokens.join(model, "token")
+        .groupBy("doc_id", "tok_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("tok_lang"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("tok_lang").alias("predicted_lang"))
+    )
+    return (
+        eval_docs.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "labeled_lang",
+            F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
