@@ -1,0 +1,110 @@
+"""Training-shard export sink: curated corpus → size-bounded JSONL (or
+parquet) shards plus a verifiable manifest.
+
+The last step of a data-curation pipeline is materializing training
+shards that a loader can stream — many same-sized files, stable
+assignment, and a manifest that lets the consumer verify completeness
+without trusting the producer.
+
+Spark-first design (no driver-side row handling anywhere):
+
+- Shard ASSIGNMENT is a deterministic hash partition on a caller-chosen
+  key (``repartition(n_shards, hash_key)``), so a re-run — or a second
+  engine — lands every row in the same shard.  At 100 TB the
+  per-shard writers run fully parallel; there is exactly one shuffle.
+- Shard SIZE is additionally bounded with the writer option
+  ``maxRecordsPerFile`` — Spark's own file-splitting machinery (the
+  same control a lakehouse compaction job uses), not a custom writer.
+- The MANIFEST is computed by reading the written files BACK and
+  aggregating per ``input_file_name()``: row count plus an
+  order-independent content hash (sum of xxhash64 over the serialized
+  row).  Reading back what was actually committed — rather than
+  trusting counters captured during the write — is what makes the
+  manifest an audit: it would catch a lost/truncated file.  This is
+  the same read-back-reconciliation stance as the chunked sink's
+  count audit (reference Form700.py's count reconciliation, A3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ShardManifestRow:
+    shard_file: str
+    n_rows: int
+    content_hash: int
+
+
+def write_training_shards(df: DataFrame, path: str, shard_key: str,
+                          n_shards: int, max_records_per_file: int,
+                          fmt: str = "json") -> None:
+    """Write ``df`` as ``n_shards`` deterministic hash shards (each
+    further split at ``max_records_per_file`` rows), format ``json``
+    (JSONL — one object per line, the interchange format training
+    loaders actually consume) or ``parquet``."""
+    (
+        df.repartition(n_shards, F.col(shard_key))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def shard_manifest(spark: SparkSession, path: str, fmt: str = "json",
+                   schema=None) -> DataFrame:
+    """Manifest of a shard directory from the files themselves:
+    (shard_file, n_rows, content_hash).  ``content_hash`` is the sum of
+    xxhash64 over the canonically-serialized row — order-independent,
+    so it is stable under Spark's nondeterministic row order within a
+    file read, and mergeable across shards (the TOTAL corpus hash is
+    the sum of shard hashes).  The per-row hash is summed as
+    decimal(38,0): ANSI mode makes a long sum throw on overflow, and a
+    38-digit accumulator holds ~1e12 rows of int64 hashes exactly."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(path)
+    row_repr = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+    return (
+        df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("shard_file"),
+            F.xxhash64(row_repr).cast("decimal(38,0)").alias("h"),
+        )
+        .groupBy("shard_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("content_hash"),
+        )
+    )
+
+
+def export_with_manifest(df: DataFrame, path: str, shard_key: str,
+                         n_shards: int, max_records_per_file: int,
+                         fmt: str = "json") -> DataFrame:
+    """Write shards, then build + persist the read-back manifest next to
+    them (``_MANIFEST`` subdirectory, single CSV part) and return it.
+    Raises if the read-back row total disagrees with the source — the
+    completeness audit a consumer would otherwise have to run."""
+    spark = df.sparkSession
+    expected = df.count()
+    write_training_shards(df, path, shard_key, n_shards, max_records_per_file, fmt=fmt)
+    manifest = shard_manifest(spark, path, fmt=fmt, schema=df.schema)
+    written = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
+    if written != expected:
+        raise RuntimeError(
+            f"shard export row mismatch: wrote {written}, expected {expected} at {path}"
+        )
+    (
+        manifest.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(os.path.join(path, "_MANIFEST"))
+    )
+    return manifest
