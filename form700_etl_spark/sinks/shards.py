@@ -91,10 +91,21 @@ def export_with_manifest(df: DataFrame, path: str, shard_key: str,
     """Write shards, then build + persist the read-back manifest next to
     them (``_MANIFEST`` subdirectory, single CSV part) and return it.
     Raises if the read-back row total disagrees with the source — the
-    completeness audit a consumer would otherwise have to run."""
+    completeness audit a consumer would otherwise have to run.
+
+    The expected row count is captured from the WRITE pass itself via
+    the ``Observation`` API (a count metric attached to the plan), not
+    a separate ``df.count()`` job — at 100 TB a second full scan of
+    the source just to learn its cardinality is the kind of hidden
+    double-read this sink exists to audit away (same single-pass
+    stance as the chunked sink's per-partition count records)."""
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
-    expected = df.count()
+    obs = Observation("shard_export")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     write_training_shards(df, path, shard_key, n_shards, max_records_per_file, fmt=fmt)
+    expected = obs.get["n_rows"]
     manifest = shard_manifest(spark, path, fmt=fmt, schema=df.schema)
     written = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
     if written != expected:
