@@ -76,6 +76,14 @@ HEADLINE = [
     "events_retention_cohorts",
     "text_inverted_index_top_terms",
     "embedding_random_projection",
+    # round-5 second wave: cross-split decontamination (minhash-shaped),
+    # duplicate-n-gram coverage (linear, two shingle-keyed shuffles),
+    # trained token-vote classifier (train/apply join), quality-weighted
+    # sampling (scan-side filter).
+    "dedup_cross_split_leakage",
+    "dedup_ngram_coverage",
+    "text_langid_trained_vote",
+    "sample_quality_weighted",
 ]
 
 

@@ -58,6 +58,10 @@ PROBE_QUERIES = [
     "embedding_random_projection",
     "bloom_join_building_orders",
     "graph_pagerank_bipartite",
+    # round-5 second wave
+    "dedup_cross_split_leakage",
+    "dedup_ngram_coverage",
+    "text_langid_trained_vote",
 ]
 SCALE = 10
 
