@@ -119,3 +119,56 @@ def export_with_manifest(df: DataFrame, path: str, shard_key: str,
         .csv(os.path.join(path, "_MANIFEST"))
     )
     return manifest
+
+
+def stream_export_shards(spark: SparkSession, src_dir: str, out_path: str,
+                         checkpoint: str, min_chars: int = 100,
+                         n_shards: int = 2,
+                         max_records_per_file: int = 1000) -> None:
+    """Streaming curation backfill: a file-source stream over the
+    ``documents`` fixture, a scan-side quality gate, and a
+    ``foreachBatch`` shard export under ``Trigger.AvailableNow`` —
+    the catch-up-then-stop trigger a scheduled ingestion job uses (all
+    available input is processed in rate-limited micro-batches, then
+    the query terminates; a later run resumes from the checkpoint and
+    exports only NEW files).
+
+    Each micro-batch writes into its own ``epoch=N`` subdirectory with
+    mode=overwrite, so a batch retried after a crash REPLACES its own
+    partial output instead of appending a duplicate — idempotence by
+    epoch id, the same replay-safety contract as the chunked streaming
+    sink's per-batch manifests.  The corpus-level manifest is
+    ``shard_manifest`` over the whole export tree (shard hashes are
+    mergeable sums, so epochs compose)."""
+    import os as _os
+
+    from ..io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(_os.path.join(src_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(src_dir)
+    )
+    curated = docs.filter(F.col("n_chars") >= min_chars)
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        write_training_shards(
+            bdf,
+            _os.path.join(out_path, f"epoch={epoch_id}"),
+            "doc_id",
+            n_shards=n_shards,
+            max_records_per_file=max_records_per_file,
+        )
+
+    q = (
+        curated.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -88,3 +88,35 @@ class TestShardExport:
         manifest = shard_manifest(spark, path, schema=docs.schema)
         written = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
         assert written < docs.count()
+
+
+class TestStreamExport:
+    def test_available_now_backfill_then_idempotent_restart(self, spark, sf_dir, tmp_path):
+        from form700_etl_spark.sinks.shards import stream_export_shards
+
+        out = str(tmp_path / "stream_shards")
+        ckpt = str(tmp_path / "ckpt")
+        stream_export_shards(spark, sf_dir, out, ckpt, min_chars=100)
+
+        src = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+        docs_schema = table(spark, sf_dir, "documents").schema
+        back = (
+            spark.read.schema(docs_schema)
+            .option("recursiveFileLookup", True)
+            .json(out)
+        )
+        assert back.count() == src.count()
+        first_files = sorted(
+            f for f in glob.glob(os.path.join(out, "**", "part-*"), recursive=True)
+            if not f.endswith(".crc")
+        )
+        mtimes = {f: os.path.getmtime(f) for f in first_files}
+
+        # restart from the same checkpoint: no new input -> no new output
+        stream_export_shards(spark, sf_dir, out, ckpt, min_chars=100)
+        second_files = sorted(
+            f for f in glob.glob(os.path.join(out, "**", "part-*"), recursive=True)
+            if not f.endswith(".crc")
+        )
+        assert second_files == first_files
+        assert all(os.path.getmtime(f) == mtimes[f] for f in second_files)
