@@ -451,3 +451,57 @@ def sql_udf_declarative_cents(spark, sf_dir):
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE months(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE d < DATE '2001-08-01'
+    ),
+    m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+    )
+    SELECT strftime(months.d, '%Y-%m') AS month,
+           COALESCE(m.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN m ON strftime(months.d, '%Y-%m') = m.month
+    """,
+    tags=("sql", "time", "iterative"),
+    doc=(
+        "Recursive CTE through the SQL front door (Spark 4 WITH "
+        "RECURSIVE): the month spine is generated by 80 UNION ALL "
+        "recursion steps instead of sequence()+explode — same "
+        "zero-filled result as calendar_zero_fill, demonstrating the "
+        "new engine surface with exact cross-engine parity (DuckDB "
+        "runs the structurally identical recursion).  Engine note: "
+        "Spark's recursion supports UNION ALL only (no fixpoint "
+        "dedup), so it fits monotone bounded generators and acyclic "
+        "traversals; cyclic-graph reachability stays with the Pregel "
+        "operator (operators/dedup.py::connected_components)."
+    ),
+)
+def sql_recursive_cte_spine(spark, sf_dir):
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(d) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(d + INTERVAL 1 MONTH AS DATE) FROM months
+            WHERE d < DATE '2001-08-01'
+        ),
+        m AS (
+            SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                   COUNT(*) AS n_orders
+            FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+        )
+        SELECT date_format(months.d, 'yyyy-MM') AS month,
+               COALESCE(m.n_orders, 0) AS n_orders
+        FROM months LEFT JOIN m ON date_format(months.d, 'yyyy-MM') = m.month
+        """
+    )
