@@ -102,3 +102,44 @@ def asof_join_via_pandas(
     ]
     unioned = conformed[0].unionByName(conformed[1])
     return unioned.groupBy(key).applyInPandas(merge, schema=schema)
+
+
+def asof_join_via_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    schema: str,
+) -> DataFrame:
+    """Cogroup form of the pandas fallback:
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` —
+    Spark's purpose-built surface for a custom TWO-sided per-key merge.
+    Unlike ``asof_join_via_pandas`` there is no tag column, no schema
+    conforming, and no union: each side shuffles once on the key and
+    arrives in the UDF as its own Arrow frame.  Prefer this shape
+    whenever per-key logic genuinely needs both sides in Python
+    (tolerance windows, nearest-direction, per-key model application);
+    prefer ``asof_join_via_window`` — one shuffle, zero Python — when
+    plain backward as-of is enough."""
+    import pandas as pd
+
+    r_sel = right.select(key, ts, *value_cols)
+
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        if lg.empty:
+            return pd.DataFrame(columns=list(lg.columns) + [f"asof_{c}" for c in value_cols])
+        lg = lg.sort_values(ts)
+        if rg.empty:
+            out = lg.copy()
+            for c in value_cols:
+                out[f"asof_{c}"] = pd.NA
+            return out
+        rg = rg.sort_values(ts).rename(columns={c: f"asof_{c}" for c in value_cols})
+        return pd.merge_asof(lg, rg, on=ts, by=key, direction="backward")
+
+    return (
+        left.groupBy(key)
+        .cogroup(r_sel.groupBy(key))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -454,3 +454,39 @@ def test_table_diff_all_four_statuses(spark):
     ).select("k", F.md5("payload").alias("__row_hash"))
     got = {r.k: r.status for r in table_diff(old, new, "k").collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+class TestCogroupAsof:
+    def test_cogroup_matches_window_plan(self, spark, sf_dir):
+        """The cogroup/applyInPandas as-of (two-sided per-key merge via
+        Spark's purpose-built cogroup surface) agrees row-for-row with
+        the production union+window JVM plan."""
+        from pyspark.sql import functions as F
+
+        from form700_etl_spark.io import table
+        from form700_etl_spark.operators.asof import asof_join_via_cogroup
+        from form700_etl_spark.queries.events import asof_last_purchase_per_event
+
+        e = table(spark, sf_dir, "events")
+        left = e.select("event_id", "user_id", "ts")
+        right = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("purchase_id"))
+        )
+        out = asof_join_via_cogroup(
+            left,
+            right,
+            key="user_id",
+            ts="ts",
+            value_cols=["purchase_id"],
+            schema="event_id long, user_id long, ts timestamp, asof_purchase_id long",
+        )
+        got = {
+            (r.event_id, r.asof_purchase_id) for r in out.collect()
+        }
+        want = {
+            (r.event_id, r.last_purchase_id)
+            for r in asof_last_purchase_per_event(spark, sf_dir).collect()
+        }
+        assert got == want
