@@ -211,3 +211,50 @@ def resize_media(media: DataFrame, target_w: int = 96, target_h: int = 64) -> Da
             )
 
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features` — identical
+    semantics, different batch transport.  For BINARY payload columns
+    the Arrow path matters: ``mapInPandas`` materializes every payload
+    as a Python ``bytes`` object in an object-dtype Series (one heap
+    allocation + refcount per cell), while ``pyarrow.RecordBatch``
+    hands the payload buffer over zero-copy and only the per-row
+    ``as_py()`` touch pays Python cost.  Same shuffle story (none);
+    the choice is purely about batch-boundary overhead, which at
+    100 TB of media is the hot constant factor.  Equivalence with the
+    pandas path is test-enforced."""
+    import pyarrow as pa
+
+    def run(batches):
+        decoder = _try_real_decoder() or "fake-sha256"
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            mtypes = batch.column("media_type")
+            payloads = batch.column("payload")
+            n = batch.num_rows
+            n_bytes, sha_prefix, widths, heights = [], [], [], []
+            for i in range(n):
+                buf = payloads[i].as_py()
+                h = hashlib.sha256(buf).hexdigest()
+                n_bytes.append(len(buf))
+                sha_prefix.append(h[:16])
+                widths.append(64 + int(h[:2], 16) % 64)
+                heights.append(64 + int(h[2:4], 16) % 64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    mtypes,
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(sha_prefix, type=pa.string()),
+                    pa.array(widths, type=pa.int32()),
+                    pa.array(heights, type=pa.int32()),
+                    pa.array([decoder] * n, type=pa.string()),
+                ],
+                names=[
+                    "doc_id", "media_type", "n_bytes", "sha_prefix",
+                    "fake_width", "fake_height", "decoder",
+                ],
+            )
+
+    return media.mapInArrow(run, schema=FEATURE_SCHEMA)

@@ -490,3 +490,19 @@ class TestCogroupAsof:
             for r in asof_last_purchase_per_event(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestArrowFeatureExtract:
+    def test_arrow_twin_matches_pandas_path(self, spark, sf_dir):
+        """mapInArrow and mapInPandas feature extraction agree cell-for-
+        cell (same decode stub, different batch transport)."""
+        from form700_etl_spark.operators.multimodal import (
+            extract_features,
+            extract_features_arrow,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, sf_dir)
+        a = {tuple(r) for r in extract_features_arrow(media).collect()}
+        b = {tuple(r) for r in extract_features(media).collect()}
+        assert a == b
