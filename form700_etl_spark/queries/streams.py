@@ -135,3 +135,4 @@ register(
         "unmatched users survive; oracle = the batch left join."
     ),
 )(stream_static_enrich)
+

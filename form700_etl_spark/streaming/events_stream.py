@@ -276,3 +276,68 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(cents("value")) / F.lit(100.0)).alias("total_value"),
     )
     return run_to_completion(agg, "complete")
+
+
+def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    ``stream_stateful_user_stats``: the new arbitrary-stateful-
+    processing API (SPARK-49564) replaces applyInPandasWithState's
+    single opaque state tuple with an object-style processor owning
+    named, typed state variables (ValueState here; ListState/MapState/
+    timers for richer operators).  Semantics are identical — per-user
+    running count + max carried across micro-batches — so the same
+    batch-aggregate oracle checks it.  Requires the RocksDB state
+    store provider (enforced by the API), which is exactly the
+    production configuration.
+
+    Environment gate: the TWS protocol speaks protobuf between the JVM
+    and the Python state server; containers without ``google.protobuf``
+    cannot run it (the driver worker crashes in pre-init), so this
+    operator is exercised by an importorskip-gated equivalence test
+    rather than a registered oracle query.  The applyInPandasWithState
+    twin above is the dependency-free equivalent and IS
+    oracle-registered."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n long, vmax double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, vmax = self._stats.get()
+            else:
+                n, vmax = 0, float("-inf")
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    vmax = max(vmax, float(pdf["value"].max()))
+            self._stats.update((n, vmax))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = read_events_stream(spark, sf_dir)
+    with rocksdb_state_store(spark):
+        out = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType="user_id long, n_events long, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        latest = run_to_completion(out, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -121,3 +123,30 @@ def test_rocksdb_state_store_equivalence(spark, sf_dir):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         != ROCKSDB_PROVIDER
     )
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (named typed state vars)
+    agrees with the batch aggregate — skipped where the protobuf
+    dependency its JVM<->Python state protocol needs is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.streaming.events_stream import stream_tws_user_stats
+
+    got = {
+        (r.user_id, r.n_events, r.max_value)
+        for r in stream_tws_user_stats(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.max_value)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
