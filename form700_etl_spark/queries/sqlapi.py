@@ -505,3 +505,82 @@ def sql_recursive_cte_spine(spark, sf_dir):
         FROM months LEFT JOIN m ON date_format(months.d, 'yyyy-MM') = m.month
         """
     )
+
+
+@register(
+    "sql_pipe_syntax_priority_counts",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS total
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql",),
+    doc=(
+        "SQL pipe syntax (Spark 4 |> operators, the linear FROM-first "
+        "dialect): FROM orders |> WHERE |> AGGREGATE ... GROUP BY — "
+        "parses to the identical Catalyst plan as the nested form, so "
+        "the classic-SQL DuckDB oracle checks it exactly."
+    ),
+)
+def sql_pipe_syntax_priority_counts(spark, sf_dir):
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        f"""
+        FROM orders
+        |> WHERE o_orderstatus = 'P'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM({cents_sql('o_totalprice')}) AS DOUBLE)
+                       / CAST(100 AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, total
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk_customers",
+    oracle="""
+    SELECT n.n_name,
+           t.c_custkey,
+           t.c_name,
+           round(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n,
+         LATERAL (
+             SELECT c_custkey, c_name, c_acctbal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+             LIMIT 2
+         ) t
+    """,
+    tags=("sql", "join", "topk"),
+    doc=(
+        "Correlated top-k per outer row via the DataFrame lateral-join "
+        "API (Spark 4 DataFrame.lateralJoin + col().outer() correlated "
+        "references — the DataFrame form of LATERAL): top-2 customers "
+        "by account balance per nation.  Catalyst decorrelates the "
+        "limit-2 subquery into a ranked window join, so the plan is "
+        "the same shuffle shape as the window formulation — this "
+        "registers the API surface, not a new physical strategy.  "
+        "Balance ordered on exact cents (both engines agree "
+        "bit-for-bit); output balance rounded for display."
+    ),
+)
+def sql_lateral_topk_customers(spark, sf_dir):
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = table(spark, sf_dir, "customer")
+    top2 = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(cents("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return n.lateralJoin(top2).select(
+        "n_name",
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
