@@ -1388,3 +1388,72 @@ def text_langid_trained_vote(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_oov_rate_vs_train",
+    oracle=f"""
+    WITH split_docs AS (
+        SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    train_vocab AS (
+        SELECT DISTINCT unnest(toks) AS token
+        FROM split_docs WHERE split = 'train'
+    ),
+    eval_tokens AS (
+        SELECT doc_id, lang, unnest(toks) AS token
+        FROM split_docs WHERE split <> 'train'
+    )
+    SELECT e.doc_id, e.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM eval_tokens e LEFT JOIN train_vocab v ON e.token = v.token
+    GROUP BY e.doc_id, e.lang
+    """,
+    tags=("text", "evaluation", "pipeline"),
+    doc=(
+        "Out-of-vocabulary rate of every held-out doc against the "
+        "train split's token vocabulary — the coverage diagnostic run "
+        "before freezing a tokenizer (a high OOV eval slice means the "
+        "vocab under-represents that domain).  The vocabulary is a "
+        "distinct-token TABLE (unbounded, never a driver-side set); "
+        "apply is one left join on the token key + one per-doc agg — "
+        "all integer counts, one exact division at the end."
+    ),
+)
+def text_oov_rate_vs_train(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    docs = d.select(
+        "doc_id", "lang", split.alias("split"), F.split(F.lower("text"), " ").alias("toks")
+    )
+    vocab = (
+        docs.filter(F.col("split") == "train")
+        .select(F.explode("toks").alias("token"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    eval_tokens = (
+        docs.filter(F.col("split") != "train")
+        .select("doc_id", "lang", F.explode("toks").alias("token"))
+    )
+    per_doc = (
+        eval_tokens.join(vocab, "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )
