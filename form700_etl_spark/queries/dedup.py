@@ -913,10 +913,11 @@ def dedup_cross_split_leakage(spark, sf_dir):
         "doc's distinct 3-gram shingles that also appear in at least "
         "one OTHER doc — the corpus-dedup quality metric of RefinedWeb "
         "(Penedo et al. 2023) / Gopher's repetition family.  Plan: one "
-        "shingle pass, a document-frequency agg keyed by shingle, and "
-        "a re-join to the shingle stream — two shuffles on the shingle "
-        "key, no pair join anywhere, so cost is linear in corpus "
-        "shingle volume at any scale."
+        "shingle pass, a document-frequency agg keyed by shingle, a "
+        "re-join to the shingle stream, and a per-doc agg — every "
+        "exchange is keyed by shingle or doc_id and carries the "
+        "corpus's shingle volume at most once; no pair join anywhere, "
+        "so cost is linear in corpus shingle volume at any scale."
     ),
 )
 def dedup_ngram_coverage(spark, sf_dir):
