@@ -63,7 +63,7 @@ PROBE_QUERIES = [
     "dedup_ngram_coverage",
     "text_langid_trained_vote",
 ]
-SCALE = 10
+SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
 
 def synth_tables(out_dir: str) -> None:
