@@ -157,7 +157,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, n_centroids: int = 8
     candidates with the per-row JVM fold and windowed the full
     |probes|·|cluster| candidate set — interpreted higher-order-function
     evaluation dominated the runtime ~10x at corpus scale (measured in
-    the round-5 10x probe, SCALE.md)."""
+    the round-5 10x probe, SCALE.md).  The Arrow pass carries a fixed
+    Python-worker cost per probe batch, so at tiny scale (sf0.1 bench)
+    this variant measures ~0.2-0.3 s above the old JVM-fold shape —
+    accepted: the same trade is 43.8 s -> 2.2 s at 10x and widens with
+    the corpus."""
     import numpy as np
     import pandas as pd
 
