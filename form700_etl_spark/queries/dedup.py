@@ -91,6 +91,29 @@ def _shingles_cached(spark, sf_dir, max_df: int | None = None) -> DataFrame:
     return df
 
 
+
+def _candidate_shingles(docs, pairs, left_col="doc1", right_col="doc2",
+                        distinct=False):
+    """Shingles restricted to the docs named by a candidate-pair frame:
+    union both id columns, broadcast-semi-join against the corpus, and
+    re-shingle only those docs.  The broadcast semi-join — never a
+    driver-side IN-list — is the 100 TB-safe restriction (candidate
+    lists can be millions of ids).  Shared by every verify stage that
+    re-reads the source for candidate docs only."""
+    from ..operators.dedup import shingle
+
+    cand_docs = (
+        pairs.select(F.col(left_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(right_col).alias("doc_id")))
+        .distinct()
+    )
+    return shingle(
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+        n=3,
+        distinct=distinct,
+    )
+
+
 # ---------------------------------------------------------------- exact dedup
 
 
@@ -275,21 +298,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     raw = shingle(docs, n=3, distinct=False)
     sig = minhash_signatures(raw, n_hashes=_N_HASHES)
     candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
-    # the Jaccard verify touches only candidate docs — re-scan the source
-    # through a broadcast LEFT SEMI join on candidate doc_ids (same shape
-    # as verify_jaccard's own restriction) instead of collecting ids to
-    # the driver: at 100 TB the candidate list can be millions of ids,
-    # and a driver-side IN-list would not survive that.
-    cand_docs = (
-        candidates.select(F.col("doc1").alias("doc_id"))
-        .unionByName(candidates.select(F.col("doc2").alias("doc_id")))
-        .distinct()
-    )
-    raw_cand = shingle(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
-        n=3,
-        distinct=False,
-    )
+    # the Jaccard verify touches only candidate docs (broadcast semi-join
+    # restriction, _candidate_shingles)
+    raw_cand = _candidate_shingles(docs, candidates)
     return verify_jaccard(
         candidates, raw_cand, shingles_distinct=False, pairs_materialized=True
     )
@@ -757,14 +768,8 @@ def dedup_incremental_minhash_probe(spark, sf_dir):
     ).localCheckpoint()
     # exact-Jaccard verify restricted to candidate docs (distinct
     # shingle sets), mirroring the oracle's COUNT-over-distinct join.
-    cand_docs = (
-        cand.select(F.col("new_doc").alias("doc_id"))
-        .unionByName(cand.select(F.col("old_doc").alias("doc_id")))
-        .distinct()
-    )
-    sh = shingle(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n=3, distinct=True
-    )
+    sh = _candidate_shingles(docs, cand, left_col="new_doc",
+                             right_col="old_doc", distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
     b = sh.select(F.col("doc_id").alias("old_doc"), "shingle")
@@ -794,19 +799,11 @@ def dedup_incremental_minhash_probe(spark, sf_dir):
 # ------------------------------------------------- cross-split decontamination
 
 
-# Split assignment is a pure function of doc_id (same md5 bucket rule as
-# pipeline_ops.split_train_test) so it can be computed INLINE on a pair
-# row — no join against a corpus-wide split table.
-_SPLIT_SQL = (
-    "CASE WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
-    "WHEN substr(md5(CAST({c} AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
-    "ELSE 'test' END"
-)
-
-
-def _split_col(c: str) -> F.Column:
-    h2 = F.substring(F.md5(F.col(c).cast("string")), 1, 2)
-    return F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+# Split assignment is a pure function of doc_id (the repo-wide rule in
+# functions.splits) so it can be computed INLINE on a pair row — no
+# join against a corpus-wide split table.
+from ..functions.splits import split_case_sql as _split_case_sql
+from ..functions.splits import split_col as _split_col
 
 
 @register(
@@ -824,8 +821,8 @@ def _split_col(c: str) -> F.Column:
     ),
     scored AS (
         SELECT v.doc1, v.doc2,
-               {_SPLIT_SQL.format(c="v.doc1")} AS split1,
-               {_SPLIT_SQL.format(c="v.doc2")} AS split2,
+               {_split_case_sql("v.doc1")} AS split1,
+               {_split_case_sql("v.doc2")} AS split2,
                round(CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common), 6) AS jaccard,
                round(CAST(v.common AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
         FROM verified v
@@ -854,14 +851,7 @@ def dedup_cross_split_leakage(spark, sf_dir):
     raw = shingle(docs, n=3, distinct=False)
     sig = minhash_signatures(raw, n_hashes=_N_HASHES)
     candidates = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
-    cand_docs = (
-        candidates.select(F.col("doc1").alias("doc_id"))
-        .unionByName(candidates.select(F.col("doc2").alias("doc_id")))
-        .distinct()
-    )
-    raw_cand = shingle(
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi"), n=3, distinct=False
-    )
+    raw_cand = _candidate_shingles(docs, candidates)
     scored = verify_jaccard(
         candidates,
         raw_cand,

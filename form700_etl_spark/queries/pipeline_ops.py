@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.splits import TRAIN_MAX_H2, split_case_sql, split_col
 from ..io import table
 from ..registry import register
 
@@ -108,10 +109,7 @@ def sample_to_target_mix(spark, sf_dir):
     "split_train_test",
     oracle=f"""
     WITH tagged AS (
-        SELECT lang,
-               CASE WHEN {_H2} < 'cc' THEN 'train'
-                    WHEN {_H2} < 'e6' THEN 'val'
-                    ELSE 'test' END AS split
+        SELECT lang, {split_case_sql("doc_id")} AS split
         FROM documents
     )
     SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -127,12 +125,8 @@ def sample_to_target_mix(spark, sf_dir):
 )
 def split_train_test(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    h = _h2()
-    split = (
-        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
-    )
     return (
-        d.select("lang", split.alias("split"))
+        d.select("lang", split_col("doc_id").alias("split"))
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -455,7 +449,7 @@ def doc_chunk_windows(spark, sf_dir):
         ) WHERE rk = 1
     ),
     train AS (
-        SELECT * FROM deduped WHERE {_H2} < 'cc'
+        SELECT * FROM deduped WHERE {_H2} < '{TRAIN_MAX_H2}'
     ),
     packed AS (
         SELECT source, n_tokens,
@@ -505,7 +499,7 @@ def training_pipeline_end_to_end(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("doc_id", "source", "n_tokens")
     )
-    train = deduped.filter(_h2() < "cc")
+    train = deduped.filter(_h2() < TRAIN_MAX_H2)
     w_pack = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -1276,13 +1276,11 @@ def text_langid_confusion(spark, sf_dir):
 # ---------------------------------------------------- trained token-vote ID
 
 
-# Split rule shared with pipeline_ops.split_train_test / the dedup
-# leakage screen: a pure md5(doc_id) bucket function, computed inline.
-_SPLIT_CASE = (
-    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' "
-    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
-    "ELSE 'test' END"
-)
+# Split rule: the repo-wide definition in functions.splits.
+from ..functions.splits import split_case_sql as _split_case_sql
+from ..functions.splits import split_col as _split_col
+
+_SPLIT_CASE = _split_case_sql("doc_id")
 
 
 @register(
@@ -1348,9 +1346,7 @@ def text_langid_trained_vote(spark, sf_dir):
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
-    docs = d.select("doc_id", "lang", split.alias("split"),
+    docs = d.select("doc_id", "lang", _split_col("doc_id").alias("split"),
                     F.split(F.lower("text"), " ").alias("toks"))
     train_tokens = (
         docs.filter(F.col("split") == "train")
@@ -1427,10 +1423,9 @@ def text_langid_trained_vote(spark, sf_dir):
 )
 def text_oov_rate_vs_train(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
     docs = d.select(
-        "doc_id", "lang", split.alias("split"), F.split(F.lower("text"), " ").alias("toks")
+        "doc_id", "lang", _split_col("doc_id").alias("split"),
+        F.split(F.lower("text"), " ").alias("toks")
     )
     vocab = (
         docs.filter(F.col("split") == "train")

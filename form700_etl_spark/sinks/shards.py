@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,19 @@ class ShardManifestRow:
     shard_file: str
     n_rows: int
     content_hash: int
+
+
+def content_hash_col(df: DataFrame) -> Column:
+    """THE canonical per-row content hash: xxhash64 of the row rendered
+    as JSON with columns in sorted-name order, cast to decimal(38,0)
+    so sums cannot overflow under ANSI mode.  Summed per group it is
+    an order-independent, mergeable multiset fingerprint.  Every
+    fingerprint in this repo (manifest audit, determinism law tests)
+    must build on this single definition — two divergent
+    canonicalizations would compare different things while appearing
+    to agree."""
+    row_repr = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+    return F.xxhash64(row_repr).cast("decimal(38,0)")
 
 
 def write_training_shards(df: DataFrame, path: str, shard_key: str,
@@ -66,16 +79,21 @@ def shard_manifest(spark: SparkSession, path: str, fmt: str = "json",
     file read, and mergeable across shards (the TOTAL corpus hash is
     the sum of shard hashes).  The per-row hash is summed as
     decimal(38,0): ANSI mode makes a long sum throw on overflow, and a
-    38-digit accumulator holds ~1e12 rows of int64 hashes exactly."""
-    reader = spark.read
+    38-digit accumulator holds ~1e12 rows of int64 hashes exactly.
+
+    The reader always uses ``recursiveFileLookup`` — a manifest over a
+    streamed ``epoch=N`` export tree must hash the ROWS, and default
+    partition discovery would append a synthetic ``epoch`` column that
+    changes every row's hash (the batch and streamed manifests of
+    identical data would then never agree)."""
+    reader = spark.read.option("recursiveFileLookup", True)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.format(fmt).load(path)
-    row_repr = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
     return (
         df.select(
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("shard_file"),
-            F.xxhash64(row_repr).cast("decimal(38,0)").alias("h"),
+            content_hash_col(df).alias("h"),
         )
         .groupBy("shard_file")
         .agg(
@@ -106,7 +124,11 @@ def export_with_manifest(df: DataFrame, path: str, shard_key: str,
     df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     write_training_shards(df, path, shard_key, n_shards, max_records_per_file, fmt=fmt)
     expected = obs.get["n_rows"]
-    manifest = shard_manifest(spark, path, fmt=fmt, schema=df.schema)
+    # one read-back scan total: the manifest is per-shard-file rows
+    # (tiny), but its lineage is a full corpus read — materialize it
+    # once so the count audit, the CSV write, and the caller's use
+    # don't each rescan every shard
+    manifest = shard_manifest(spark, path, fmt=fmt, schema=df.schema).localCheckpoint()
     written = manifest.agg(F.sum("n_rows")).collect()[0][0] or 0
     if written != expected:
         raise RuntimeError(
@@ -140,12 +162,10 @@ def stream_export_shards(spark: SparkSession, src_dir: str, out_path: str,
     sink's per-batch manifests.  The corpus-level manifest is
     ``shard_manifest`` over the whole export tree (shard hashes are
     mergeable sums, so epochs compose)."""
-    import os as _os
-
     from ..io import ensure_session_confs
 
     ensure_session_confs(spark)
-    schema = spark.read.parquet(_os.path.join(src_dir, "documents.parquet")).schema
+    schema = spark.read.parquet(os.path.join(src_dir, "documents.parquet")).schema
     docs = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -159,7 +179,7 @@ def stream_export_shards(spark: SparkSession, src_dir: str, out_path: str,
             return
         write_training_shards(
             bdf,
-            _os.path.join(out_path, f"epoch={epoch_id}"),
+            os.path.join(out_path, f"epoch={epoch_id}"),
             "doc_id",
             n_shards=n_shards,
             max_records_per_file=max_records_per_file,

@@ -165,8 +165,12 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf):
                 vmax = max(vmax, float(pdf["value"].max()))
         state.update((n, vmax))
+        # emit the raw max; display rounding happens Spark-side below —
+        # Python round() is half-even while Spark/DuckDB round
+        # half-up, so rounding HERE would diverge from the oracle on
+        # exact .xx5 ties
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
         )
 
     out = (
@@ -179,6 +183,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    out = out.withColumn("max_value", F.round("max_value", 2))
     latest = run_to_completion(out, "update")
     # keep the last emitted state per user (single batch here, but the
     # dedup makes the result well-defined under any batching)
@@ -317,8 +322,10 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n += len(pdf)
                     vmax = max(vmax, float(pdf["value"].max()))
             self._stats.update((n, vmax))
+            # raw max out; Spark-side half-up rounding below (Python
+            # round() is half-even — see the applyInPandasWithState twin)
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 2)]}
+                {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
             )
 
         def close(self) -> None:
@@ -332,6 +339,7 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+        out = out.withColumn("max_value", F.round("max_value", 2))
         latest = run_to_completion(out, "update")
     from pyspark.sql import Window
 

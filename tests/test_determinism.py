@@ -44,12 +44,13 @@ SAMPLE = [
 
 
 def _result_fingerprint(df):
-    """Order-insensitive multiset fingerprint of a result: per-row
-    xxhash64 of the canonical JSON rendering, summed as decimal."""
-    row_repr = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
-    agg = df.select(
-        F.xxhash64(row_repr).cast("decimal(38,0)").alias("h")
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")).collect()[0]
+    """Order-insensitive multiset fingerprint of a result, built on the
+    repo's single canonical row-hash definition (sinks.shards)."""
+    from form700_etl_spark.sinks.shards import content_hash_col
+
+    agg = df.select(content_hash_col(df).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+    ).collect()[0]
     return (agg.n, agg.s)
 
 

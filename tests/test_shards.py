@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from form700_etl_spark.io import table
 from form700_etl_spark.sinks.shards import (
+    content_hash_col,
     export_with_manifest,
     shard_manifest,
     write_training_shards,
@@ -26,6 +27,18 @@ def _data_files(path: str) -> list[str]:
         f for f in glob.glob(os.path.join(path, "part-*"))
         if not f.endswith(".crc")
     )
+
+
+def _by_part_index(manifest_rows):
+    """Aggregate manifest rows per shard (part index): a shard split
+    into several c000/c001 files by maxRecordsPerFile must contribute
+    ALL its files' counts/hashes, not last-write-wins."""
+    agg: dict[str, tuple[int, int]] = {}
+    for r in manifest_rows:
+        idx = r.shard_file.split("-")[1]
+        n, h = agg.get(idx, (0, 0))
+        agg[idx] = (n + r.n_rows, h + int(r.content_hash))
+    return agg
 
 
 class TestShardExport:
@@ -47,10 +60,8 @@ class TestShardExport:
         for p in (p1, p2):
             write_training_shards(docs, p, "doc_id", n_shards=4,
                                   max_records_per_file=1000)
-        m1 = {r.shard_file.split("-")[1]: (r.n_rows, r.content_hash)
-              for r in shard_manifest(spark, p1, schema=docs.schema).collect()}
-        m2 = {r.shard_file.split("-")[1]: (r.n_rows, r.content_hash)
-              for r in shard_manifest(spark, p2, schema=docs.schema).collect()}
+        m1 = _by_part_index(shard_manifest(spark, p1, schema=docs.schema).collect())
+        m2 = _by_part_index(shard_manifest(spark, p2, schema=docs.schema).collect())
         # part index (part-00000..) identifies the hash shard; both runs
         # must produce identical per-shard row counts and content hashes
         assert m1 == m2
@@ -62,10 +73,7 @@ class TestShardExport:
         total = manifest.agg(
             F.sum("n_rows").alias("n"), F.sum("content_hash").alias("h")
         ).collect()[0]
-        row_repr = F.to_json(F.struct(*[F.col(c) for c in sorted(docs.columns)]))
-        src = docs.select(
-            F.xxhash64(row_repr).cast("decimal(38,0)").alias("h")
-        ).agg(
+        src = docs.select(content_hash_col(docs).alias("h")).agg(
             F.count(F.lit(1)).alias("n"), F.sum("h").alias("h")
         ).collect()[0]
         assert (total.n, total.h) == (src.n, src.h)
@@ -120,3 +128,26 @@ class TestStreamExport:
         )
         assert second_files == first_files
         assert all(os.path.getmtime(f) == mtimes[f] for f in second_files)
+
+    def test_epoch_tree_manifest_composes_with_batch(self, spark, sf_dir, docs, tmp_path):
+        """The documented corpus-level manifest over a streamed
+        epoch=N tree: partition discovery must NOT inject an 'epoch'
+        column into the row hashes, so the streamed tree's total
+        fingerprint equals a batch export's fingerprint of the same
+        rows."""
+        from form700_etl_spark.sinks.shards import stream_export_shards
+
+        out = str(tmp_path / "stream")
+        stream_export_shards(spark, sf_dir, out, str(tmp_path / "ckpt"), min_chars=100)
+        batch = str(tmp_path / "batch")
+        curated = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+        write_training_shards(curated, batch, "doc_id", n_shards=2,
+                              max_records_per_file=1000)
+        schema = curated.schema
+
+        def total(path):
+            m = shard_manifest(spark, path, schema=schema)
+            r = m.agg(F.sum("n_rows").alias("n"), F.sum("content_hash").alias("h")).collect()[0]
+            return (r.n, r.h)
+
+        assert total(out) == total(batch)
