@@ -929,3 +929,62 @@ def dedup_ngram_coverage(spark, sf_dir):
             F.col("n_shared").cast("double") / F.col("n_shingles"), 6
         ).alias("dup_ngram_coverage"),
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    shingles AS ({_CAPPED_SHINGLES_SQL.format(max_df=MAX_SHINGLE_DF)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc1, p.doc2, p.common,
+           least(s1.n, s2.n) AS min_shingles,
+           round(CAST(p.common AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+    FROM pairs p
+    JOIN sizes s1 ON p.doc1 = s1.doc_id
+    JOIN sizes s2 ON p.doc2 = s2.doc_id
+    WHERE CAST(p.common AS DOUBLE) / least(s1.n, s2.n) >= 0.5
+    """,
+    tags=("dedup",),
+    doc=(
+        "Containment near-dup (Broder 1997's asymmetric resemblance): "
+        "|A∩B| / min(|A|,|B|) >= 0.5 over capped word-3-gram shingles — "
+        "catches a short document embedded inside a long one, which "
+        "symmetric Jaccard dilutes below threshold.  Same inverted-index "
+        "pair join + hot-shingle df cap as dedup_ngram_jaccard (one "
+        "candidate structure, two metrics), so the 100 TB skew guard "
+        "carries over unchanged."
+    ),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    sh = _shingles_cached(spark, sf_dir, max_df=MAX_SHINGLE_DF)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    min_n = F.least(F.col("n1"), F.col("n2"))
+    cont = F.col("common").cast("double") / min_n
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(cont >= 0.5)
+        .select(
+            "doc1",
+            "doc2",
+            "common",
+            min_n.alias("min_shingles"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -717,3 +717,217 @@ def table_diff_orders_snapshot(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM per_key
+    ),
+    ranked AS (
+        SELECT key, cnt,
+               row_number() OVER (ORDER BY cnt DESC, key) AS rk
+        FROM per_key
+    )
+    SELECT r.rk AS rk, r.key, r.cnt,
+           round(CAST(r.cnt AS DOUBLE) / s.n_rows, 6) AS row_share,
+           round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
+               AS skew_factor
+    FROM ranked r CROSS JOIN stats s
+    WHERE r.rk <= 20
+    ORDER BY rk
+    """,
+    tags=("scale", "skew", "profiling"),
+    doc=(
+        "Join-key skew diagnostic: per-key counts on orders.o_custkey, "
+        "top-20 hottest keys with their row share, plus the global skew "
+        "factor max_cnt/avg_cnt — the number that decides whether a "
+        "downstream join on this key needs salting or AQE skew handling. "
+        "One groupBy + a 1-row stats agg broadcast back over the top-k "
+        "window; at 100 TB this is the cheap pre-flight you run before "
+        "choosing a join strategy, and it reads ONLY the key column "
+        "(column pruning reaches the scan)."
+    ),
+)
+def skew_key_profile(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    per_key = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("key"))
+    ranked = per_key.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    return (
+        ranked.join(F.broadcast(stats))
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias("row_share"),
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy("rk")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS revenue,
+           CAST(MAX({cents_sql('o_totalprice')}) AS BIGINT) / 100.0 AS max_price
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), o_orderstatus
+    """,
+    tags=("scale", "incremental", "lakehouse"),
+    doc=(
+        "Incremental materialized-view maintenance: the monthly revenue "
+        "rollup is computed as BASE (orders before 1998-01-01) and DELTA "
+        "(orders on/after) partial aggregates, then algebraically merged "
+        "(SUM of counts/sums, MAX of maxes) — the maintenance step a "
+        "lakehouse runs per ingest batch instead of re-scanning 100 TB of "
+        "history.  The oracle is the direct full GROUP BY, proving the "
+        "merged relation is exactly the recomputed one (counts and cents "
+        "are exact integers, so mergeability is lossless)."
+    ),
+)
+def incremental_agg_merge(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("month", "o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_c").cast("bigint").alias("sum_c"),
+            F.max("price_c").cast("bigint").alias("max_c"),
+        )
+
+    base = partial(o.filter(F.col("month") < cut))
+    delta = partial(o.filter(F.col("month") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_c").cast("bigint").alias("sum_c"),
+            F.max("max_c").cast("bigint").alias("max_c"),
+        )
+    )
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        "n_orders",
+        (F.col("sum_c") / F.lit(100.0)).alias("revenue"),
+        (F.col("max_c") / F.lit(100.0)).alias("max_price"),
+    )
+
+
+# PSI per-bin term (p-q)*ln(p/q) quantized to integer nano-units before
+# the cross-bin SUM (exact bigint addition).  p and q are ratios of
+# exact counts, so both engines feed ln identical doubles.
+_PSI_TERM_SQL = (
+    "CAST(round(((CAST(p_cnt AS DOUBLE) / p_tot) - (CAST(q_cnt AS DOUBLE) / q_tot))"
+    " * ln((CAST(p_cnt AS DOUBLE) / p_tot) / (CAST(q_cnt AS DOUBLE) / q_tot))"
+    " * 1000000000) AS BIGINT)"
+)
+
+
+@register(
+    "drift_psi_event_values",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS win,
+               least(CAST(floor(value / 50.0) AS INT), 9) AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT win, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY win, bin
+    ),
+    pivoted AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN win = 'ref' THEN cnt ELSE 0 END) AS BIGINT) AS p_cnt,
+               CAST(SUM(CASE WHEN win = 'cur' THEN cnt ELSE 0 END) AS BIGINT) AS q_cnt
+        FROM counts GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(p_cnt) AS BIGINT) AS p_tot,
+               CAST(SUM(q_cnt) AS BIGINT) AS q_tot
+        FROM pivoted
+    )
+    SELECT b.bin, b.p_cnt, b.q_cnt,
+           round(CAST(b.p_cnt AS DOUBLE) / t.p_tot, 6) AS p_share,
+           round(CAST(b.q_cnt AS DOUBLE) / t.q_tot, 6) AS q_share,
+           CASE WHEN b.p_cnt > 0 AND b.q_cnt > 0
+                THEN {_PSI_TERM_SQL}
+                ELSE NULL END AS psi_term_nano
+    FROM pivoted b CROSS JOIN tot t
+    ORDER BY bin
+    """,
+    tags=("scale", "drift", "profiling"),
+    doc=(
+        "Population-stability-index drift screen: the events value "
+        "distribution in the reference window (first half of January) vs "
+        "the current window, over 10 fixed-width bins.  Per-bin PSI terms "
+        "(p-q)*ln(p/q) are quantized to integer nano-units (order-exact; "
+        "the total PSI is their sum downstream).  This is the per-batch "
+        "data-quality gate a training pipeline runs on incoming shards: "
+        "one scan, one small agg, no shuffle of the fact table beyond the "
+        "10-bin rollup."
+    ),
+)
+def drift_psi_event_values(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("win"),
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+    )
+    counts = e.groupBy("win", "bin").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pivoted = counts.groupBy("bin").agg(
+        F.sum(F.when(F.col("win") == "ref", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("p_cnt"),
+        F.sum(F.when(F.col("win") == "cur", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("q_cnt"),
+    )
+    tot = pivoted.agg(
+        F.sum("p_cnt").cast("bigint").alias("p_tot"),
+        F.sum("q_cnt").cast("bigint").alias("q_tot"),
+    )
+    joined = pivoted.join(F.broadcast(tot))
+    return joined.select(
+        "bin",
+        "p_cnt",
+        "q_cnt",
+        F.round(F.col("p_cnt").cast("double") / F.col("p_tot"), 6).alias("p_share"),
+        F.round(F.col("q_cnt").cast("double") / F.col("q_tot"), 6).alias("q_share"),
+        F.when(
+            (F.col("p_cnt") > 0) & (F.col("q_cnt") > 0), F.expr(_PSI_TERM_SQL)
+        ).alias("psi_term_nano"),
+    ).orderBy("bin")

@@ -395,3 +395,50 @@ def embedding_random_projection(spark, sf_dir):
     return exploded.select(
         "vec_id", F.col("p.dim").alias("dim"), F.col("p.value_micro").alias("value_micro")
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec FROM embeddings),
+    sims AS (
+        SELECT a.vec_id AS query_id, a.label, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % 50 = 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, label, CAST(rk AS INT) AS rk, neighbor_id, cosine
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("similarity", "topk", "filtered"),
+    doc=(
+        "Metadata-filtered vector search (exact): top-5 cosine neighbors "
+        "restricted to candidates sharing the query's label — the "
+        "pre-filter strategy of filtered ANN.  The predicate rides the "
+        "broadcast-join condition, so only matching-label candidates are "
+        "ever scored; at scale the corpus would additionally be "
+        "partitioned by the filter column so partition pruning drops "
+        "non-matching shards before the scan."
+    ),
+)
+def ann_filtered_topk(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select("vec_id", "label", _vec_double().alias("vec"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        F.col("label").alias("bucket"),
+        F.col("vec").alias("qvec"),
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nbucket"),
+        F.col("vec").alias("nvec"),
+    )
+    return topk_neighbors(q, cand, k=5, bucket_join=True).select(
+        "query_id", "label", "rk", "neighbor_id", "cosine"
+    )

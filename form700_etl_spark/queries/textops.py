@@ -1452,3 +1452,170 @@ def text_oov_rate_vs_train(spark, sf_dir):
         "n_oov",
         F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_rate"),
     )
+
+
+# ------------------------------------------------------------------ BM25
+
+_BM25_TERMS = ("join", "hash", "vector", "query")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+# Okapi BM25 with the Lucene-style idf (Robertson & Sparck Jones 1976;
+# Robertson & Walker 1994), k1=1.2, b=0.75.  The per-term score is a
+# single shared textual expression evaluated by BOTH engines, rounded
+# once to integer micro-units so the cross-doc SUM is exact bigint
+# arithmetic (no float-summation-order sensitivity).
+_BM25_TERM_SCORE_SQL = (
+    "CAST(round("
+    "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl,
+               unnest(words) AS term
+        FROM toks
+    ),
+    tfc AS (
+        SELECT doc_id, term, ANY_VALUE(dl) AS dl,
+               CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tf WHERE term IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, term
+    ),
+    dfc AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(words)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM toks
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(SUM({_BM25_TERM_SCORE_SQL}) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS INT) AS n_matched_terms
+        FROM tfc t JOIN dfc USING (term) CROSS JOIN stats
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, score_micro, n_matched_terms,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rk
+    FROM scored
+    ORDER BY rk LIMIT 10
+    """,
+    tags=("text", "topk", "relevance"),
+    doc=(
+        "Okapi BM25 top-10 documents for a fixed query-term set (k1=1.2, "
+        "b=0.75, Lucene idf).  Plan: one tokenize pass -> term-filtered tf "
+        "agg joined to a broadcast df table and a broadcast 1-row corpus "
+        "stats agg; per-term scores quantized to integer micro-units before "
+        "the cross-term SUM so the result is order-insensitive.  At scale "
+        "the query-term IN filter prunes the exploded token stream before "
+        "the only shuffle (the per-doc agg)."
+    ),
+)
+def text_bm25_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    toks = d.select(
+        "doc_id",
+        F.size("words").cast("double").alias("dl"),
+        F.explode("words").alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tfc = toks.groupBy("doc_id", "term").agg(
+        F.first("dl").alias("dl"), F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfc = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum(F.size("words")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_TERM_SCORE_SQL)).alias("score_micro"),
+            F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+        )
+    )
+    w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("rk")
+        .select("doc_id", "score_micro", "n_matched_terms", "rk")
+    )
+
+
+# ------------------------------------------------------- token entropy
+
+# Per-term entropy contribution -(c/n)*ln(c/n), quantized to integer
+# nano-nats BEFORE the per-doc SUM (exact bigint addition; no float
+# summation-order sensitivity).  c and n are exact counts, so both
+# engines feed ln identical doubles.
+_ENTROPY_TERM_SQL = (
+    "CAST(round((-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))"
+    " * 1000000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, term
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS INT) AS n_unique
+        FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           ANY_VALUE(t.n_unique) AS n_unique,
+           CAST(SUM({_ENTROPY_TERM_SQL}) AS BIGINT) AS entropy_nano
+    FROM counts c JOIN totals t USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "quality"),
+    doc=(
+        "Per-document Shannon entropy of the token distribution (nats, "
+        "quantized to integer nano-nats) — the classic gibberish/repetition "
+        "quality signal (low entropy = repetitive boilerplate, used by "
+        "C4/Gopher-style curation).  Two aggs over one tokenize pass, both "
+        "keyed by doc_id, so the second agg and the self-join reuse the "
+        "first shuffle's partitioning (no extra exchange)."
+    ),
+)
+def text_token_entropy(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_unique"),
+    )
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_unique").alias("n_unique"),
+            F.sum(F.expr(_ENTROPY_TERM_SQL)).alias("entropy_nano"),
+        )
+    )
