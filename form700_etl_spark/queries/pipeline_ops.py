@@ -779,3 +779,92 @@ def sample_quality_weighted(spark, sf_dir):
         )
         .filter(u < F.col("keep_rate"))
     )
+
+
+@register(
+    "split_kfold_assignment",
+    oracle=f"""
+    WITH folds AS (
+        SELECT doc_id, lang,
+               CAST(CAST({_H4_UNIFORM} * 65536 AS BIGINT) % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM folds GROUP BY fold, lang
+    """,
+    tags=("pipeline", "sampling", "splits"),
+    doc=(
+        "Deterministic 5-fold cross-validation assignment: fold = "
+        "md5-derived 16-bit uniform mod 5 — the same scan-side hash rule "
+        "as the other splitters, so fold membership survives task retries "
+        "and re-runs, and a row's fold never depends on partitioning. "
+        "Output is the per-(fold, lang) census that a CV harness uses to "
+        "check balance before training."
+    ),
+)
+def split_kfold_assignment(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+    return (
+        d.select("doc_id", "lang", (u16 % 5).cast("int").alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+
+
+# Efraimidis–Spirakis key ln(u)/w with u in (0,1] (hash+1 avoids ln(0));
+# identical expression text on both engines -> identical doubles.
+_AES_KEY_SQL = (
+    "ln((CAST({u16} AS DOUBLE) + 1) / 65536.0) / n_chars"
+)
+
+
+@register(
+    "sample_weighted_topk_aes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               {_AES_KEY_SQL.format(u16=f"CAST({_H4_UNIFORM} * 65536 AS BIGINT)")} AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+    tags=("pipeline", "sampling"),
+    doc=(
+        "Weighted sampling WITHOUT replacement, exact k=50 (Efraimidis & "
+        "Spirakis 2006, A-ES): each doc gets key u^(1/w) — computed as "
+        "ln(u)/w, order-equivalent and overflow-free — with u a "
+        "deterministic md5-derived uniform and w = n_chars, then the "
+        "global top-k by key IS the weighted sample.  One scan + one "
+        "TakeOrdered (partial top-k per partition, no full sort/shuffle); "
+        "re-runs and retries reproduce the identical sample, which "
+        "rand()-based weighted samplers cannot promise."
+    ),
+)
+def sample_weighted_topk_aes(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+    key = F.log((u16.cast("double") + 1) / F.lit(65536.0)) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .withColumn("rk", F.row_number().over(W.orderBy(F.col("k").desc(), "doc_id")).cast("int"))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "lang", "n_chars", "rk")
+    )
