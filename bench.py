@@ -84,6 +84,18 @@ HEADLINE = [
     "dedup_ngram_coverage",
     "text_langid_trained_vote",
     "sample_quality_weighted",
+    # round-5 third wave: BM25 relevance, token entropy, containment
+    # near-dup (shares the jaccard candidate structure), filtered ANN,
+    # skew diagnostics, PSI drift screen, incremental agg maintenance,
+    # exact-k weighted sampling.
+    "text_bm25_topk",
+    "text_token_entropy",
+    "dedup_containment_pairs",
+    "ann_filtered_topk",
+    "skew_key_profile",
+    "drift_psi_event_values",
+    "incremental_agg_merge",
+    "sample_weighted_topk_aes",
 ]
 
 

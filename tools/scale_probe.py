@@ -62,6 +62,11 @@ PROBE_QUERIES = [
     "dedup_cross_split_leakage",
     "dedup_ngram_coverage",
     "text_langid_trained_vote",
+    # round-5 third wave: the pair-join containment metric, the
+    # label-bucketed filtered ANN, and BM25 (term-filtered scan + agg)
+    "dedup_containment_pairs",
+    "ann_filtered_topk",
+    "text_bm25_topk",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
