@@ -312,3 +312,21 @@ def test_registry_wide_no_accidental_python_or_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     # the screen must actually cover the registry, not silently skip it
     assert len(skipped) <= 8, skipped
+
+
+def test_skew_profile_scan_reads_only_key_column(spark, sf_dir):
+    """The skew pre-flight must be a key-column-only scan — reading the
+    full orders row for a key histogram is exactly the waste it exists
+    to prevent."""
+    plan = plan_of(spark, sf_dir, "skew_key_profile")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert m.group(1).split(":")[0] == "o_custkey" and "," not in m.group(1), m.group(1)
+
+
+def test_bm25_broadcasts_df_and_stats_tables(spark, sf_dir):
+    """BM25's document-frequency table and 1-row corpus stats must
+    arrive as broadcasts; shuffling the scored token stream against
+    them would add two exchanges that dwarf the real work at scale."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan
