@@ -46,3 +46,76 @@ def rollup_sketches(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
 def estimate(sketches: DataFrame, out_col: str = "estimate") -> DataFrame:
     """Read each sketch's estimate without merging."""
     return sketches.withColumn(out_col, F.hll_sketch_estimate("sketch"))
+
+
+# ------------------------------------------------------------------ KMV
+
+KMV_K = 64  # k minimum values; relative error ~ 1/sqrt(k-2) ≈ 12.7%
+
+# 48-bit uniform from the md5 hex prefix: 12 hex digits < 2^48, exact
+# in a double and in a signed bigint, and computable bit-identically by
+# any engine with md5 + string ops (no engine-specific hash needed —
+# that's what makes the sketch itself oracle-able, unlike HLL whose
+# register layout is implementation-defined).
+KMV_HASH_BITS = 48
+
+
+def kmv_hash(col: str | Column) -> Column:
+    """Deterministic 48-bit integer hash of ``col`` (md5-derived)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+               k: int = KMV_K) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct sketch (Bar-Yossef et
+    al. 2002): the k smallest distinct hash values.  Output: group_cols
+    + ``hashes`` (sorted array<bigint>, the mergeable sketch value).
+
+    Mergeability: union partials' arrays, re-take the k smallest —
+    asserted as a law test.  Unlike HLL the sketch content is exactly
+    reproducible across engines, so estimates are oracle-checkable."""
+    from pyspark.sql import Window as W
+
+    h = df.select(*group_cols, kmv_hash(value_col).alias("h")).dropDuplicates(
+        [*group_cols, "h"]
+    )
+    w = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """Merge KMV sketches up to a coarser grouping: concat arrays,
+    distinct, keep the k smallest — no raw-data rescan."""
+    exploded = sketches.select(*group_cols, F.explode("hashes").alias("h")).dropDuplicates(
+        [*group_cols, "h"]
+    )
+    return kmv_from_hashes(exploded, group_cols, k)
+
+
+def kmv_from_hashes(hashes: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per sketch: if the sketch holds fewer
+    than k hashes the count is EXACT (= array size); otherwise
+    (k-1)/u_k scaled from the 48-bit hash space (Beyer et al. 2007's
+    unbiased KMV estimator)."""
+    n = F.size("hashes")
+    u_k = F.element_at("hashes", -1).cast("double") / F.lit(float(2 ** KMV_HASH_BITS))
+    est = F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / u_k)
+    return sketches.withColumn("estimate", F.round(est).cast("bigint")).drop("hashes")

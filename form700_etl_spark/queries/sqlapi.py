@@ -584,3 +584,77 @@ def sql_lateral_topk_customers(spark, sf_dir):
         "c_name",
         F.round("c_acctbal", 2).alias("c_acctbal"),
     )
+
+
+def _kmv_hash48_sql(expr: str) -> str:
+    """48-bit integer from the first 12 md5 hex digits — digit-by-digit
+    (DuckDB has no base-16 conv); 16^11 = 2^44, all terms exact."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               {_kmv_hash48_sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hashed
+    ),
+    sketch AS (
+        SELECT event_type, CAST(COUNT(*) AS INT) AS sketch_size, MAX(h) AS u_k
+        FROM ranked WHERE rk <= 64 GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.sketch_size,
+           CAST(round(CASE WHEN s.sketch_size < 64 THEN CAST(s.sketch_size AS DOUBLE)
+                           ELSE 63.0 / (CAST(s.u_k AS DOUBLE) / 281474976710656.0)
+                      END) AS BIGINT) AS kmv_estimate,
+           e.exact_distinct
+    FROM sketch s JOIN exact e USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("approx", "sketch", "scale"),
+    doc=(
+        "KMV (k-minimum-values) distinct sketch, k=64 (Bar-Yossef et al. "
+        "2002; Beyer et al. 2007 unbiased estimator (k-1)/u_k): per-type "
+        "distinct-user estimates from the 64 smallest md5-derived 48-bit "
+        "hashes.  Unlike HLL the sketch content is engine-reproducible, "
+        "so estimate AND sketch are oracle-checked cell-exact; the "
+        "mergeability law union-of-partials == whole is a law test.  At "
+        "scale: one k-row sketch per shard, rollups merge sketches — no "
+        "raw rescan (same storage story as the HLL path, plus exact "
+        "cross-engine replayability)."
+    ),
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    from ..operators.sketches import KMV_HASH_BITS, KMV_K, kmv_estimate, kmv_sketch
+
+    e = table(spark, sf_dir, "events")
+    sk = kmv_sketch(e, ["event_type"], "user_id", k=KMV_K)
+    sized = sk.withColumn("sketch_size", F.size("hashes").cast("int"))
+    est = kmv_estimate(sized, k=KMV_K)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "sketch_size",
+            F.col("estimate").alias("kmv_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )

@@ -506,3 +506,38 @@ class TestArrowFeatureExtract:
         a = {tuple(r) for r in extract_features_arrow(media).collect()}
         b = {tuple(r) for r in extract_features(media).collect()}
         assert a == b
+
+
+def test_kmv_sketch_mergeability_and_exactness_laws(spark, sf_dir):
+    """KMV laws: (1) merging per-day partial sketches == the whole-set
+    sketch (identical hash arrays, not just close estimates — KMV
+    merge is lossless); (2) when a group has < k distinct values the
+    estimate is EXACT."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = kmv_sketch(e, ["event_type", "day"], "user_id", k=KMV_K)
+    merged = {
+        r.event_type: r.hashes
+        for r in kmv_merge(daily, ["event_type"], k=KMV_K).collect()
+    }
+    whole = {
+        r.event_type: r.hashes
+        for r in kmv_sketch(e, ["event_type"], "user_id", k=KMV_K).collect()
+    }
+    assert merged == whole  # lossless merge: arrays identical
+
+    # exactness below k: sketch over a column with < k distinct values
+    small = kmv_sketch(e, ["event_type"], "event_type", k=KMV_K)
+    est = {r.event_type: r.estimate for r in kmv_estimate(small, k=KMV_K).collect()}
+    assert all(v == 1 for v in est.values()), est
