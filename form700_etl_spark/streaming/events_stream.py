@@ -349,3 +349,94 @@ def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stream_cdc_merge_apply(
+    spark: SparkSession,
+    feed_dir: str,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming CDC apply: treat the incoming event stream as a change
+    feed and maintain a latest-row-per-key parquet snapshot via a
+    foreachBatch MERGE (operators/merge.py::merge_upsert) — the
+    lakehouse "streaming upsert" pattern (Delta/Iceberg MERGE INTO from
+    a stream), composed from the same batch merge operator so batch and
+    streaming apply logic cannot drift.
+
+    Per micro-batch: reduce the batch to its newest row per key (max
+    ts, event_id tiebreak), merge into the current snapshot with
+    last-writer-wins ON ts (a late-arriving batch cannot regress a
+    key), then publish by write-to-temp + atomic-rename — a crash
+    before the rename leaves the old snapshot intact, and the stream's
+    checkpoint replays the batch (the merge is idempotent, so replay
+    converges).  At scale the snapshot would be bucketed by the key so
+    the merge join is exchange-free."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..io import normalize_ts
+
+    schema = spark.read.parquet(feed_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(feed_dir)
+    )
+    stream = raw.withColumn("ts", normalize_ts(schema["ts"].dataType))
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        bspark = batch_df.sparkSession
+        if os.path.exists(snapshot_dir):
+            from ..operators.merge import merge_upsert
+
+            current = bspark.read.parquet(snapshot_dir)
+            # last-writer-wins on ts: keep whichever side is newer
+            newer_src = latest.alias("s").join(
+                current.select(
+                    key,
+                    F.col("ts").alias("__cur_ts"),
+                    F.col("event_id").alias("__cur_eid"),
+                ),
+                key,
+                "left",
+            )
+            winning = newer_src.filter(
+                F.col("__cur_ts").isNull()
+                | (F.col("ts") > F.col("__cur_ts"))
+                | (
+                    (F.col("ts") == F.col("__cur_ts"))
+                    & (F.col("event_id") > F.col("__cur_eid"))
+                )
+            ).drop("__cur_ts", "__cur_eid")
+            merged = merge_upsert(current, winning, key)
+        else:
+            merged = latest
+        tmp = snapshot_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = snapshot_dir + ".old"
+        if os.path.exists(snapshot_dir):
+            os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -150,3 +150,42 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_cdc_merge_apply_converges_to_batch_latest(spark, sf_dir, tmp_path):
+    """4 micro-batches of CDC upserts must leave the snapshot equal to
+    the batch latest-row-per-user over the whole feed, and a re-run on
+    the same checkpoint must be a no-op (replay-safe)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.streaming.events_stream import stream_cdc_merge_apply
+
+    feed = str(tmp_path / "feed")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    table(spark, sf_dir, "events").repartition(4).write.parquet(feed)
+
+    stream_cdc_merge_apply(spark, feed, snap, ckpt, key="user_id")
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        spark.read.parquet(feed)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    got = spark.read.parquet(snap)
+    assert got.count() == expected.count()
+    cols = sorted(got.columns)
+    assert (
+        got.select(*cols).exceptAll(expected.select(*cols)).count() == 0
+        and expected.select(*cols).exceptAll(got.select(*cols)).count() == 0
+    )
+
+    before = sorted(os.listdir(snap))
+    stream_cdc_merge_apply(spark, feed, snap, ckpt, key="user_id")  # replay: no-op
+    assert sorted(os.listdir(snap)) == before
