@@ -722,3 +722,50 @@ class TestBinaryFileSource:
             .load(str(tmp_path))
         )
         assert kept.count() == 1
+
+
+def test_dynamic_partition_overwrite_backfills_one_day_only(spark, sf_dir, tmp_path):
+    """Idempotent per-partition backfill: overwriting day=2024-01-05
+    with doubled values must leave every other day's files physically
+    untouched (same paths), replace that day's content, and keep the
+    global row count — the guarantee that makes partition-scoped
+    retries safe."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.sinks.partitioned import (
+        insert_overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_day")
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(e, path, ["day"])
+    day = "2024-01-05"
+    others_before = {
+        p for p in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+        if f"day={day}" not in p
+    }
+    n_total = spark.read.parquet(path).count()
+    n_day = spark.read.parquet(path).filter(F.col("day") == day).count()
+    assert n_day > 0
+
+    redo = e.filter(F.col("day") == day).withColumn("value", F.col("value") * 2)
+    insert_overwrite_partitions(redo, path, ["day"])
+
+    others_after = {
+        p for p in glob.glob(os.path.join(path, "day=*", "*.parquet"))
+        if f"day={day}" not in p
+    }
+    assert others_after == others_before  # untouched partitions: same files
+    got = spark.read.parquet(path)
+    assert got.count() == n_total
+    # the day's values really were replaced (doubled sum)
+    s_new = got.filter(F.col("day") == day).agg(F.sum("value")).first()[0]
+    s_old = e.filter(F.col("day") == day).agg(F.sum("value")).first()[0]
+    assert abs(s_new - 2 * s_old) < 1e-6
