@@ -475,3 +475,150 @@ def pandas_udaf_cents_sum(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(cents_sum("value").alias("total_cents"))
+
+
+# Exact-integer-sum Pearson correlation: every moment (Σx, Σx², Σxy)
+# accumulates in 128-bit-exact integer arithmetic (Spark DECIMAL(38,0),
+# DuckDB HUGEINT) over integer-quantized inputs, so the sums are
+# order- and partition-independent; the textbook formula then runs ONCE
+# on identical doubles in both engines.  builtin corr() accumulates in
+# floating point, where summation order changes the last ulps — the
+# same class of nondeterminism the cents convention exists to kill.
+_CORR_SQL = (
+    "round((n * {sxy} - {sx} * {sy})"
+    " / sqrt((n * {sxx} - {sx} * {sx}) * (n * {syy} - {sy} * {sy})), 6)"
+)
+
+
+def _corr_expr(x: str, y: str) -> str:
+    return _CORR_SQL.format(
+        sxy=f"s_{x}{y}", sx=f"s_{x}", sy=f"s_{y}", sxx=f"s_{x}{x}", syy=f"s_{y}{y}"
+    )
+
+
+@register(
+    "stats_exact_correlation",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS HUGEINT) AS qv,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS pv,
+               CAST(round(l_discount * 10000) AS HUGEINT) AS dv
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(qv) AS DOUBLE) AS s_q, CAST(SUM(pv) AS DOUBLE) AS s_p,
+               CAST(SUM(dv) AS DOUBLE) AS s_d,
+               CAST(SUM(qv * qv) AS DOUBLE) AS s_qq,
+               CAST(SUM(pv * pv) AS DOUBLE) AS s_pp,
+               CAST(SUM(dv * dv) AS DOUBLE) AS s_dd,
+               CAST(SUM(qv * pv) AS DOUBLE) AS s_qp,
+               CAST(SUM(qv * dv) AS DOUBLE) AS s_qd,
+               CAST(SUM(pv * dv) AS DOUBLE) AS s_pd
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           {_corr_expr('q', 'p')} AS r_qty_price,
+           {_corr_expr('q', 'd')} AS r_qty_discount,
+           {_corr_expr('p', 'd')} AS r_price_discount
+    FROM sums
+    """,
+    tags=("agg", "stats", "profiling"),
+    doc=(
+        "Exact distributed Pearson correlation matrix (quantity/price/"
+        "discount per returnflag): moments accumulate as 128-bit-exact "
+        "integers (DECIMAL(38,0) / HUGEINT) over integer-quantized "
+        "values — order- and partition-independent where builtin corr()'s "
+        "float accumulation is not — then one double evaluation of the "
+        "textbook formula.  One hash agg, map-side partials, no second "
+        "pass (the sums ARE the sufficient statistics; at 100 TB they "
+        "also merge across shards like any algebraic aggregate)."
+    ),
+)
+def stats_exact_correlation(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    dec = "decimal(19,0)"
+    q = F.round(F.col("l_quantity") * 100).cast(dec)
+    p = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    d = F.round(F.col("l_discount") * 10000).cast(dec)
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        big(q).alias("s_q"), big(p).alias("s_p"), big(d).alias("s_d"),
+        F.sum(q * q).cast("double").alias("s_qq"),
+        F.sum(p * p).cast("double").alias("s_pp"),
+        F.sum(d * d).cast("double").alias("s_dd"),
+        F.sum(q * p).cast("double").alias("s_qp"),
+        F.sum(q * d).cast("double").alias("s_qd"),
+        F.sum(p * d).cast("double").alias("s_pd"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_corr_expr("q", "p")).alias("r_qty_price"),
+        F.expr(_corr_expr("q", "d")).alias("r_qty_discount"),
+        F.expr(_corr_expr("p", "d")).alias("r_price_discount"),
+    )
+
+
+# MI per-cell term (n_xy/N) * ln((n_xy*N)/(n_x*n_y)), quantized to
+# nano-nats before the cross-cell SUM (exact bigint addition; counts
+# are exact integers so both engines feed ln identical doubles).
+_MI_TERM_SQL = (
+    "CAST(round((CAST(n_xy AS DOUBLE) / n_tot)"
+    " * ln((CAST(n_xy AS DOUBLE) * n_tot) / (CAST(n_x AS DOUBLE) * n_y))"
+    " * 1000000000) AS BIGINT)"
+)
+
+
+@register(
+    "stats_mutual_information",
+    oracle=f"""
+    WITH joint AS (
+        SELECT o_orderstatus AS x, o_orderpriority AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot FROM joint)
+    SELECT j.x AS orderstatus, j.y AS orderpriority, j.n_xy, mx.n_x, my.n_y,
+           {_MI_TERM_SQL} AS mi_term_nano
+    FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ORDER BY orderstatus, orderpriority
+    """,
+    tags=("agg", "stats", "profiling"),
+    doc=(
+        "Mutual information between order status and priority: per-cell "
+        "terms (n_xy/N)*ln(n_xy*N/(n_x*n_y)) in integer nano-nats (their "
+        "sum is the MI score downstream; exact bigint addition).  The "
+        "column-dependence screen a profiler runs to find redundant or "
+        "leaking features.  One joint groupBy; marginals re-aggregate the "
+        "joint counts (never rescan the fact table) and broadcast back."
+    ),
+)
+def stats_mutual_information(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderstatus").alias("x"), F.col("o_orderpriority").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    mx = joint.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("bigint").alias("n_tot"))
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("x").alias("orderstatus"),
+            F.col("y").alias("orderpriority"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(_MI_TERM_SQL).alias("mi_term_nano"),
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
