@@ -440,3 +440,81 @@ def stream_cdc_merge_apply(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    feed_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    cut: str = "2024-01-16",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming data-quality gate: score every incoming micro-batch's
+    value distribution against a broadcast REFERENCE histogram (built
+    once, batch-side, from the pre-``cut`` window) and append one PSI
+    report row per batch to ``out_dir`` — the shape of a per-shard
+    drift gate in a training-ingest pipeline: reference stats are tiny
+    and broadcast; each batch costs one scan + a 10-bin agg; the
+    decision record is durable and joinable against the shard manifest.
+
+    Bins and PSI arithmetic are shared with the batch twin
+    (``drift_psi_event_values``): fixed-width bins, per-bin terms
+    (p-q)*ln(p/q) in integer nano-units, summed exactly."""
+    from ..io import normalize_ts
+
+    schema = spark.read.parquet(feed_dir).schema
+    bin_col = F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin")
+    ref = (
+        spark.read.parquet(feed_dir)
+        .withColumn("ts", normalize_ts(schema["ts"].dataType))
+        .filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+        .select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("p_cnt"))
+    )
+    ref = ref.crossJoin(ref.agg(F.sum("p_cnt").cast("bigint").alias("p_tot")))
+
+    def score_batch(batch_df, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        q = (
+            batch_df.select(bin_col)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("q_cnt"))
+        )
+        q = q.crossJoin(q.agg(F.sum("q_cnt").cast("bigint").alias("q_tot")))
+        term = (
+            "CAST(round(((CAST(p_cnt AS DOUBLE) / p_tot) - (CAST(q_cnt AS DOUBLE) / q_tot))"
+            " * ln((CAST(p_cnt AS DOUBLE) / p_tot) / (CAST(q_cnt AS DOUBLE) / q_tot))"
+            " * 1000000000) AS BIGINT)"
+        )
+        report = (
+            q.join(F.broadcast(ref), "bin", "inner")
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "q_tot",
+                F.when((F.col("p_cnt") > 0) & (F.col("q_cnt") > 0), F.expr(term))
+                .otherwise(F.lit(0))
+                .alias("psi_term_nano"),
+            )
+            .groupBy("batch_id")
+            .agg(
+                F.first("q_tot").alias("n_rows"),
+                F.sum("psi_term_nano").cast("bigint").alias("psi_nano"),
+            )
+        )
+        report.write.mode("append").parquet(out_dir)
+
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(feed_dir)
+    )
+    q_stream = (
+        raw.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_stream.awaitTermination()
