@@ -622,3 +622,62 @@ def stats_mutual_information(spark, sf_dir):
         )
         .orderBy("orderstatus", "orderpriority")
     )
+
+
+@register(
+    "stats_gini_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+        FROM per_cust
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(i AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS six
+        FROM ranked
+    )
+    SELECT n,
+           CAST(s AS BIGINT) AS total_cents,
+           round((2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+    FROM sums
+    """,
+    tags=("agg", "stats", "profiling"),
+    doc=(
+        "Gini coefficient of revenue concentration across customers — "
+        "the inequality screen for skew-aware planning (a high Gini on a "
+        "join key predicts hot partitions) and for corpus curation "
+        "(source-concentration audits).  Exact: per-customer cents "
+        "totals, a global rank over the AGGREGATE (n_keys rows, not the "
+        "fact table — the 100 TB reduction happens in the first "
+        "groupBy), DECIMAL(38) rank-weighted sums, one double division.  "
+        "Closed form gini = (2*Σi·x - (n+1)*Σx) / (n*Σx) over ascending "
+        "x (Lorenz-curve identity)."
+    ),
+)
+def stats_gini_concentration(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("bigint").alias("x")
+    )
+    w = W.orderBy("x", "o_custkey")
+    ranked = per_cust.select("x", F.row_number().over(w).alias("i"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)").alias("six"),
+    )
+    return sums.select(
+        "n",
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("six").cast("double") - (F.col("n").cast("double") + 1.0) * F.col("s").cast("double"))
+            / (F.col("n").cast("double") * F.col("s").cast("double")),
+            6,
+        ).alias("gini"),
+    )
