@@ -988,3 +988,98 @@ def dedup_containment_pairs(spark, sf_dir):
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    df AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    ordered AS (
+        SELECT s.doc_id, s.shingle,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df, s.shingle) AS pos,
+               z.n
+        FROM shingles s JOIN df d USING (shingle) JOIN sizes z USING (doc_id)
+    ),
+    prefix AS (
+        SELECT doc_id, shingle FROM ordered
+        WHERE pos <= n - CAST(ceil(0.5 * n) AS INT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc1, c.doc2, COUNT(*) AS common
+        FROM cand c
+        JOIN shingles s1 ON s1.doc_id = c.doc1
+        JOIN shingles s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+        GROUP BY c.doc1, c.doc2
+    )
+    SELECT m.doc1, m.doc2,
+           round(CAST(m.common AS DOUBLE) / (z1.n + z2.n - m.common), 6) AS jaccard
+    FROM common m
+    JOIN sizes z1 ON m.doc1 = z1.doc_id
+    JOIN sizes z2 ON m.doc2 = z2.doc_id
+    WHERE CAST(m.common AS DOUBLE) / (z1.n + z2.n - m.common) >= 0.5
+    """,
+    tags=("dedup",),
+    doc=(
+        "EXACT set-similarity join at Jaccard >= 0.5 via prefix filtering "
+        "(Chaudhuri/Ganti/Kaushik SSJoin 2006; Xiao et al. PPJoin 2008): "
+        "each doc's shingles sort by global rarity (df asc) and only the "
+        "first |S| - ceil(t*|S|) + 1 RAREST shingles generate candidates "
+        "— by pigeonhole any pair with J >= t must collide inside these "
+        "prefixes, so unlike the df-capped inverted index (declared-"
+        "recall) or MinHash (probabilistic) this path is COMPLETE with "
+        "no verification misses.  Candidate volume is bounded by prefix "
+        "length x block size on the RARE end of the df distribution — "
+        "the hot stop-phrase shingles that explode the naive join sit at "
+        "the END of every prefix order and never generate candidates.  "
+        "The 100 TB exact-dedup tier: rarity table broadcast-or-shuffle "
+        "joined, one window per doc, candidate join keyed by rare "
+        "shingles, verify restricted to candidates."
+    ),
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    sh = _shingles_cached(spark, sf_dir)  # distinct (doc_id, shingle), uncapped
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    ordered = (
+        sh.join(df_, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("n") - F.ceil(0.5 * F.col("n")).cast("int") + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    b = prefix.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2"))
+    cand = (
+        a.join(b, (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("cdoc2"), F.col("shingle").alias("sh2"))
+    common = (
+        cand.join(s1, "doc1")
+        .join(s2, (F.col("doc2") == F.col("cdoc2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(z1, "doc1")
+        .join(z2, "doc2")
+        .filter(jac >= 0.5)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )

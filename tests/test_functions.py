@@ -541,3 +541,38 @@ def test_kmv_sketch_mergeability_and_exactness_laws(spark, sf_dir):
     small = kmv_sketch(e, ["event_type"], "event_type", k=KMV_K)
     est = {r.event_type: r.estimate for r in kmv_estimate(small, k=KMV_K).collect()}
     assert all(v == 1 for v in est.values()), est
+
+
+def test_prefix_filter_join_is_complete_vs_naive(spark, sf_dir):
+    """Prefix-filtering completeness law (the pigeonhole claim,
+    executed): the prefix-filtered set-similarity join must return
+    EXACTLY the pairs the naive full-inverted-index join finds at the
+    same threshold — no candidate a prefix collision missed."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.queries.dedup import _shingles
+    from form700_etl_spark.registry import all_queries
+
+    got = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in all_queries()["dedup_prefix_filter_join"].fn(spark, sf_dir).collect()
+    }
+
+    sh = _shingles(spark, sf_dir)  # uncapped distinct (doc_id, shingle)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    naive = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in pairs.join(z1, "doc1").join(z2, "doc2").filter(jac >= 0.5)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard")).collect()
+    }
+    assert got == naive, (len(got), len(naive))
