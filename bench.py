@@ -96,6 +96,15 @@ HEADLINE = [
     "drift_psi_event_values",
     "incremental_agg_merge",
     "sample_weighted_topk_aes",
+    # round-5 fourth wave: KMV sketch, exact prefix-filtered similarity
+    # join (its sf0.1 cost is the 31-word fixture-vocab artifact — flat
+    # 1.1x across the 10x Heaps-scaled probe corpus, see SCALE.md),
+    # exact-moment statistics.
+    "sketch_kmv_distinct",
+    "dedup_prefix_filter_join",
+    "stats_exact_correlation",
+    "stats_mutual_information",
+    "stats_gini_concentration",
 ]
 
 

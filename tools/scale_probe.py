@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "dedup_containment_pairs",
     "ann_filtered_topk",
     "text_bm25_topk",
+    # round-5 fourth wave: the complete (no-recall-loss) similarity join
+    "dedup_prefix_filter_join",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
