@@ -150,13 +150,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Apples-to-apples subtotal over exactly the query set BENCH_r04
-    # recorded (18.222 s): the headline list has since grown by 20
+    # recorded (18.222 s): the headline list has since grown by 33
     # queries, so the full-suite total is NOT comparable round-over-
-    # round — this field is.  Round-5 note: this subtotal measures
-    # ~1.15x r4 in-suite while ISOLATED best-of-3 reruns of the same
-    # queries on an idle machine reproduce r4's times exactly (e.g.
-    # q1 0.519 vs 0.514) — the in-suite delta is JVM/GC pressure from
-    # the larger suite sharing one session, not plan drift.
+    # round — this field is.  Round-5 end-of-round runs on an idle
+    # machine measure this subtotal at 17.8 s (0.98x r4); under
+    # concurrent load it drifts to ~1.1-1.3x from JVM/GC pressure of
+    # the larger suite sharing one session — not plan drift.
     r4_set = HEADLINE[:24]
     print(
         json.dumps(
