@@ -681,3 +681,152 @@ def stats_gini_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+_OLS_SLOPE_SQL = (
+    "round((n * s_qp - s_q * s_p) / (n * s_qq - s_q * s_q), 6)"
+)
+_OLS_ICEPT_SQL = (
+    "round((s_p - ((n * s_qp - s_q * s_p) / (n * s_qq - s_q * s_q)) * s_q) / n, 6)"
+)
+
+
+@register(
+    "stats_ols_price_on_quantity",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS HUGEINT) AS qv,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS pv
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(qv) AS DOUBLE) AS s_q, CAST(SUM(pv) AS DOUBLE) AS s_p,
+               CAST(SUM(qv * qv) AS DOUBLE) AS s_qq,
+               CAST(SUM(qv * pv) AS DOUBLE) AS s_qp
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {_OLS_SLOPE_SQL} AS slope_cents_per_cent,
+           {_OLS_ICEPT_SQL} AS intercept_cents
+    FROM sums
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Closed-form OLS fit (price ~ quantity per returnflag) from the "
+        "same exact integer moments as stats_exact_correlation: slope = "
+        "(nSxy - SxSy)/(nSxx - Sx²), intercept = (Sy - slope*Sx)/n — "
+        "the grouped regression a feature pipeline runs without any ML "
+        "library, one hash agg over 100 TB with mergeable sufficient "
+        "statistics and a single double evaluation per group."
+    ),
+)
+def stats_ols_price_on_quantity(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    dec = "decimal(19,0)"
+    q = F.round(F.col("l_quantity") * 100).cast(dec)
+    p = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast("decimal(38,0)")).cast("double").alias("s_q"),
+        F.sum(p.cast("decimal(38,0)")).cast("double").alias("s_p"),
+        F.sum(q * q).cast("double").alias("s_qq"),
+        F.sum(q * p).cast("double").alias("s_qp"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_OLS_SLOPE_SQL).alias("slope_cents_per_cent"),
+        F.expr(_OLS_ICEPT_SQL).alias("intercept_cents"),
+    )
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+               CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts,
+               CASE WHEN event_type = 'purchase' THEN {cents_sql('value')} END AS rev_c
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    walked AS (
+        SELECT user_id, ts, event_type, rev_c,
+               last_value(touch IGNORE NULLS) OVER w AS last_touch,
+               last_value(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+        SELECT CASE WHEN last_touch IS NOT NULL
+                         AND ts - last_touch_ts <= INTERVAL 24 HOURS
+                    THEN last_touch ELSE 'direct' END AS channel,
+               rev_c
+        FROM walked WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(rev_c) AS BIGINT) / 100.0 AS attributed_revenue
+    FROM attributed GROUP BY channel ORDER BY channel
+    """,
+    tags=("events", "window", "analytics"),
+    doc=(
+        "Last-touch attribution: each purchase credits the user's most "
+        "recent click/view within a 24 h lookback, else 'direct' — the "
+        "marketing-analytics workhorse, expressed as ONE user-clustered "
+        "ordered walk (last_value IGNORE NULLS over a 1-PRECEDING frame, "
+        "the same no-join as-of pattern as asof_last_purchase_per_event) "
+        "instead of a purchases-to-touches range self-join; exact cents "
+        "revenue."
+    ),
+)
+def events_last_touch_attribution(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")).alias("touch"),
+        F.when(F.col("event_type").isin("click", "view"), F.col("ts")).alias("touch_ts"),
+        F.when(F.col("event_type") == "purchase", cents("value")).alias("rev_c"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    walked = tagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "rev_c",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    attributed = walked.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (
+                F.col("ts").cast("long") - F.col("last_touch_ts").cast("long")
+                <= 24 * 3600
+            ),
+            F.col("last_touch"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        "rev_c",
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            (F.sum("rev_c").cast("bigint") / F.lit(100.0)).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
