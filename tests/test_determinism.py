@@ -40,6 +40,13 @@ SAMPLE = [
     "pack_sequences_budget",
     "ann_cosine_topk_matmul",
     "asof_last_purchase_per_event",
+    # round-5 third/fourth wave reps: prefix-filtered similarity join
+    # (candidate generation + verify), BM25 (scored top-k), weighted
+    # exact-k sampling (float-key global rank), attribution walk
+    "dedup_prefix_filter_join",
+    "text_bm25_topk",
+    "sample_weighted_topk_aes",
+    "events_last_touch_attribution",
 ]
 
 
