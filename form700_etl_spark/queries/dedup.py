@@ -1083,3 +1083,52 @@ def dedup_prefix_filter_join(spark, sf_dir):
         .filter(jac >= 0.5)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def _clusters_oracle_sql() -> str:
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["dedup_clusters_connected"].oracle
+
+
+@register(
+    "dedup_cluster_size_distribution",
+    oracle=f"""
+    WITH components AS ({_clusters_oracle_sql()}),
+    csize AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM components GROUP BY component_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csize GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    tags=("dedup", "graph", "profiling"),
+    doc=(
+        "Near-dup cluster-size histogram: how many duplicate clusters of "
+        "each size the corpus contains, and how many documents they bind "
+        "— the dedup-impact report run before committing to a removal "
+        "policy (size-2 clusters dominate on healthy corpora; a giant "
+        "component signals boilerplate or a degenerate similarity "
+        "threshold).  Two tiny re-aggregations over the component "
+        "output's (doc, component) rows; the oracle COMPOSES the "
+        "recursive-CTE clusters oracle, so both layers stay one source "
+        "of truth."
+    ),
+)
+def dedup_cluster_size_distribution(spark, sf_dir):
+    comp = dedup_clusters_connected(spark, sf_dir)
+    csize = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        csize.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
