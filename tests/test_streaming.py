@@ -243,3 +243,49 @@ def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
             expected += round((pp - qq) * math.log(pp / qq) * 1e9)
     assert one[0].psi_nano == expected, (one[0].psi_nano, expected)
     assert batch_terms  # twin exists and runs
+
+
+def test_stream_incremental_kmv_sketch_maintenance(spark, sf_dir, tmp_path):
+    """Incremental sketch maintenance over a stream: each micro-batch
+    contributes a per-type KMV partial; merging the stored partials
+    equals the whole-feed sketch exactly (KMV merge is lossless), so
+    per-type distinct estimates never need a rescan of history."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.operators.sketches import KMV_K, kmv_merge, kmv_sketch
+
+    feed = str(tmp_path / "feed")
+    table(spark, sf_dir, "events").repartition(4).write.parquet(feed)
+    parts = str(tmp_path / "partials")
+
+    def sketch_batch(batch_df, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df, ["event_type"], "user_id", k=KMV_K)
+        sk.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(parts)
+
+    schema = spark.read.parquet(feed).schema
+    q = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(feed)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(parts)
+    assert partials.select("batch_id").distinct().count() == 4
+    merged = {
+        r.event_type: r.hashes
+        for r in kmv_merge(partials, ["event_type"], k=KMV_K).collect()
+    }
+    whole = {
+        r.event_type: r.hashes
+        for r in kmv_sketch(
+            spark.read.parquet(feed), ["event_type"], "user_id", k=KMV_K
+        ).collect()
+    }
+    assert merged == whole
