@@ -105,6 +105,8 @@ HEADLINE = [
     "stats_exact_correlation",
     "stats_mutual_information",
     "stats_gini_concentration",
+    "stats_ols_price_on_quantity",
+    "events_last_touch_attribution",
 ]
 
 
@@ -150,7 +152,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Apples-to-apples subtotal over exactly the query set BENCH_r04
-    # recorded (18.222 s): the headline list has since grown by 33
+    # recorded (18.222 s): the headline list has since grown by 35
     # queries, so the full-suite total is NOT comparable round-over-
     # round — this field is.  Round-5 end-of-round runs on an idle
     # machine measure this subtotal at 17.8 s (0.98x r4); under
