@@ -57,3 +57,44 @@ def test_corrupt_file_is_skippable_not_fatal(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
     assert 0 < n < 100
+
+
+def test_malformed_json_rows_quarantine_not_fail(spark, tmp_path):
+    """Ingestion robustness for semi-structured feeds: PERMISSIVE JSON
+    parsing routes malformed lines to a corrupt-record column instead
+    of failing the job; good rows parse, bad rows quarantine to a side
+    output with their raw text preserved for replay — the 100 TB
+    ingestion stance (one poisoned line in a billion must not kill the
+    batch, and must stay auditable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "feed.jsonl")
+    lines = [
+        '{"event_id": 1, "user_id": 10, "value": 1.5}',
+        '{"event_id": 2, "user_id": 20, "value": "not-a-number"}',  # type clash
+        "{this is not json at all",
+        '{"event_id": 4, "user_id": 40, "value": 4.5}',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+    schema = "event_id BIGINT, user_id BIGINT, value DOUBLE, _corrupt STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    ).cache()  # cache: corrupt-record queries must not re-parse per action
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+    assert good.count() == 2
+    assert {r.event_id for r in good.collect()} == {1, 4}
+    quarantined = [r._corrupt for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert any("not-a-number" in q for q in quarantined)
+    assert any("not json" in q for q in quarantined)
+    # quarantine is replayable: raw text preserved byte-for-byte
+    assert "{this is not json at all" in quarantined
+    df.unpersist()
