@@ -66,8 +66,6 @@ def test_malformed_json_rows_quarantine_not_fail(spark, tmp_path):
     output with their raw text preserved for replay — the 100 TB
     ingestion stance (one poisoned line in a billion must not kill the
     batch, and must stay auditable)."""
-    import os
-
     from pyspark.sql import functions as F
 
     path = str(tmp_path / "feed.jsonl")
