@@ -931,3 +931,147 @@ def drift_psi_event_values(spark, sf_dir):
             (F.col("p_cnt") > 0) & (F.col("q_cnt") > 0), F.expr(_PSI_TERM_SQL)
         ).alias("psi_term_nano"),
     ).orderBy("bin")
+
+
+# Declarative expectation suite over orders: each rule compiles to ONE
+# conditional count inside a single aggregation pass (no per-rule scan),
+# then unpivots to a (rule, violations, passed) report — the
+# data-contract gate a pipeline evaluates per ingest batch.
+_EXPECTATIONS = (
+    ("orderkey_not_null", "o_orderkey IS NULL"),
+    ("orderkey_positive", "o_orderkey <= 0"),
+    ("totalprice_nonnegative", "o_totalprice < 0"),
+    ("status_in_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("priority_in_domain",
+     "o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"),
+    ("orderdate_in_range",
+     "o_orderdate < TIMESTAMP '1990-01-01' OR o_orderdate > TIMESTAMP '2005-01-01'"),
+)
+
+
+@register(
+    "audit_table_expectations",
+    oracle=f"""
+    WITH counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        {", ".join(
+            f"CAST(COUNT(*) FILTER (WHERE {pred}) AS BIGINT) AS v{i}"
+            for i, (_, pred) in enumerate(_EXPECTATIONS)
+        )},
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_dup
+        FROM orders
+    )
+    SELECT r.rule, r.violations, r.violations = 0 AS passed, counts.n_rows
+    FROM counts, LATERAL (VALUES
+        {", ".join(f"('{name}', v{i})" for i, (name, _) in enumerate(_EXPECTATIONS))},
+        ('orderkey_unique', v_dup)
+    ) AS r(rule, violations)
+    ORDER BY r.rule
+    """,
+    tags=("scale", "validation", "profiling"),
+    doc=(
+        "Declarative data-contract audit (expectation suite): null/"
+        "domain/range/uniqueness rules over orders compile into ONE "
+        "aggregation pass (conditional counts + a distinct-count for the "
+        "key-uniqueness rule), unpivoted to a per-rule pass/fail report "
+        "— the ingest gate pattern where adding a rule adds a counter, "
+        "never a scan.  At 100 TB the same pass rides the map-side "
+        "partials of a single shuffle-to-one-row aggregate."
+    ),
+)
+def audit_table_expectations(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for i, (_, pred) in enumerate(_EXPECTATIONS):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(f"v{i}")
+        )
+    aggs.append(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("v_dup")
+    )
+    counts = o.agg(*aggs)
+    pairs = [
+        F.struct(F.lit(name).alias("rule"), F.col(f"v{i}").alias("violations"))
+        for i, (name, _) in enumerate(_EXPECTATIONS)
+    ] + [F.struct(F.lit("orderkey_unique").alias("rule"), F.col("v_dup").alias("violations"))]
+    return (
+        counts.select("n_rows", F.explode(F.array(*pairs)).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.violations").alias("violations"),
+            (F.col("r.violations") == 0).alias("passed"),
+            "n_rows",
+        )
+        .orderBy("rule")
+    )
+
+
+@register(
+    "clean_winsorize_event_values",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type, {cents_sql('value')} AS v_c FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(CAST(v_c AS DOUBLE), 0.01)) AS BIGINT) AS lo_c,
+               CAST(round(quantile_cont(CAST(v_c AS DOUBLE), 0.99)) AS BIGINT) AS hi_c
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(b.lo_c AS BIGINT) / 100.0 AS lo,
+           CAST(b.hi_c AS BIGINT) / 100.0 AS hi,
+           CAST(COUNT(*) FILTER (WHERE v.v_c < b.lo_c) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT(*) FILTER (WHERE v.v_c > b.hi_c) AS BIGINT) AS n_clipped_high,
+           CAST(SUM(least(greatest(v.v_c, b.lo_c), b.hi_c)) AS BIGINT) / 100.0
+               AS winsorized_sum
+    FROM v JOIN bounds b USING (event_type)
+    GROUP BY v.event_type, b.lo_c, b.hi_c
+    ORDER BY v.event_type
+    """,
+    tags=("scale", "cleaning", "stats"),
+    doc=(
+        "Winsorization (percentile outlier clipping) of event values per "
+        "type: exact p1/p99 bounds (percentile over integer cents, bound "
+        "rounded back to integer cents so the clipped SUM stays exact "
+        "bigint arithmetic), clip audit counts, and the winsorized total "
+        "— the standard robust-statistics cleaning step before training "
+        "on heavy-tailed value columns.  Two passes by necessity (order "
+        "statistics, then clip) but the second pass joins a 5-row "
+        "broadcast bounds table — the fact table shuffles only for the "
+        "final per-type rollup."
+    ),
+)
+def clean_winsorize_event_values(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", cents("value").alias("v_c"))
+    bounds = v.groupBy("event_type").agg(
+        F.round(F.expr("percentile(CAST(v_c AS DOUBLE), 0.01)")).cast("bigint").alias("lo_c"),
+        F.round(F.expr("percentile(CAST(v_c AS DOUBLE), 0.99)")).cast("bigint").alias("hi_c"),
+    )
+    clipped = v.join(F.broadcast(bounds), "event_type")
+    win = F.least(F.greatest(F.col("v_c"), F.col("lo_c")), F.col("hi_c"))
+    return (
+        clipped.groupBy("event_type", "lo_c", "hi_c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("v_c") < F.col("lo_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("v_c") > F.col("hi_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            (F.sum(win).cast("bigint") / F.lit(100.0)).alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("lo_c") / F.lit(100.0)).alias("lo"),
+            (F.col("hi_c") / F.lit(100.0)).alias("hi"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "winsorized_sum",
+        )
+        .orderBy("event_type")
+    )
