@@ -136,3 +136,63 @@ register(
     ),
 )(stream_static_enrich)
 
+
+
+def stream_cdc_snapshot_latest(spark, sf_dir):
+    """Drive the foreachBatch CDC merge over a 4-file feed of the
+    events fixture and return the resulting latest-row-per-user
+    snapshot (timestamps rendered as strings for oracle parity)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..io import table
+    from ..streaming.events_stream import stream_cdc_merge_apply
+
+    root = tempfile.mkdtemp(prefix="cdc_snapshot_")
+    try:
+        feed = os.path.join(root, "feed")
+        snap = os.path.join(root, "snap")
+        table(spark, sf_dir, "events").repartition(4).write.parquet(feed)
+        stream_cdc_merge_apply(
+            spark, feed, snap, os.path.join(root, "ckpt"), key="user_id"
+        )
+        out = spark.read.parquet(snap).select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    "stream_cdc_snapshot_latest",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type, round(value, 2) AS value
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("streaming", "cdc", "merge"),
+    doc=(
+        "Streaming CDC merge-apply run to completion (4 micro-batches, "
+        "foreachBatch last-writer-wins upsert, atomic snapshot publish); "
+        "oracle = the batch latest-row-per-key relation — the strongest "
+        "check a streaming upsert can have: the maintained snapshot IS "
+        "the batch answer."
+    ),
+)(stream_cdc_snapshot_latest)
