@@ -830,3 +830,102 @@ def events_last_touch_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    totals AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM trans GROUP BY event_type
+    )
+    SELECT t.event_type AS from_type, t.next_type AS to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / z.n_from, 6) AS p_transition
+    FROM trans t JOIN totals z USING (event_type)
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "window", "analytics"),
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: P(next_type | type) from one lead() window + two "
+        "re-aggregations of the transition counts — the sequence-"
+        "modeling summary (and sessionless funnel generalization) that "
+        "costs one user-clustered exchange regardless of corpus size."
+    ),
+)
+def events_type_transition_matrix(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "event_type")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "events_cumulative_new_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily ORDER BY first_day
+    """,
+    tags=("events", "window", "analytics"),
+    doc=(
+        "Growth accounting: per-day new users (first-seen date per user) "
+        "and the cumulative user count — exact distinct growth without "
+        "rescanning history per day (one user agg + a tiny day-level "
+        "running window; the cumulative window runs over days, not "
+        "events, so it is driver-trivial at any scale)."
+    ),
+)
+def events_cumulative_new_users(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    daily = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+            F.col("first_day"),
+        )
+        .orderBy("first_day")
+        .drop("first_day")
+    )
