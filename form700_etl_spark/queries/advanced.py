@@ -929,3 +929,72 @@ def events_cumulative_new_users(spark, sf_dir):
         .orderBy("first_day")
         .drop("first_day")
     )
+
+
+# Chi-square per-cell term (O - E)^2 / E with E = n_x*n_y/N, quantized
+# to micro-units before the cross-cell SUM (exact bigint addition; the
+# inputs are exact integer counts so both engines feed the identical
+# doubles through the identical expression tree).
+_CHI2_TERM_SQL = (
+    "CAST(round("
+    "((CAST(n_xy AS DOUBLE) - (CAST(n_x AS DOUBLE) * n_y) / n_tot)"
+    " * (CAST(n_xy AS DOUBLE) - (CAST(n_x AS DOUBLE) * n_y) / n_tot))"
+    " / ((CAST(n_x AS DOUBLE) * n_y) / n_tot)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle=f"""
+    WITH joint AS (
+        SELECT c_mktsegment AS x, c_nationkey AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot FROM joint),
+    cells AS (
+        SELECT mx.x, my.y, mx.n_x, my.n_y, tot.n_tot,
+               COALESCE(j.n_xy, 0) AS n_xy
+        FROM mx CROSS JOIN my CROSS JOIN tot
+        LEFT JOIN joint j ON j.x = mx.x AND j.y = my.y
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT) AS dof,
+           MAX(n_tot) AS n_total,
+           round(CAST(SUM({_CHI2_TERM_SQL}) AS DOUBLE) / 1000000, 4) AS chi2
+    FROM cells
+    """,
+    tags=("agg", "stats", "profiling"),
+    doc=(
+        "Pearson chi-square test of independence between market segment "
+        "and nation — the categorical-dependence screen run beside "
+        "stats_mutual_information.  Zero-observed cells are materialized "
+        "from the marginal cross product (skipping them understates the "
+        "statistic), each cell's (O-E)^2/E is quantized to micro-units, "
+        "and the cross-cell sum is exact bigint.  One groupBy over the "
+        "fact table; marginals re-aggregate the joint counts (cells = "
+        "|segments| x |nations|, driver-tiny at any corpus scale)."
+    ),
+)
+def stats_chi_square_independence(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    joint = c.groupBy(
+        F.col("c_mktsegment").alias("x"), F.col("c_nationkey").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    mx = joint.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("bigint").alias("n_tot"))
+    cells = (
+        mx.crossJoin(my)
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(joint), ["x", "y"], "left")
+        .select("x", "y", "n_x", "n_y", "n_tot", F.coalesce("n_xy", F.lit(0)).alias("n_xy"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        ((F.countDistinct("x") - 1) * (F.countDistinct("y") - 1)).cast("bigint").alias("dof"),
+        F.max("n_tot").alias("n_total"),
+        F.round(F.sum(F.expr(_CHI2_TERM_SQL)).cast("double") / 1000000, 4).alias("chi2"),
+    )

@@ -1075,3 +1075,103 @@ def clean_winsorize_event_values(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH co AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM co UNION ALL SELECT v FROM co
+        ) GROUP BY node
+    ),
+    okey AS (SELECT node, d * 1000000000 + node AS k FROM deg),
+    oriented AS (
+        SELECT CASE WHEN ku.k < kv.k THEN u ELSE v END AS s,
+               CASE WHEN ku.k < kv.k THEN v ELSE u END AS t,
+               CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS t_k
+        FROM co JOIN okey ku ON co.u = ku.node JOIN okey kv ON co.v = kv.node
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.s = e2.s AND e1.t_k < e2.t_k
+        JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    tots AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM co)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+             AS global_clustering
+    FROM tots CROSS JOIN ecnt CROSS JOIN tri
+    """,
+    tags=("graph", "scale"),
+    doc=(
+        "Triangle count + global clustering coefficient of the part "
+        "co-purchase graph (parts sharing an order).  Uses DEGREE-ORDERED "
+        "orientation (Chiba-Nishizeki / Schank-Wagner): every edge points "
+        "from its lower-(degree,id) endpoint, so each node's out-degree "
+        "is bounded by O(sqrt(edges)) regardless of hub skew, and the "
+        "wedge-generating self-join — the step that explodes on hub "
+        "nodes under naive id-ordering — stays near-linear in the edge "
+        "count.  Three hash joins, all on graph keys; wedge totals come "
+        "from the degree aggregate, never enumerated."
+    ),
+)
+def graph_triangle_count(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    co = co.localCheckpoint(eager=False)  # reused by deg + orientation
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionByName(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    okey = deg.select("node", (F.col("d") * 1000000000 + F.col("node")).alias("k"))
+    ku = okey.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = okey.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    oriented = (
+        co.join(ku, "u").join(kv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.greatest("ku", "kv").alias("t_k"),
+        )
+        .localCheckpoint(eager=False)  # three-way self-join input
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t_k") < F.col("e2.t_k")))
+        .join(e3, (F.col("e3.s") == F.col("e1.t")) & (F.col("e3.t") == F.col("e2.t")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    tots = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    ecnt = co.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tots.crossJoin(ecnt).crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.round(3.0 * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"), 6).alias("global_clustering"),
+        )
+    )

@@ -317,3 +317,78 @@ def timeseries_linear_interpolate(spark, sf_dir):
             filled.alias("value_filled"),
         )
     )
+
+
+# --------------------------------------------------------------- EWMA
+
+# Exponentially weighted moving average, alpha = 1/2, truncated at 16
+# lags.  With alpha = 1/2 every weight is a power of two, so scaling by
+# 2^15 makes them exact INTEGERS (32768, 16384, ..., 1): numerator and
+# denominator are plain BIGINT window sums — no float rounding anywhere
+# until the single division at the end, which both engines perform on
+# identical bigint inputs.  Truncation error is bounded by 2^-16 of the
+# oldest mass (documented; the untruncated tail weight is < 0.002%).
+_EWMA_LAGS = 16
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """DuckDB (numerator, denominator) window-sum expressions."""
+    num, den = [], []
+    for k in range(_EWMA_LAGS):
+        w = 1 << (_EWMA_LAGS - 1 - k)
+        lag = f"lag(v_cents, {k}) OVER w" if k else "v_cents"
+        num.append(f"COALESCE({lag} * {w}, 0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms_sql()
+
+
+@register(
+    "timeseries_ewma",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, {cents_sql("value")} AS v_cents, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value,
+           round((CAST({_EWMA_NUM_SQL} AS DOUBLE)
+                  / CAST({_EWMA_DEN_SQL} AS DOUBLE)) / 100.0, 6) AS ewma_value
+    FROM purchases
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("time", "window"),
+    doc=(
+        "Per-user EWMA (alpha=1/2) of purchase values, truncated at 16 "
+        "lags so the weights 2^15..2^0 are exact integers: numerator "
+        "and denominator are BIGINT window sums over 16 lag() columns "
+        "sharing ONE (user_id) shuffle and ONE sort — linear work, "
+        "integer-exact across engines, one double division at the end.  "
+        "The fixed-lag rewrite is what makes EWMA (an inherently "
+        "recursive smoother) expressible as a bounded window instead of "
+        "a sequential scan — the standard trick for running it "
+        "embarrassingly parallel on a 100 TB event log."
+    ),
+)
+def timeseries_ewma(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = e.select(
+        "event_id", "user_id", "ts", "value", cents("value").alias("v_cents")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = F.lit(0), F.lit(0)
+    for k in range(_EWMA_LAGS):
+        wt = 1 << (_EWMA_LAGS - 1 - k)
+        lagged = F.lag("v_cents", k).over(w) if k else F.col("v_cents")
+        num = num + F.coalesce(lagged * wt, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return base.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        F.round((num.cast("double") / den.cast("double")) / 100.0, 6).alias("ewma_value"),
+    )
