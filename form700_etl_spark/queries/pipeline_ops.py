@@ -868,3 +868,118 @@ def sample_weighted_topk_aes(spark, sf_dir):
         .filter(F.col("rk") <= 50)
         .select("doc_id", "lang", "n_chars", "rk")
     )
+
+
+# ------------------------------------------------ DSIR importance resample
+
+_DSIR_BUCKETS = 256
+# Per-token log importance ratio ln(p_target(b)/p_raw(b)) with add-one
+# smoothing over the hashed-unigram buckets, quantized to micro-nats so
+# the per-doc sum is exact bigint (counts are exact integers, so both
+# engines feed ln identical doubles).
+_DSIR_TERM_SQL = (
+    "CAST(round((ln((c_t + 1.0) / (n_t + 256.0))"
+    " - ln((c_r + 1.0) / (n_r + 256.0))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(token), 1, 4))::BIGINT % {_DSIR_BUCKETS} AS b
+        FROM toks
+    ),
+    target AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t
+        FROM feats WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM feats GROUP BY b),
+    tot AS (
+        SELECT CAST((SELECT COALESCE(SUM(c_t), 0) FROM target) AS BIGINT) AS n_t,
+               CAST((SELECT COALESCE(SUM(c_r), 0) FROM raw) AS BIGINT) AS n_r
+    ),
+    scored AS (
+        SELECT f.doc_id, f.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM({_DSIR_TERM_SQL}) AS BIGINT) AS log_w_micro
+        FROM (
+            SELECT f.doc_id, f.lang, COALESCE(t.c_t, 0) AS c_t,
+                   COALESCE(r.c_r, 0) AS c_r, tot.n_t, tot.n_r
+            FROM feats f
+            LEFT JOIN target t ON f.b = t.b
+            LEFT JOIN raw r ON f.b = r.b
+            CROSS JOIN tot
+        ) f
+        WHERE f.lang <> 'en'
+        GROUP BY f.doc_id, f.lang
+    )
+    SELECT doc_id, lang, n_tokens, log_w_micro,
+           row_number() OVER (ORDER BY log_w_micro DESC, doc_id) AS rank
+    FROM scored
+    ORDER BY rank LIMIT 100
+    """,
+    tags=("pipeline", "sampling", "text"),
+    doc=(
+        "DSIR data selection (Xie et al. 2023, 'Data Selection for "
+        "Language Models via Importance Resampling'): hashed-unigram "
+        "bucket counts (md5 % 256) estimate the target (English docs) "
+        "and raw (full corpus) feature distributions; each candidate "
+        "doc's importance weight is the summed log ratio "
+        "ln(p_t(b)/p_r(b)) of its token buckets, add-one smoothed.  Top "
+        "100 candidates by weight = the docs to pull into the training "
+        "mix.  Deterministic variant (the paper adds Gumbel noise for "
+        "sampled selection; rank-by-weight is its zero-temperature "
+        "limit).  Both feature histograms are 256-row aggregates — "
+        "broadcast-sized by construction regardless of corpus size; "
+        "scoring is one join per histogram + one per-doc sum, exact in "
+        "micro-nats."
+    ),
+)
+def sample_dsir_importance(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
+         % _DSIR_BUCKETS).alias("b"),
+    )
+    target = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+    tot = (
+        target.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"))
+        .crossJoin(raw.agg(F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("n_r")))
+    )
+    joined = (
+        feats.filter(F.col("lang") != "en")
+        .join(F.broadcast(target), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "lang",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+            "n_t", "n_r",
+        )
+    )
+    scored = joined.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(_DSIR_TERM_SQL)).cast("bigint").alias("log_w_micro"),
+    )
+    # TakeOrdered first (distributed partial top-k per partition, then a
+    # 100-row merge on the driver), THEN rank the 100 survivors: a global
+    # row_number window over `scored` would single-partition-sort every
+    # candidate in the corpus.
+    top = scored.orderBy(F.col("log_w_micro").desc(), F.col("doc_id")).limit(100)
+    w = Window.orderBy(F.col("log_w_micro").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

@@ -1619,3 +1619,217 @@ def text_token_entropy(spark, sf_dir):
             F.sum(F.expr(_ENTROPY_TERM_SQL)).alias("entropy_nano"),
         )
     )
+
+
+# ------------------------------------------------- bigram LM NLL filter
+
+# Per-bigram negative log-likelihood under an add-one-smoothed bigram
+# LM, quantized to micro-nats before the per-doc SUM (exact bigint
+# addition; counts are exact integers so both engines feed ln identical
+# doubles — the same quantize-then-sum discipline as the BM25 and MI
+# terms above).
+_BIGRAM_NLL_SQL = (
+    "CAST(round(-ln((COALESCE(c_bg, 0) + 1.0) / (COALESCE(c_ctx, 0) + v_size))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_bigram_lm_nll",
+    oracle=f"""
+    WITH split_docs AS (
+        SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, lang, split, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, lang, split, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM split_docs WHERE len(toks) >= 2
+        )
+    ),
+    lm AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg
+        FROM big WHERE split = 'train' GROUP BY w1, w2
+    ),
+    ctx AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM lm GROUP BY w1),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v_size FROM (
+            SELECT unnest(toks) AS token FROM split_docs WHERE split = 'train'
+        )
+    ),
+    scored AS (
+        SELECT b.doc_id, b.lang, {_BIGRAM_NLL_SQL} AS nll_micro
+        FROM big b
+        LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        LEFT JOIN ctx ON b.w1 = ctx.w1
+        CROSS JOIN vocab
+        WHERE b.split <> 'train'
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS avg_nll
+    FROM scored GROUP BY doc_id, lang
+    """,
+    tags=("text", "pipeline", "evaluation"),
+    doc=(
+        "CCNet-style LM quality scoring (Wenzek et al. 2020): an add-one-"
+        "smoothed bigram LM is TRAINED on the train split (bigram counts "
+        "+ context counts + vocab size), then every held-out doc is "
+        "scored by its average per-bigram negative log-likelihood — the "
+        "perplexity-bucket signal CCNet uses to rank web text.  The "
+        "model is a TABLE keyed by (w1,w2) applied with ordinary shuffle "
+        "joins — vocabulary is unbounded, nothing collects to the "
+        "driver; context counts re-aggregate the bigram counts (never "
+        "rescan the corpus); per-bigram NLL is quantized to micro-nats "
+        "so the per-doc sum is exact bigint."
+    ),
+)
+def text_bigram_lm_nll(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", _split_col("doc_id").alias("split"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    big = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id", "lang", "split",
+            F.explode(
+                F.expr("transform(sequence(1, size(toks)-1),"
+                       " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "split", "bg.w1", "bg.w2")
+    )
+    lm = (
+        big.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bg"))
+    )
+    ctx = lm.groupBy("w1").agg(F.sum("c_bg").cast("bigint").alias("c_ctx"))
+    vocab = (
+        docs.filter(F.col("split") == "train")
+        .select(F.explode("toks").alias("token"))
+        .agg(F.countDistinct("token").cast("bigint").alias("v_size"))
+    )
+    scored = (
+        big.filter(F.col("split") != "train")
+        .join(lm, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", F.expr(_BIGRAM_NLL_SQL).alias("nll_micro"))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / 1000000, 6)
+        .alias("avg_nll"),
+    )
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+_WINNOW_K = 8        # char k-gram length
+_WINNOW_W = 4        # winnowing window (guarantee: any match >= k+w-1 chars shares a fingerprint)
+_WINNOW_MAX_DF = 16  # boilerplate guard: fingerprints in > 16 docs are dropped
+_WINNOW_MIN_SHARED = 3
+# Rightmost-min selection in ONE bigint: key = hash * 2^20 + (2^20-1-pos),
+# so MIN(key) over the window picks the smallest hash and, on ties, the
+# LARGEST position — the robust-winnowing rule.  Positions are bounded by
+# 2^20 chars/doc (fixture docs are < 1 KB; at scale, chunk longer docs
+# first — doc_chunk_windows is the upstream operator for that).
+
+
+@register(
+    "text_winnowing_shared_pairs",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(substr(lower(text), i, {_WINNOW_K})), 1, 8))::BIGINT
+                 * 1048576 + (1048575 - i) AS key
+        FROM (
+            SELECT doc_id, lower(text) AS text,
+                   unnest(generate_series(1, len(text) - {_WINNOW_K - 1})) AS i
+            FROM documents WHERE len(text) >= {_WINNOW_K}
+        )
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               min(key) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                 AS selkey
+        FROM grams QUALIFY i >= {_WINNOW_W}
+    ),
+    fps AS (SELECT DISTINCT doc_id, selkey // 1048576 AS fp FROM sel),
+    df AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) <= {_WINNOW_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a
+    JOIN df ON a.fp = df.fp
+    JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    tags=("text", "dedup", "fingerprint"),
+    doc=(
+        "Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003): "
+        f"char {_WINNOW_K}-gram hashes, window w={_WINNOW_W}, each window "
+        "contributes its rightmost minimal hash — guaranteeing any "
+        f"verbatim match of >= {_WINNOW_K + _WINNOW_W - 1} chars shares a "
+        "fingerprint (the local-algorithm guarantee MinHash lacks).  "
+        "Tie-breaking runs inside ONE bigint window-min (hash*2^20 + "
+        "inverted position), so selection is a single per-doc window "
+        "pass — no self-join, no UDF.  Doc pairs sharing >= "
+        f"{_WINNOW_MIN_SHARED} fingerprints surface as plagiarism/"
+        "boilerplate candidates; a document-frequency cap (<= "
+        f"{_WINNOW_MAX_DF} docs) drops corpus-wide boilerplate hashes "
+        "BEFORE the pair join — the same guard that keeps the n-gram "
+        "Jaccard self-join from exploding on stop-phrases."
+    ),
+)
+def text_winnowing_shared_pairs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.filter(F.length("text") >= _WINNOW_K)
+        .select("doc_id", F.lower("text").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("t") - (_WINNOW_K - 1))).alias("i"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id", "i",
+            (F.conv(F.substring(F.md5(F.col("t").substr(F.col("i"), F.lit(_WINNOW_K))), 1, 8), 16, 10).cast("long")
+             * 1048576 + (1048575 - F.col("i"))).alias("key"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(-(_WINNOW_W - 1), 0)
+    sel = (
+        grams.select("doc_id", "i", F.min("key").over(w).alias("selkey"))
+        .filter(F.col("i") >= _WINNOW_W)
+        .select("doc_id", "selkey")
+        .distinct()
+    )
+    fps = sel.select(
+        "doc_id", (F.col("selkey") / 1048576).cast("long").alias("fp")
+    ).distinct()
+    df_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WINNOW_MAX_DF
+    ).select("fp")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(df_ok, "fp")
+        .join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
