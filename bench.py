@@ -107,6 +107,17 @@ HEADLINE = [
     "stats_gini_concentration",
     "stats_ols_price_on_quantity",
     "events_last_touch_attribution",
+    # round-5 fifth wave: exact 16-lag EWMA (one keyed window), chi-square
+    # independence, degree-oriented triangle count (three graph-keyed hash
+    # joins), bigram-LM NLL scoring (train/apply joins), DSIR importance
+    # selection (256-bucket broadcast histograms), winnowing fingerprints
+    # (per-doc window min + df-capped pair join).
+    "timeseries_ewma",
+    "stats_chi_square_independence",
+    "graph_triangle_count",
+    "text_bigram_lm_nll",
+    "sample_dsir_importance",
+    "text_winnowing_shared_pairs",
 ]
 
 

@@ -1168,7 +1168,7 @@ def graph_triangle_count(spark, sf_dir):
     )
     ecnt = co.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
-        tots.crossJoin(ecnt).crossJoin(tri)
+        tots.crossJoin(F.broadcast(ecnt)).crossJoin(F.broadcast(tri))
         .select(
             "n_nodes", "n_edges", "n_wedges", "n_triangles",
             F.round(3.0 * F.col("n_triangles").cast("double")

@@ -1820,7 +1820,7 @@ def text_winnowing_shared_pairs(spark, sf_dir):
     )
     fps = sel.select(
         "doc_id", (F.col("selkey") / 1048576).cast("long").alias("fp")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # reused by df cap + both join sides
     df_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _WINNOW_MAX_DF
     ).select("fp")

@@ -362,3 +362,42 @@ def test_analyze_table_statistics_enable_unhinted_broadcast(spark, sf_dir, tmp_p
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS cbo_t CASCADE")
+
+
+def test_ewma_single_window_single_exchange(spark, sf_dir):
+    """All 16 lag() columns must share ONE user-keyed Window over ONE
+    exchange — 16 separate window subtrees would sort the stream 16
+    times."""
+    plan = plan_of(spark, sf_dir, "timeseries_ewma")
+    assert tree_nodes(plan, "Window") == 1, plan
+    assert tree_nodes(plan, "Exchange") == 1, plan
+
+
+def test_dsir_histograms_broadcast_and_topk_is_take_ordered(spark, sf_dir):
+    """The 256-bucket target/raw histograms must broadcast (they are
+    bounded by construction, never by luck), and the top-100 must be a
+    TakeOrdered partial top-k, not a global sort of every candidate."""
+    plan = plan_of(spark, sf_dir, "sample_dsir_importance")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winnowing_selection_is_one_window_pair_join_is_hash(spark, sf_dir):
+    """The fingerprint set must be computed ONCE and reused by the df cap
+    and both pair-join sides (the localCheckpoint shows up as a Scan
+    ExistingRDD feeding every consumer — without it the per-doc window
+    selection re-runs three times), and the shared-pair join hashes on
+    the fingerprint key."""
+    plan = plan_of(spark, sf_dir, "text_winnowing_shared_pairs")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_count_joins_stay_hashed(spark, sf_dir):
+    """Degree-ordered orientation only helps if the wedge join is a hash
+    join on the pivot node; the only nested-loop nodes allowed are the
+    two 1-row combine cross joins for the scalar totals."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+    assert tree_nodes(plan, "BroadcastNestedLoopJoin") <= 2, plan
