@@ -69,6 +69,14 @@ PROBE_QUERIES = [
     "text_bm25_topk",
     # round-5 fourth wave: the complete (no-recall-loss) similarity join
     "dedup_prefix_filter_join",
+    # round-5 fifth wave: graph triangle enumeration, winnowing
+    # fingerprint pairs, bigram-LM scoring, DSIR selection.  (The EWMA
+    # is a bounded 16-row window — trivially linear — and events pass
+    # through the probe unscaled, so it is not probed.)
+    "graph_triangle_count",
+    "text_winnowing_shared_pairs",
+    "text_bigram_lm_nll",
+    "sample_dsir_importance",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
@@ -202,9 +210,10 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     queries = all_queries()
+    probe = [a for a in sys.argv[1:] if not a.startswith("-")] or PROBE_QUERIES
     print(f"| query | sf0.1 s | 10x s | time ratio | sf0.1 rows | 10x rows | row ratio |")
     print(f"|---|---|---|---|---|---|---|")
-    for name in PROBE_QUERIES:
+    for name in probe:
         fn = queries[name].fn
         fn(spark, "/root/testdata/sf0.01").count()  # warm codegen/JIT for this plan
         res = {}
