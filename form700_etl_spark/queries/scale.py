@@ -1175,3 +1175,55 @@ def graph_triangle_count(spark, sf_dir):
                     / F.col("n_wedges").cast("double"), 6).alias("global_clustering"),
         )
     )
+
+
+@register(
+    "clean_impute_group_median",
+    oracle=f"""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               quantile_cont(CAST({cents_sql("v")} AS DOUBLE), 0.5) AS med_cents
+        FROM masked WHERE v IS NOT NULL GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type,
+           m.v IS NULL AS was_missing,
+           round(COALESCE({cents_sql("m.v")}, med.med_cents) / 100.0, 4) AS value_imputed
+    FROM masked m JOIN med ON m.event_type = med.event_type
+    """,
+    tags=("clean", "pipeline"),
+    doc=(
+        "Median imputation by group: per-event-type EXACT interpolated "
+        "median of the observed values (integer-cents percentile — the "
+        "same cross-engine-exact quantile as agg_exact_quantiles) fills "
+        "the nulls via a broadcast join on the group key.  One agg over "
+        "the non-null slice + one broadcast probe; the fact table never "
+        "shuffles.  (A 1-in-7 deterministic mask stands in for real "
+        "missingness so the oracle is replayable.)"
+    ),
+)
+def clean_impute_group_median(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    med = (
+        masked.filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(CAST(round(v * 100) AS BIGINT), 0.5)").alias("med_cents"))
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.col("v").isNull().alias("was_missing"),
+            F.round(F.coalesce(cents("v").cast("double"), F.col("med_cents")) / 100.0, 4)
+            .alias("value_imputed"),
+        )
+    )

@@ -442,3 +442,59 @@ def ann_filtered_topk(spark, sf_dir):
     return topk_neighbors(q, cand, k=5, bucket_join=True).select(
         "query_id", "label", "rk", "neighbor_id", "cosine"
     )
+
+
+@register(
+    "ann_knn_graph_bucketed",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_VEC_DOUBLE_SQL} AS vec,
+               CAST({_BUCKET_SQL} AS INT) AS bucket
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cosine
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("similarity", "graph", "scale"),
+    doc=(
+        "Full k-NN GRAPH over the corpus (every vector's top-3 same-"
+        "bucket neighbors) — the substrate for SemDeDup-style semantic "
+        "dedup and graph-based curation.  Unlike the query-path ANN ops "
+        "(small broadcast query side), the graph build self-joins the "
+        "corpus on the LSH bucket key: an ordinary SHUFFLE hash join "
+        "both of whose sides partition by bucket, so the quadratic blow-"
+        "up is confined within buckets (N^2/2^bits per bucket family) "
+        "and no side needs to fit in memory — the plan that survives a "
+        "billion-vector corpus, where broadcasting either side cannot."
+    ),
+)
+def ann_knn_graph_bucketed(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("vec"), signbit_bucket().alias("bucket")
+    )
+    a = v.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
+    b = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"),
+                 F.col("bucket").alias("nbucket"))
+    sims = (
+        a.join(b, (F.col("bucket") == F.col("nbucket"))
+               & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", _cosine(F.col("qvec"), F.col("nvec")).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "rk", "neighbor_id", "cosine")
+    )

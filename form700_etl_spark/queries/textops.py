@@ -1833,3 +1833,80 @@ def text_winnowing_shared_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# ------------------------------------------- exact repeated substrings
+
+_XSUB_L = 24  # gram length: any repeated substring of >= L chars is caught
+
+
+@register(
+    "text_repeated_substring_spans",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, i, md5(substr(text, i, {_XSUB_L})) AS g
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {_XSUB_L - 1})) AS i
+            FROM documents WHERE len(text) >= {_XSUB_L}
+        )
+    ),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= 2),
+    marked AS (SELECT doc_id, i FROM g JOIN dup USING (g)),
+    isl AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_XSUB_L - 1} AS BIGINT) AS span_end,
+           CAST(MAX(i) + {_XSUB_L - 1} - MIN(i) + 1 AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("text", "dedup", "pipeline"),
+    doc=(
+        "EXACT repeated-substring spans (the ExactSubstr operator of Lee "
+        "et al. 2022, 'Deduplicating Training Data Makes Language Models "
+        f"Better'): every {_XSUB_L}-char gram that occurs more than once "
+        "ANYWHERE in the corpus marks its positions; per doc, "
+        "consecutive marked positions merge into maximal spans "
+        "(gaps-and-islands over the position index) — the byte ranges a "
+        "training pipeline cuts out.  The reference implementation "
+        "builds a suffix array; the Spark-native equivalent is a "
+        "gram-keyed GROUP BY with map-side partial counts (linear "
+        "shuffle volume, no suffix sort) + one per-doc window.  "
+        "Catches every repeat of length >= L with exact bounds "
+        f"(repeats shorter than {_XSUB_L} chars are below the span "
+        "floor by design — same L tradeoff as the paper's 50-token "
+        "threshold)."
+    ),
+)
+def text_repeated_substring_spans(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.filter(F.length("text") >= _XSUB_L)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (_XSUB_L - 1))).alias("i"),
+            F.col("text"),
+        )
+        .select("doc_id", "i", F.md5(F.col("text").substr(F.col("i"), F.lit(_XSUB_L))).alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2).select("g")
+    marked = grams.join(dup, "g").select("doc_id", "i")
+    grp = (F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))).alias("grp")
+    return (
+        marked.select("doc_id", "i", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + (_XSUB_L - 1)).cast("bigint").alias("span_end"),
+            (F.max("i") + (_XSUB_L - 1) - F.min("i") + 1).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .drop("grp")
+    )
