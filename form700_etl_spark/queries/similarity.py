@@ -475,7 +475,15 @@ def ann_filtered_topk(spark, sf_dir):
         "both of whose sides partition by bucket, so the quadratic blow-"
         "up is confined within buckets (N^2/2^bits per bucket family) "
         "and no side needs to fit in memory — the plan that survives a "
-        "billion-vector corpus, where broadcasting either side cannot."
+        "billion-vector corpus, where broadcasting either side cannot.  "
+        "SCALING RULE (measured, SCALE.md round-5 wave 6): with the bit "
+        "width FIXED, bucket occupancy grows with N and the self-join "
+        "degenerates toward N^2/2^bits — 18.8x wall time for a 10x "
+        "corpus in the probe.  The operator is only scale-sound when "
+        "bits ~ log2(N / target_occupancy), holding per-bucket work "
+        "constant (8 bits fits the 5k-vector fixture at ~20/bucket; a "
+        "10x corpus wants 11-12 bits; the fixed-8-bit form here is the "
+        "oracle-replayable instance, not the production parameter)."
     ),
 )
 def ann_knn_graph_bucketed(spark, sf_dir):
