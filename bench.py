@@ -118,6 +118,13 @@ HEADLINE = [
     "text_bigram_lm_nll",
     "sample_dsir_importance",
     "text_winnowing_shared_pairs",
+    # round-5 sixth wave: ExactSubstr spans (gram groupBy + island
+    # window; its sf0.1 cost is the 31-word-vocab artifact — every gram
+    # repeats, so nearly all positions survive the df>=2 filter; see
+    # SCALE.md), the bucketed kNN graph, and group-median imputation.
+    "text_repeated_substring_spans",
+    "ann_knn_graph_bucketed",
+    "clean_impute_group_median",
 ]
 
 
@@ -178,6 +185,12 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(HEADLINE),
                 "value_r4_query_set": round(sum(timings[n] for n in r4_set), 3),
+                "value_note": (
+                    "round-over-round comparisons must use value_r4_query_set "
+                    "(the exact 24-query set BENCH_r04 timed at 18.222s); "
+                    "'value' spans the full headline list, which round 5 grew "
+                    f"to {len(HEADLINE)} queries"
+                ),
                 "queries": timings,
                 "streaming": streaming,
                 "sf": sf,
