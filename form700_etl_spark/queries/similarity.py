@@ -195,6 +195,15 @@ def embedding_label_stats(spark, sf_dir):
     )
 
 
+# Near-dup cosine threshold shared by dedup_embedding_near and
+# dedup_semantic_clusters.  0.35 sits above the same-label cosine mode
+# of the fixture's cluster geometry (signal/noise ~ 0.2) but below the
+# near-identical band, so the screen yields a real residue at every SF
+# (the original 0.5 returned zero pairs at sf <= 0.1 — an always-empty
+# screen verifies nothing).
+_NEAR_COS = 0.35
+
+
 @register(
     "dedup_embedding_near",
     oracle=f"""
@@ -205,12 +214,12 @@ def embedding_label_stats(spark, sf_dir):
     )
     SELECT a.vec_id AS vec1, b.vec_id AS vec2, {_COS_SQL} AS cosine
     FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.5
+    WHERE {_COS_SQL} >= {_NEAR_COS}
     """,
     tags=("similarity", "dedup"),
     doc=(
         "Embedding near-duplicate pairs: sign-bit-bucket blocking, exact cosine "
-        "verify >= 0.5 inside each bucket (only same-bucket pairs are compared)."
+        f"verify >= {_NEAR_COS} inside each bucket (only same-bucket pairs are compared)."
     ),
 )
 def dedup_embedding_near(spark, sf_dir):
@@ -222,7 +231,7 @@ def dedup_embedding_near(spark, sf_dir):
     return (
         a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("vec1") < F.col("vec2")))
         .select("vec1", "vec2", _cosine(F.col("v1"), F.col("v2")).alias("cosine"))
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= _NEAR_COS)
     )
 
 
@@ -505,4 +514,75 @@ def ann_knn_graph_bucketed(spark, sf_dir):
         sims.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 3)
         .select("query_id", "rk", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_VEC_DOUBLE_SQL} AS vec,
+               CAST({_BUCKET_SQL} AS INT) AS bucket
+        FROM embeddings
+    ),
+    sim_pairs AS (
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= {_NEAR_COS}
+    ),
+    edges AS (
+        SELECT vec1 AS a, vec2 AS b FROM sim_pairs
+        UNION ALL SELECT vec2, vec1 FROM sim_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS vec, a AS label FROM edges
+        UNION
+        (
+            WITH RECURSIVE walk(vec, label) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.vec
+            )
+            SELECT vec, label FROM walk
+        )
+    ),
+    comp AS (
+        SELECT vec AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY vec
+    )
+    SELECT c.vec_id, c.cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+           c.vec_id = c.cluster_id AS keep
+    FROM comp c
+    """,
+    tags=("similarity", "dedup", "graph"),
+    doc=(
+        "SemDeDup (Abbas et al. 2023): semantic dedup in EMBEDDING "
+        "space — near-duplicate pairs from the sign-bit-bucketed cosine "
+        "screen (the same candidate structure as dedup_embedding_near) "
+        "become clusters via connected components; each cluster keeps "
+        "its min-vec_id as the canonical representative and marks the "
+        "rest for removal.  Composes the operator library: bucketed "
+        "pair generation -> operators.dedup.connected_components "
+        "(driver union-find under 1M edges, Pregel min-label above) -> "
+        "per-cluster canonical selection.  Oracle verifies the FULL "
+        "composition with true recursive-CTE reachability."
+    ),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_embedding_near(spark, sf_dir).select(
+        F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("component_id").alias("cluster_id")
+    )
+    return comp.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("bigint").alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
     )

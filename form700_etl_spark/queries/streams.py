@@ -196,3 +196,44 @@ register(
         "the batch answer."
     ),
 )(stream_cdc_snapshot_latest)
+
+
+from ..streaming.events_stream import stream_stream_left_outer_conversions  # noqa: E402
+
+register(
+    "stream_stream_left_outer_conversions",
+    oracle="""
+    WITH hz AS (
+        SELECT least(MAX(CASE WHEN event_type = 'click' THEN ts END),
+                     MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+               - INTERVAL 4 HOUR AS h
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, ts, event_id FROM events, hz
+        WHERE event_type = 'click' AND ts <= hz.h
+    ),
+    j AS (
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM c LEFT JOIN events p
+          ON p.event_type = 'purchase' AND c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL THEN click_id END)
+                AS BIGINT) AS n_converted,
+           CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NULL THEN click_id END)
+                AS BIGINT) AS n_unconverted
+    FROM j GROUP BY user_id
+    """,
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-stream LEFT OUTER join with watermark-gated null "
+        "emission (unconverted clicks surface once no future purchase "
+        "can match), horizon-bounded so a finite replay is exact: "
+        "oracle = the batch left join under the same settled-click "
+        "horizon.  The missing outer-join half of the streaming join "
+        "surface."
+    ),
+)(stream_stream_left_outer_conversions)

@@ -518,3 +518,75 @@ def stream_drift_monitor(
         .start()
     )
     q_stream.awaitTermination()
+
+
+def stream_stream_left_outer_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click pairs with same-user
+    purchases within 1 hour, and clicks that never convert are EMITTED
+    WITH NULLS once the watermark proves no future purchase can match —
+    the attribution shape that also reports the negatives.
+
+    Outer-join emission is watermark-gated: an unconverted click only
+    leaves the state store when the GLOBAL watermark (min over both
+    inputs of max-event-time minus the 2 h delay) passes click_ts + the
+    1 h join window.  Clicks younger than that horizon are still
+    in-flight when a finite run terminates — they are pending, not
+    wrong.  So the OPERATOR's contract is horizon-bounded: it reports
+    attribution for clicks at least 4 h older than
+    least(max click_ts, max purchase_ts) — 1 h join window + 2 h delay
+    + 1 h slack — which is deterministic on a replayed fixture and is
+    exactly what a production consumer of an outer-join stream must do
+    anyway (downstream of ANY outer join, rows near the watermark are
+    by definition provisional).  The DuckDB oracle applies the same
+    horizon to the exact batch left join."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    pairs = run_to_completion(joined, "append")
+    # deterministic emission horizon from the static fixture (one
+    # bounded scalar agg; in production this is the live watermark)
+    from ..io import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    horizon = e.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("m")
+    ).collect()[0]["m"]
+    settled = pairs.filter(
+        F.col("click_ts") <= F.lit(horizon) - F.expr("interval 4 hours")
+    )
+    return settled.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+        ).alias("n_converted"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNull(), F.col("click_id"))
+        ).alias("n_unconverted"),
+    )

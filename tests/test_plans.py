@@ -401,3 +401,27 @@ def test_triangle_count_joins_stay_hashed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan, plan
     assert tree_nodes(plan, "BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_parquet_aggregate_pushdown_serves_count_min_max_from_footers(spark, sf_dir):
+    """Footer-served aggregates: with the v2 parquet scan and
+    aggregatePushdown on, a bare COUNT/MIN/MAX never reads data pages —
+    the BatchScan itself carries PushedAggregation.  At 100 TB this is
+    the difference between a metadata sweep and a full-table scan for
+    audit-style queries (A1 count audits are exactly this shape).
+    Result must equal the default-path answer."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = df.selectExpr("count(*)", "min(o_orderkey)", "max(o_orderkey)").collect()[0]
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        q = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+            "count(*)", "min(o_orderkey)", "max(o_orderkey)"
+        )
+        phys = q._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in phys, phys
+        assert q.collect()[0] == want
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
