@@ -125,6 +125,8 @@ HEADLINE = [
     "text_repeated_substring_spans",
     "ann_knn_graph_bucketed",
     "clean_impute_group_median",
+    "dedup_semantic_clusters",
+    "events_rfm_segments",
 ]
 
 

@@ -590,3 +590,113 @@ def events_point_in_time_join(spark, sf_dir):
             F.round("purchase_value", 2).alias("purchase_value"),
         )
     )
+
+
+# -------------------------------------------------------------- RFM
+
+# Quintile scoring by VALUE THRESHOLDS (exact interpolated 20/40/60/80
+# percentiles), not by global ntile rank: a rank window over every user
+# is a single-partition sort of the whole user base, while four
+# broadcast thresholds + boolean sums are scan-side — and ties score
+# identically by construction.
+_RFM_SCORE_SQL = (
+    "CAST(1"
+    " + (CASE WHEN CAST({m} AS DOUBLE) > p20_{m} THEN 1 ELSE 0 END)"
+    " + (CASE WHEN CAST({m} AS DOUBLE) > p40_{m} THEN 1 ELSE 0 END)"
+    " + (CASE WHEN CAST({m} AS DOUBLE) > p60_{m} THEN 1 ELSE 0 END)"
+    " + (CASE WHEN CAST({m} AS DOUBLE) > p80_{m} THEN 1 ELSE 0 END) AS INT)"
+)
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+    per_user AS (
+        SELECT user_id,
+               CAST(datediff('day', MAX(CAST(ts AS DATE)), ref.ref_day) AS BIGINT)
+                 AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM({cents_sql("value")}) AS BIGINT) AS monetary_cents
+        FROM events CROSS JOIN ref
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, ref.ref_day
+    ),
+    th AS (
+        SELECT
+          quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS p20_recency_days,
+          quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS p40_recency_days,
+          quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS p60_recency_days,
+          quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS p80_recency_days,
+          quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS p20_frequency,
+          quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS p40_frequency,
+          quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS p60_frequency,
+          quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS p80_frequency,
+          quantile_cont(CAST(monetary_cents AS DOUBLE), 0.2) AS p20_monetary_cents,
+          quantile_cont(CAST(monetary_cents AS DOUBLE), 0.4) AS p40_monetary_cents,
+          quantile_cont(CAST(monetary_cents AS DOUBLE), 0.6) AS p60_monetary_cents,
+          quantile_cont(CAST(monetary_cents AS DOUBLE), 0.8) AS p80_monetary_cents
+        FROM per_user
+    ),
+    scored AS (
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               6 - {_RFM_SCORE_SQL.format(m="recency_days")} AS r_score,
+               {_RFM_SCORE_SQL.format(m="frequency")} AS f_score,
+               {_RFM_SCORE_SQL.format(m="monetary_cents")} AS m_score
+        FROM per_user CROSS JOIN th
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    tags=("events", "analytics"),
+    doc=(
+        "RFM customer segmentation over the purchase stream: per-user "
+        "recency/frequency/monetary (exact integer days/counts/cents), "
+        "quintile scores assigned by comparing against the EXACT "
+        "interpolated 20/40/60/80th percentile thresholds — four "
+        "broadcast doubles — instead of a global ntile window (which "
+        "would single-partition-sort every user at corpus scale), then "
+        "the classic named segments.  One user-keyed aggregation + one "
+        "1-row threshold agg; scoring is scan-side boolean arithmetic."
+    ),
+)
+def events_rfm_segments(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ref = e.agg(F.max(F.col("ts").cast("date")).alias("ref_day"))
+    per_user = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id", "ref_day")
+        .agg(
+            F.datediff("ref_day", F.max(F.col("ts").cast("date"))).cast("bigint").alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(cents("value")).cast("bigint").alias("monetary_cents"),
+        )
+        .drop("ref_day")
+    )
+    th = per_user.agg(
+        *[
+            F.expr(f"percentile(CAST({m} AS DOUBLE), {q})").alias(f"p{int(q*100)}_{m}")
+            for m in ("recency_days", "frequency", "monetary_cents")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+    scored = per_user.crossJoin(F.broadcast(th)).select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        (6 - F.expr(_RFM_SCORE_SQL.format(m="recency_days"))).cast("int").alias("r_score"),
+        F.expr(_RFM_SCORE_SQL.format(m="frequency")).alias("f_score"),
+        F.expr(_RFM_SCORE_SQL.format(m="monetary_cents")).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

@@ -47,6 +47,16 @@ SAMPLE = [
     "text_bm25_topk",
     "sample_weighted_topk_aes",
     "events_last_touch_attribution",
+    # fifth/sixth wave reps: lag-window EWMA (ordered ties), degree-
+    # oriented triangle join, winnowing (window-min selection + pair
+    # join), ExactSubstr islands, SemDeDup component labels, RFM
+    # threshold scoring
+    "timeseries_ewma",
+    "graph_triangle_count",
+    "text_winnowing_shared_pairs",
+    "text_repeated_substring_spans",
+    "dedup_semantic_clusters",
+    "events_rfm_segments",
 ]
 
 
