@@ -127,6 +127,7 @@ HEADLINE = [
     "clean_impute_group_median",
     "dedup_semantic_clusters",
     "events_rfm_segments",
+    "text_bpe_encode_heldout",
 ]
 
 

@@ -975,13 +975,9 @@ def _bpe_oracle_final(rounds: int) -> str:
     )
 
 
-def _bpe_merge_round(toks):
-    """One BPE round over ``toks(doc_id, tk)``: returns (top_pair_df,
-    merged_toks_df).  top is a 1-row frame (kept lazy — it re-enters the
-    plan via broadcast, no driver action)."""
-    from pyspark.sql import Window as W
-
-    pairs = toks.select(
+def _bpe_pairs(toks):
+    """Adjacent-pair frame (doc_id, i, w1, w2) over ``toks(doc_id, tk)``."""
+    return toks.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -991,12 +987,32 @@ def _bpe_merge_round(toks):
             )
         ).alias("p"),
     ).select("doc_id", "p.i", "p.w1", "p.w2")
+
+
+def _bpe_apply_top(toks, top):
+    """Apply the 1-row merge ``top(w1, w2)`` to ``toks`` greedily
+    left-to-right (run-grouped window, even offsets merge) — shared by
+    the training rounds and the held-out encoder."""
+    return _bpe_apply(toks, _bpe_pairs(toks), top)
+
+
+def _bpe_merge_round(toks):
+    """One BPE round over ``toks(doc_id, tk)``: returns (top_pair_df,
+    merged_toks_df).  top is a 1-row frame (kept lazy — it re-enters the
+    plan via broadcast, no driver action)."""
+    pairs = _bpe_pairs(toks)
     top = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(1)
     )
+    return top, _bpe_apply(toks, pairs, top)
+
+
+def _bpe_apply(toks, pairs, top):
+    from pyspark.sql import Window as W
+
     starts = pairs.join(F.broadcast(top.select("w1", "w2")), ["w1", "w2"]).select(
         "doc_id", "i"
     )
@@ -1037,7 +1053,7 @@ def _bpe_merge_round(toks):
     new_toks = merged.groupBy("doc_id").agg(
         F.expr("transform(array_sort(collect_list(struct(i, tok))), s -> s.tok)").alias("tk")
     )
-    return top, new_toks
+    return new_toks
 
 
 @register(
@@ -1909,4 +1925,117 @@ def text_repeated_substring_spans(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
         )
         .drop("grp")
+    )
+
+
+# ------------------------------------------------- BPE heldout encode
+
+
+def _bpe_apply_cte(r: int, p: int, sfx: str, top: str) -> str:
+    """CTE block applying merge ``top`` to ``toks_{p}{sfx}`` ->
+    ``toks_{r}{sfx}`` — the same greedy left-to-right run/keep shape as
+    the training rounds, with the pair GIVEN instead of counted."""
+    return f"""
+    pairs_{r}{sfx} AS MATERIALIZED (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS i, tk[u.i] AS w1, tk[u.i + 1] AS w2
+        FROM toks_{p}{sfx}, unnest(range(1, len(tk))) AS u(i)
+    ),
+    starts_{r}{sfx} AS (
+        SELECT pr.doc_id, pr.i FROM pairs_{r}{sfx} pr JOIN {top} t USING (w1, w2)
+    ),
+    runs_{r}{sfx} AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM starts_{r}{sfx}
+    ),
+    keep_{r}{sfx} AS MATERIALIZED (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   i - MIN(i) OVER (PARTITION BY doc_id, grp) AS off
+            FROM runs_{r}{sfx}
+        ) WHERE off % 2 = 0
+    ),
+    toks_{r}{sfx} AS MATERIALIZED (
+        SELECT s.doc_id, list(s.tok ORDER BY s.i) AS tk FROM (
+            SELECT tp.doc_id, tp.i,
+                   CASE WHEN k.i IS NOT NULL
+                        THEN (SELECT w1 || '_' || w2 FROM {top})
+                        ELSE tp.t END AS tok
+            FROM (
+                SELECT doc_id, CAST(u.i AS BIGINT) AS i, tk[u.i] AS t
+                FROM toks_{p}{sfx}, unnest(range(1, len(tk) + 1)) AS u(i)
+            ) tp
+            LEFT JOIN keep_{r}{sfx} k  ON k.doc_id = tp.doc_id AND k.i = tp.i
+            LEFT JOIN keep_{r}{sfx} k2 ON k2.doc_id = tp.doc_id AND k2.i = tp.i - 1
+            WHERE k2.i IS NULL
+        ) s GROUP BY s.doc_id
+    )"""
+
+
+def _bpe_heldout_oracle_sql(rounds: int) -> str:
+    parts = [
+        f"""sd AS (
+        SELECT doc_id, {_SPLIT_CASE} AS split, string_split(text, ' ') AS tk
+        FROM documents
+    ),
+    toks_0t AS MATERIALIZED (SELECT doc_id, tk FROM sd WHERE split = 'train'),
+    toks_0e AS MATERIALIZED (SELECT doc_id, tk FROM sd WHERE split <> 'train')"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    top_{r} AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+            FROM toks_{p}t, unnest(range(1, len(tk))) AS u(i)
+        ) GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 1
+    )""")
+        parts.append(_bpe_apply_cte(r, p, "t", f"top_{r}"))
+        parts.append(_bpe_apply_cte(r, p, "e", f"top_{r}"))
+    return "WITH " + ",".join(parts)
+
+
+@register(
+    "text_bpe_encode_heldout",
+    oracle=_bpe_heldout_oracle_sql(_BPE_ROUNDS)
+    + f"""
+    SELECT r.doc_id,
+           CAST(len(r.tk) AS BIGINT) AS n_tokens_raw,
+           CAST(len(e.tk) AS BIGINT) AS n_tokens_encoded,
+           CAST(len(r.tk) - len(e.tk) AS BIGINT) AS tokens_saved
+    FROM toks_0e r JOIN toks_{_BPE_ROUNDS}e e ON r.doc_id = e.doc_id
+    """,
+    tags=("text", "tokenizer", "iterative", "pipeline"),
+    doc=(
+        f"BPE ENCODE with train/apply separation: the {_BPE_ROUNDS}-merge "
+        "table is learned on the TRAIN split only, then applied in rank "
+        "order to the held-out docs — the tokenizer-deployment shape "
+        "(a production encoder never re-learns merges from the text it "
+        "encodes).  Application per merge is the identical greedy "
+        "run/keep window plan as training, with the pair joined in from "
+        "the (lazy, broadcast) learned table instead of counted; output "
+        "is per-held-out-doc raw vs encoded token counts.  The oracle "
+        "replays both sides as layered CTEs — the whole train+apply "
+        "program is cell-exact across engines."
+    ),
+)
+def text_bpe_encode_heldout(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _split_col("doc_id").alias("split"), F.split("text", " ").alias("tk")
+    )
+    train = docs.filter(F.col("split") == "train").select("doc_id", "tk")
+    ev = docs.filter(F.col("split") != "train").select("doc_id", "tk")
+    raw = ev.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens_raw"))
+    cur_t, cur_e = train, ev
+    for r in range(_BPE_ROUNDS):
+        top, cur_t = _bpe_merge_round(cur_t)
+        cur_e = _bpe_apply_top(cur_e, top)
+        if r < _BPE_ROUNDS - 1:
+            cur_t = cur_t.localCheckpoint(eager=False)
+            cur_e = cur_e.localCheckpoint(eager=False)
+    enc = cur_e.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens_encoded"))
+    return raw.join(enc, "doc_id").select(
+        "doc_id", "n_tokens_raw", "n_tokens_encoded",
+        (F.col("n_tokens_raw") - F.col("n_tokens_encoded")).cast("bigint").alias("tokens_saved"),
     )
