@@ -454,3 +454,56 @@ def window_mad_outliers_by_type(spark, sf_dir):
             "mad4",
         )
     )
+
+
+@register(
+    "window_rank_functions_suite",
+    oracle=f"""
+    SELECT o_orderstatus,
+           o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_key,
+           CAST(nth_value(o_orderkey, 3) OVER
+                (PARTITION BY o_orderstatus
+                 ORDER BY {cents_sql('o_totalprice')} DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY {cents_sql('o_totalprice')} DESC, o_orderkey)
+    QUALIFY rank() OVER w <= 50
+    """,
+    tags=("window",),
+    doc=(
+        "The remaining ranking-window surface in one query: rank / "
+        "dense_rank / percent_rank / cume_dist / first_value / "
+        "nth_value over a cents-exact ordering with an id tie-break "
+        "(every function deterministic under any partitioning), top-50 "
+        "per status.  One exchange, one sort; the nth_value full-frame "
+        "variant shares the same sort order so Catalyst keeps it in the "
+        "same Window operator chain."
+    ),
+)
+def window_rank_functions_suite(spark, sf_dir):
+    from ..functions.money import cents as _cents
+
+    o = table(spark, sf_dir, "orders")
+    key = _cents("o_totalprice").desc(), F.col("o_orderkey").asc()
+    w = W.partitionBy("o_orderstatus").orderBy(*key)
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).cast("bigint").alias("first_key"),
+            F.nth_value("o_orderkey", 3).over(wf).cast("bigint").alias("third_key"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
