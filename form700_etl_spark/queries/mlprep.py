@@ -1,0 +1,373 @@
+"""ML feature-preparation operators: target encoding, the hashing
+trick, equi-depth binning, and exact distributed covariance (the
+sufficient statistic for PCA).
+
+The reference (Form700.py) has no feature-engineering surface at all —
+these extend the engine toward the training-data-pipeline mandate
+(BASELINE.json): turning raw columns into model-ready features is the
+step between curation (dedup/quality/sampling, queries/dedup.py,
+queries/pipeline_ops.py) and training.
+
+Scale notes
+-----------
+- Target encoding is one fact-side hash agg per category plus a
+  re-aggregation of the category partials for the global prior — the
+  raw table is scanned exactly once, and the category table (25 brands
+  here) broadcasts trivially at any corpus size.
+- The hashing trick is scan-side only: md5 per feature string, modulo
+  into a fixed bucket space.  No shuffle, no vocabulary build, no
+  driver state — the whole point of feature hashing at 100 TB is that
+  the feature space is fixed a priori.
+- Equi-depth binning aggregates to VALUE grain first (hash agg), then
+  runs the cumulative window over distinct values — never over raw
+  rows.  The 9 decile boundaries that fall out would broadcast back
+  for assignment at full scale.
+- Covariance moments accumulate as 128-bit-exact integers
+  (DECIMAL(38,0) / HUGEINT) over e6-quantized inputs, the same
+  determinism pattern as stats_exact_correlation: partials merge
+  across any partitioning, so one map-side-combined agg produces the
+  full d x d sufficient statistic no matter how many executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# --------------------------------------------------- target encoding
+
+_TENC_M = 1000  # smoothing pseudo-count (prior weight)
+
+
+@register(
+    "feature_target_encode_smoothed",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per_brand AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rev_e4 AS HUGEINT)) AS DOUBLE) AS s
+        FROM rev GROUP BY p_brand
+    ),
+    prior AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS big_n, SUM(s) AS big_s FROM per_brand
+    )
+    SELECT p_brand, n,
+           round((s / n) / 10000, 6) AS mean_revenue,
+           round(((s + {_TENC_M} * (big_s / big_n)) / (n + {_TENC_M})) / 10000, 6)
+             AS target_enc
+    FROM per_brand CROSS JOIN prior
+    ORDER BY p_brand
+    """,
+    tags=("mlprep", "agg"),
+    doc=(
+        "Smoothed target encoding of p_brand by mean line revenue: "
+        "enc = (sum + m*prior) / (n + m) with m=1000 pseudo-counts, the "
+        "standard leak-resistant categorical encoder.  Revenue "
+        "accumulates as exact integer e4 units (128-bit sums), the "
+        "global prior re-aggregates the 25 brand partials (the fact "
+        "table is scanned once), and the final blend runs on identical "
+        "doubles in both engines."
+    ),
+)
+def feature_target_encode_smoothed(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_brand", (pc * (100 - dc)).alias("rev_e4")
+    )
+    per_brand = rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double").alias("s"),
+    )
+    glob = per_brand.agg(
+        F.sum("n").cast("double").alias("big_n"), F.sum("s").alias("big_s")
+    )
+    m = float(_TENC_M)
+    return (
+        per_brand.crossJoin(F.broadcast(glob))
+        .select(
+            "p_brand",
+            "n",
+            F.round((F.col("s") / F.col("n")) / 10000, 6).alias("mean_revenue"),
+            F.round(
+                (
+                    (F.col("s") + F.lit(m) * (F.col("big_s") / F.col("big_n")))
+                    / (F.col("n") + F.lit(m))
+                )
+                / 10000,
+                6,
+            ).alias("target_enc"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ----------------------------------------------------- hashing trick
+
+_HASH_BUCKETS = 64
+
+
+@register(
+    "feature_hash_trick",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               unnest(['lang=' || lang,
+                       'source=' || source,
+                       'nlen=' || CAST(n_chars // 200 AS VARCHAR)]) AS feature
+        FROM documents
+    )
+    SELECT doc_id, feature,
+           CAST(('0x' || substr(md5(feature), 1, 8))::BIGINT % {_HASH_BUCKETS}
+                AS BIGINT) AS bucket,
+           CAST(1 - 2 * (('0x' || substr(md5(feature), 9, 1))::BIGINT % 2)
+                AS BIGINT) AS sign
+    FROM feats
+    ORDER BY doc_id, feature
+    """,
+    tags=("mlprep", "hash"),
+    doc=(
+        "Feature hashing (the hashing trick): each categorical feature "
+        "string maps to one of 64 buckets via md5, with a +/-1 sign bit "
+        "from the next hex nibble (Weinberger et al. 2009 — the sign "
+        "makes collisions unbiased).  Pure scan-side expression work: "
+        "no vocabulary, no shuffle, no driver state — the property that "
+        "makes feature hashing THE categorical encoder at 100 TB.  md5 "
+        "is the engine-portable hash (identical hex in Spark/DuckDB)."
+    ),
+)
+def feature_hash_trick(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("lang="), F.col("lang")),
+                F.concat(F.lit("source="), F.col("source")),
+                F.concat(
+                    F.lit("nlen="), F.expr("CAST(n_chars div 200 AS STRING)")
+                ),
+            )
+        ).alias("feature"),
+    )
+    x = F.conv(F.substring(F.md5("feature"), 1, 8), 16, 10).cast("long")
+    nib = F.conv(F.substring(F.md5("feature"), 9, 1), 16, 10).cast("long")
+    return feats.select(
+        "doc_id",
+        "feature",
+        (x % _HASH_BUCKETS).alias("bucket"),
+        (1 - 2 * (nib % 2)).alias("sign"),
+    ).orderBy("doc_id", "feature")
+
+
+# ------------------------------------------------ equi-depth binning
+
+
+@register(
+    "clean_quantile_bins",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v_cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS big_n FROM vals),
+    cum AS (
+        SELECT v_cents, cnt,
+               SUM(cnt) OVER (ORDER BY v_cents) AS cum_n
+        FROM vals
+    )
+    SELECT CAST(1 + ((cum_n - cnt) * 10) // big_n AS BIGINT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(MIN(v_cents) AS DOUBLE) / 100 AS lo,
+           CAST(MAX(v_cents) AS DOUBLE) / 100 AS hi
+    FROM cum CROSS JOIN tot
+    GROUP BY 1 ORDER BY bin
+    """,
+    tags=("mlprep", "window", "profiling"),
+    doc=(
+        "Equi-depth decile binning of customer account balance: "
+        "aggregate to VALUE grain first (one hash agg), run the "
+        "cumulative count over distinct values — never raw rows — and "
+        "assign bin = rank-of-first-occurrence * 10 / N, so ties always "
+        "share a bin (deterministic, unlike row-ntile).  Output is the "
+        "10-bin summary (counts + boundaries); at full scale the 9 "
+        "boundaries broadcast back to label the fact table.  Exact "
+        "integer cents keying makes the value grouping portable."
+    ),
+)
+def clean_quantile_bins(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    vals = c.groupBy(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v_cents")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vals.agg(F.sum("cnt").alias("big_n"))
+    cum = vals.withColumn("cum_n", F.sum("cnt").over(W.orderBy("v_cents")))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("bin", 1 + F.expr("((cum_n - cnt) * 10) div big_n"))
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_values"),
+            (F.min("v_cents").cast("double") / 100).alias("lo"),
+            (F.max("v_cents").cast("double") / 100).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ------------------------------------- exact covariance (PCA moments)
+
+_PCA_DIMS = 8  # leading dims for the oracle-checked moment matrix
+
+
+def _cov_pairs_duckdb() -> str:
+    """unnest(list of struct_pack) emitting the 36 upper-tri products."""
+    entries = []
+    for i in range(_PCA_DIMS):
+        for j in range(i, _PCA_DIMS):
+            entries.append(
+                f"struct_pack(i := {i}, j := {j}, p := xq{i} * xq{j})"
+            )
+    return ", ".join(entries)
+
+
+def _dim_sums_duckdb() -> str:
+    return ", ".join(
+        f"struct_pack(i := {i}, x := xq{i})" for i in range(_PCA_DIMS)
+    )
+
+
+_XQ_DUCKDB = ", ".join(
+    f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT) AS xq{i}"
+    for i in range(_PCA_DIMS)
+)
+
+
+@register(
+    "embedding_pca_covariance",
+    oracle=f"""
+    WITH base AS (
+        SELECT {_XQ_DUCKDB} FROM embeddings
+    ),
+    pairs AS (
+        SELECT u.i AS i, u.j AS j, u.p AS p
+        FROM base, unnest([{_cov_pairs_duckdb()}]) AS t(u)
+    ),
+    psums AS (
+        SELECT i, j, CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE) AS s_ij,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM pairs GROUP BY i, j
+    ),
+    dims AS (
+        SELECT u.i AS i, u.x AS x
+        FROM base, unnest([{_dim_sums_duckdb()}]) AS t(u)
+    ),
+    dsums AS (SELECT i, CAST(SUM(x) AS DOUBLE) AS s FROM dims GROUP BY i)
+    SELECT p.i, p.j, CAST(p.n AS BIGINT) AS n,
+           round(((p.n * p.s_ij - a.s * b.s) / (p.n * p.n)) / 1000000000000, 8)
+             AS cov
+    FROM psums p JOIN dsums a ON p.i = a.i JOIN dsums b ON p.j = b.i
+    ORDER BY p.i, p.j
+    """,
+    tags=("mlprep", "similarity", "stats"),
+    doc=(
+        "Exact covariance moment matrix over the leading 8 embedding "
+        "dims — the sufficient statistic a distributed PCA reduces to "
+        "(operators/pca.py consumes the full-width version).  Inputs "
+        "quantize to e6 integers so cross-products accumulate 128-bit-"
+        "exact (order/partition independent, unlike float covariance); "
+        "one map-side-combined hash agg of 36 upper-triangle products "
+        "per row, then the population-covariance formula runs once on "
+        "identical doubles.  d^2 grows with width, not rows — at 100 TB "
+        "the agg output is still just d(d+1)/2 cells."
+    ),
+)
+def embedding_pca_covariance(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    xq = [
+        F.round(F.element_at("embedding", i + 1).cast("double") * 1000000).cast(
+            "long"
+        )
+        for i in range(_PCA_DIMS)
+    ]
+    pair_structs = [
+        F.struct(
+            F.lit(i).alias("i"), F.lit(j).alias("j"), (xq[i] * xq[j]).alias("p")
+        )
+        for i in range(_PCA_DIMS)
+        for j in range(i, _PCA_DIMS)
+    ]
+    pairs = e.select(F.explode(F.array(*pair_structs)).alias("u")).select(
+        "u.i", "u.j", "u.p"
+    )
+    psums = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("s_ij"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    dim_structs = [
+        F.struct(F.lit(i).alias("i"), xq[i].alias("x")) for i in range(_PCA_DIMS)
+    ]
+    dsums = (
+        e.select(F.explode(F.array(*dim_structs)).alias("u"))
+        .select("u.i", "u.x")
+        .groupBy("i")
+        .agg(F.sum("x").cast("double").alias("s"))
+    )
+    a = dsums.alias("a")
+    b = dsums.alias("b")
+    p = psums.alias("p")
+    return (
+        p.join(F.broadcast(a), F.col("p.i") == F.col("a.i"))
+        .join(F.broadcast(b), F.col("p.j") == F.col("b.i"))
+        .select(
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            F.col("p.n").cast("bigint").alias("n"),
+            F.round(
+                (
+                    (F.col("p.n") * F.col("p.s_ij") - F.col("a.s") * F.col("b.s"))
+                    / (F.col("p.n") * F.col("p.n"))
+                )
+                / 1000000000000,
+                8,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# ------------------------------------------------- PCA projection
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; law tests
+    # in tests/test_pca.py check orthonormality, variance ordering, and
+    # determinism instead.
+    tags=("mlprep", "similarity"),
+    doc=(
+        "Distributed PCA projection to 2 components: mapInPandas "
+        "accumulates per-batch Gram partials (n, sum, X^T X) with numpy "
+        "— one pass, d^2 floats per partition — the driver eigen-"
+        "decomposes the d x d covariance (trivial for d=64), fixes "
+        "component signs for determinism, and broadcasts the basis; "
+        "projection is a second scan-side matmul.  The classic two-pass "
+        "tall-skinny PCA: row count never touches the driver."
+    ),
+)
+def embedding_pca_project(spark, sf_dir):
+    from ..operators.pca import pca_project
+
+    return pca_project(table(spark, sf_dir, "embeddings"), k=2)

@@ -392,3 +392,191 @@ def timeseries_ewma(spark, sf_dir):
         "value",
         F.round((num.cast("double") / den.cast("double")) / 100.0, 6).alias("ewma_value"),
     )
+
+
+# ----------------------------------------- seasonal decomposition
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, v_cents,
+               CASE WHEN COUNT(*) OVER w7 = 7
+                    THEN (200 * SUM(v_cents) OVER w7 + 7) // 14
+               END AS trend_e4
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, v_cents, trend_e4,
+               CAST(strftime(day, '%w') AS BIGINT) AS dow,
+               100 * v_cents - trend_e4 AS det_e4
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT dow,
+               round(CAST(SUM(det_e4) AS DOUBLE) / COUNT(det_e4) / 10000, 6)
+                 AS s_dow
+        FROM det WHERE det_e4 IS NOT NULL GROUP BY dow
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.v_cents AS DOUBLE) / 100 AS value,
+           CAST(d.trend_e4 AS DOUBLE) / 10000 AS trend,
+           s.s_dow AS seasonal,
+           round(CAST(d.det_e4 AS DOUBLE) / 10000 - s.s_dow, 6) AS residual
+    FROM det d JOIN seasonal s ON d.dow = s.dow
+    ORDER BY day
+    """,
+    tags=("time", "window", "stats"),
+    doc=(
+        "Classical additive seasonal decomposition of the daily purchase "
+        "series: trend = centered 7-day moving average (integer round-"
+        "half-up in e4 units, NULL where the window is partial), "
+        "seasonal = day-of-week mean of the detrended series, residual = "
+        "remainder.  All heavy work happens at DAY grain after one hash "
+        "agg of the raw events; the windows run over the tiny day spine "
+        "(same scale argument as timeseries_locf_gapfill), and the 7-row "
+        "seasonal table broadcasts back.  Detrending is exact integer "
+        "arithmetic; the only float steps run on identical inputs in "
+        "both engines."
+    ),
+)
+def timeseries_seasonal_decompose(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).alias("v_cents"))
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend_e4",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr("(200 * sum(v_cents) OVER (ORDER BY day "
+                   "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 7) div 14"),
+        ),
+    )
+    det = trended.select(
+        "day",
+        "v_cents",
+        "trend_e4",
+        (F.dayofweek("day") - 1).cast("long").alias("dow"),
+        (100 * F.col("v_cents") - F.col("trend_e4")).alias("det_e4"),
+    )
+    seasonal = (
+        det.filter(F.col("det_e4").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(
+                F.sum("det_e4").cast("double") / F.count("det_e4") / 10000, 6
+            ).alias("s_dow")
+        )
+    )
+    return (
+        det.join(F.broadcast(seasonal), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("v_cents").cast("double") / 100).alias("value"),
+            (F.col("trend_e4").cast("double") / 10000).alias("trend"),
+            F.col("s_dow").alias("seasonal"),
+            F.round(
+                F.col("det_e4").cast("double") / 10000 - F.col("s_dow"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------------------- lagged cross-correlation
+
+_XCORR_MAX_LAG = 7
+
+_XCORR_R_SQL = (
+    "round((n * s_xy - s_x * s_y)"
+    " / sqrt((n * s_xx - s_x * s_x) * (n * s_yy - s_y * s_y)), 6)"
+)
+
+
+@register(
+    "timeseries_cross_correlation_lag",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_cnt,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p_cnt
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(0, {_XCORR_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.s_cnt AS x, b.p_cnt AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+    ),
+    moments AS (
+        SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS s_x, CAST(SUM(y) AS DOUBLE) AS s_y,
+               CAST(SUM(x * y) AS DOUBLE) AS s_xy,
+               CAST(SUM(x * x) AS DOUBLE) AS s_xx,
+               CAST(SUM(y * y) AS DOUBLE) AS s_yy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           {_XCORR_R_SQL} AS r
+    FROM moments ORDER BY lag
+    """,
+    tags=("time", "stats"),
+    doc=(
+        "Lagged cross-correlation between daily signup and purchase "
+        "counts (lead/lag discovery: does a signup spike predict a "
+        "purchase spike k days later?).  One day-grain hash agg of the "
+        "raw events, then an 8-lag self-join over the tiny day spine; "
+        "Pearson r per lag from exact integer moments (the "
+        "stats_exact_correlation pattern).  At 100 TB only the first "
+        "agg touches raw rows."
+    ),
+)
+def timeseries_cross_correlation_lag(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "s_cnt"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p_cnt"
+        ),
+    )
+    lags = spark.range(_XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.day")
+            == F.expr("date_add(a.day, CAST(lag AS INT))"),
+        )
+        .select("lag", F.col("a.s_cnt").alias("x"), F.col("b.p_cnt").alias("y"))
+    )
+    moments = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s_x"),
+        F.sum("y").cast("double").alias("s_y"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("s_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("s_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("s_yy"),
+    )
+    return moments.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_XCORR_R_SQL).alias("r"),
+    ).orderBy("lag")
