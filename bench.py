@@ -128,6 +128,26 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "events_rfm_segments",
     "text_bpe_encode_heldout",
+    # round-5 seventh wave (ML feature prep + time-series analytics):
+    # target encoding (fact join + checkpointed partials), the hashing
+    # trick (pure scan-side), equi-depth bins (value-grain window),
+    # exact covariance moments (44-way explode, one scan), distributed
+    # PCA (two mapInPandas passes), seasonal decomposition and lagged
+    # cross-correlation (day-spine windows/self-joins).
+    "feature_target_encode_smoothed",
+    "feature_hash_trick",
+    "clean_quantile_bins",
+    "embedding_pca_covariance",
+    "embedding_pca_project",
+    "timeseries_seasonal_decompose",
+    "timeseries_cross_correlation_lag",
+    # round-5 eighth wave: distribution-shift statistics (KS / Welch),
+    # Adamic-Adar link prediction (degree-capped wedge join), RAKE
+    # keyword extraction (phrase-grain scoring).
+    "stats_ks_two_sample",
+    "stats_welch_ttest",
+    "graph_adamic_adar_links",
+    "text_rake_keywords",
 ]
 
 

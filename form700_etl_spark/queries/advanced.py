@@ -998,3 +998,167 @@ def stats_chi_square_independence(spark, sf_dir):
         F.max("n_tot").alias("n_total"),
         F.round(F.sum(F.expr(_CHI2_TERM_SQL)).cast("double") / 1000000, 4).alias("chi2"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM s),
+    ecdf AS (
+        SELECT SUM(c1) OVER (ORDER BY v) AS a1,
+               SUM(c2) OVER (ORDER BY v) AS a2
+        FROM s
+    ),
+    d AS (
+        SELECT MAX(abs(a1 * (SELECT n2 FROM tot) - a2 * (SELECT n1 FROM tot)))
+                 AS d_num
+        FROM ecdf
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+             AS d_stat,
+           round((CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+             AS ks_lambda
+    FROM d CROSS JOIN tot
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Two-sample Kolmogorov-Smirnov statistic comparing the purchase "
+        "and click value distributions: ECDFs meet at VALUE grain (one "
+        "hash agg of raw events, then a window over distinct cents "
+        "values), and the sup-distance runs in EXACT integers — "
+        "D = max|a1*n2 - a2*n1| / (n1*n2) — so the max is order- and "
+        "partition-independent; one division + the asymptotic lambda at "
+        "the end.  The standard distribution-shift gate between two "
+        "corpus slices."
+    ),
+)
+def stats_ks_two_sample(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = (
+        e.groupBy(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+        .localCheckpoint()  # feeds the totals AND the ECDF window
+    )
+    tot = s.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = s.select(
+        F.sum("c1").over(wv).alias("a1"), F.sum("c2").over(wv).alias("a2")
+    )
+    d = (
+        ecdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1"))
+            ).alias("d_num")
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    d_stat = F.col("d_num").cast("double") / (n1 * n2)
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d_stat, 6).alias("d_stat"),
+        F.round(d_stat * F.sqrt(n1 * n2 / (n1 + n2)), 6).alias("ks_lambda"),
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                        * CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS ss
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+               b.n AS n2, b.s AS s2, b.ss AS ss2
+        FROM m a CROSS JOIN m b
+        WHERE a.event_type = 'purchase' AND b.event_type = 'view'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((s1 / n1) / 100, 6) AS mean1,
+           round((s2 / n2) / 100, 6) AS mean2,
+           round(((s1 / n1) - (s2 / n2))
+                 / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                        + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
+           round(pow(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                     + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2, 2)
+                 / (pow(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)
+                    + pow(((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2, 2) / (n2 - 1)),
+                 2) AS welch_df
+    FROM w
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Welch's unequal-variance t-test between purchase and view "
+        "values: one hash agg produces exact integer moments (cents "
+        "sums, HUGEINT/DECIMAL(38) squared sums) per group; the t "
+        "statistic and Welch-Satterthwaite df evaluate once on "
+        "identical doubles.  The A/B-test primitive, expressed as "
+        "mergeable sufficient statistics — partials combine across "
+        "shards at any scale."
+    ),
+)
+def stats_welch_ttest(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vc).cast("double").alias("s"),
+        F.sum((vc * vc).cast("decimal(38,0)")).cast("double").alias("ss"),
+    )
+    a = m.filter(F.col("event_type") == "purchase").alias("a")
+    b = m.filter(F.col("event_type") == "view").alias("b")
+    w = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n1"), F.col("a.s").alias("s1"), F.col("a.ss").alias("ss1"),
+        F.col("b.n").alias("n2"), F.col("b.s").alias("s2"), F.col("b.ss").alias("ss2"),
+    )
+    var1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    var2 = (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    se1 = var1 / F.col("n1")
+    se2 = var2 / F.col("n2")
+    return w.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round((F.col("s1") / F.col("n1")) / 100, 6).alias("mean1"),
+        F.round((F.col("s2") / F.col("n2")) / 100, 6).alias("mean2"),
+        F.round(
+            ((F.col("s1") / F.col("n1")) - (F.col("s2") / F.col("n2")))
+            / F.sqrt(se1 + se2),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se1 + se2, 2)
+            / (F.pow(se1, 2) / (F.col("n1") - 1) + F.pow(se2, 2) / (F.col("n2") - 1)),
+            2,
+        ).alias("welch_df"),
+    )

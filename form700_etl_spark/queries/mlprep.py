@@ -85,9 +85,17 @@ def feature_target_encode_smoothed(spark, sf_dir):
     rev = l.join(p, l.l_partkey == p.p_partkey).select(
         "p_brand", (pc * (100 - dc)).alias("rev_e4")
     )
-    per_brand = rev.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double").alias("s"),
+    # materialize the 25-row category partials once: per_brand feeds
+    # BOTH the prior re-aggregation and the final blend, and without the
+    # checkpoint Spark re-derives the whole fact join per consumer —
+    # two scans of lineitem instead of one (the winnowing pattern).
+    per_brand = (
+        rev.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double").alias("s"),
+        )
+        .localCheckpoint()
     )
     glob = per_brand.agg(
         F.sum("n").cast("double").alias("big_n"), F.sum("s").alias("big_s")
@@ -209,9 +217,13 @@ def feature_hash_trick(spark, sf_dir):
 )
 def clean_quantile_bins(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
-    vals = c.groupBy(
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("v_cents")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # value-grain counts feed both the total and the cumulative window;
+    # checkpoint so the customer table is scanned once, not twice
+    vals = (
+        c.groupBy(F.round(F.col("c_acctbal") * 100).cast("long").alias("v_cents"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     tot = vals.agg(F.sum("cnt").alias("big_n"))
     cum = vals.withColumn("cum_n", F.sum("cnt").over(W.orderBy("v_cents")))
     return (
@@ -303,29 +315,32 @@ def embedding_pca_covariance(spark, sf_dir):
         )
         for i in range(_PCA_DIMS)
     ]
-    pair_structs = [
+    # ONE explode carries both the 36 upper-triangle products and the 8
+    # per-dim sums (marked j = -1), so the embeddings table is scanned
+    # exactly once; the 44-row moment table is checkpointed because the
+    # pair rows and both dim-sum join sides all consume it.
+    structs = [
         F.struct(
             F.lit(i).alias("i"), F.lit(j).alias("j"), (xq[i] * xq[j]).alias("p")
         )
         for i in range(_PCA_DIMS)
         for j in range(i, _PCA_DIMS)
+    ] + [
+        F.struct(F.lit(i).alias("i"), F.lit(-1).alias("j"), xq[i].alias("p"))
+        for i in range(_PCA_DIMS)
     ]
-    pairs = e.select(F.explode(F.array(*pair_structs)).alias("u")).select(
-        "u.i", "u.j", "u.p"
+    sums = (
+        e.select(F.explode(F.array(*structs)).alias("u"))
+        .select("u.i", "u.j", "u.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("s_ij"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .localCheckpoint()
     )
-    psums = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("s_ij"),
-        F.count(F.lit(1)).cast("double").alias("n"),
-    )
-    dim_structs = [
-        F.struct(F.lit(i).alias("i"), xq[i].alias("x")) for i in range(_PCA_DIMS)
-    ]
-    dsums = (
-        e.select(F.explode(F.array(*dim_structs)).alias("u"))
-        .select("u.i", "u.x")
-        .groupBy("i")
-        .agg(F.sum("x").cast("double").alias("s"))
-    )
+    psums = sums.filter(F.col("j") >= 0)
+    dsums = sums.filter(F.col("j") == -1).select("i", F.col("s_ij").alias("s"))
     a = dsums.alias("a")
     b = dsums.alias("b")
     p = psums.alias("p")

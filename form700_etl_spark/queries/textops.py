@@ -2039,3 +2039,128 @@ def text_bpe_encode_heldout(spark, sf_dir):
         "doc_id", "n_tokens_raw", "n_tokens_encoded",
         (F.col("n_tokens_raw") - F.col("n_tokens_encoded")).cast("bigint").alias("tokens_saved"),
     )
+
+
+# RAKE stopword delimiter set (the corpus stopwords; same list as the
+# quality metrics above).  The replace pattern runs TWICE because a
+# left-to-right scan consumes the trailing space of each match, so
+# back-to-back stopwords ("a a the") need a second pass — two passes
+# reach a fixed point for any stopword run (identical greedy semantics
+# in Java regex and RE2, and RE2 has no lookarounds to do it in one).
+_RAKE_STOP_RE = r" (the|a|of|and|to|in|is|it) "
+_RAKE_TOP_K = 25
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH delim AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(' ' || lower(text) || ' ',
+                                '{_RAKE_STOP_RE}', ' | ', 'g'),
+                 '{_RAKE_STOP_RE}', ' | ', 'g') AS s
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, trim(p) AS phrase
+        FROM delim, unnest(string_split(s, '|')) AS t(p)
+        WHERE trim(p) <> ''
+    ),
+    pdist AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY phrase
+    ),
+    ptok AS (
+        SELECT phrase, n_occ,
+               CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+               unnest(string_split(phrase, ' ')) AS word
+        FROM pdist
+    ),
+    wstats AS (
+        SELECT word, CAST(SUM(n_occ) AS BIGINT) AS freq,
+               CAST(SUM(n_occ * plen) AS BIGINT) AS deg
+        FROM ptok GROUP BY word
+    ),
+    scored AS (
+        SELECT p.phrase, MAX(p.n_occ) AS n_occ, MAX(p.plen) AS n_words,
+               CAST(SUM(CAST(round(1000000000.0 * w.deg / w.freq) AS BIGINT))
+                    AS BIGINT) AS score_e9
+        FROM ptok p JOIN wstats w ON p.word = w.word
+        GROUP BY p.phrase
+    )
+    SELECT phrase, n_words, n_occ,
+           CAST(score_e9 AS DOUBLE) / 1000000000 AS rake_score
+    FROM scored
+    ORDER BY score_e9 DESC, phrase
+    LIMIT {_RAKE_TOP_K}
+    """,
+    tags=("text", "mlprep"),
+    doc=(
+        "RAKE keyword extraction (Rose et al. 2010): stopwords split "
+        "documents into candidate phrases; word score = degree/freq "
+        "(degree counts co-membership, favoring words in long phrases); "
+        "phrase score = sum of member word scores.  All work happens at "
+        "PHRASE grain after one scan — occurrences collapse to distinct "
+        "phrases first and word stats re-aggregate the weighted phrase "
+        "table, so raw text is never re-tokenized.  Scores quantize to "
+        "integer e9 units before the phrase sum (order-independent), "
+        "and the top-25 is a TakeOrdered partial top-k."
+    ),
+)
+def text_rake_keywords(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    delim = d.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.concat(F.lit(" "), F.lower("text"), F.lit(" ")),
+                _RAKE_STOP_RE,
+                " | ",
+            ),
+            _RAKE_STOP_RE,
+            " | ",
+        ).alias("s")
+    )
+    occ = (
+        delim.select(F.explode(F.split("s", r"\|")).alias("p"))
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    # distinct-phrase grain drives everything downstream; checkpoint so
+    # the scan/tokenize pass runs once, not once per consumer
+    pdist = (
+        occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ")).localCheckpoint()
+    )
+    ptok = pdist.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    wstats = ptok.groupBy("word").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("plen")).alias("deg"),
+    )
+    ws_e9 = (
+        F.round(F.lit(1000000000.0) * F.col("deg") / F.col("freq")).cast("long")
+    )
+    scored = (
+        ptok.join(F.broadcast(wstats), "word")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_occ").alias("n_occ"),
+            F.max("plen").alias("n_words"),
+            F.sum(ws_e9).alias("score_e9"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_words",
+            "n_occ",
+            (F.col("score_e9").cast("double") / 1000000000).alias("rake_score"),
+            "score_e9",
+        )
+        .orderBy(F.col("score_e9").desc(), "phrase")
+        .limit(_RAKE_TOP_K)
+        .drop("score_e9")
+    )

@@ -462,13 +462,15 @@ def timeseries_seasonal_decompose(spark, sf_dir):
                    "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 7) div 14"),
         ),
     )
+    # the 30-row detrended day spine feeds both the seasonal means and
+    # the final select; checkpoint so raw events aggregate once
     det = trended.select(
         "day",
         "v_cents",
         "trend_e4",
         (F.dayofweek("day") - 1).cast("long").alias("dow"),
         (100 * F.col("v_cents") - F.col("trend_e4")).alias("det_e4"),
-    )
+    ).localCheckpoint()
     seasonal = (
         det.filter(F.col("det_e4").isNotNull())
         .groupBy("dow")
@@ -546,13 +548,19 @@ _XCORR_R_SQL = (
 )
 def timeseries_cross_correlation_lag(spark, sf_dir):
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
-            "s_cnt"
-        ),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "p_cnt"
-        ),
+    # both self-join sides read the day spine; checkpoint so the raw
+    # events table aggregates once instead of once per side
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ).alias("s_cnt"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p_cnt"),
+        )
+        .localCheckpoint()
     )
     lags = spark.range(_XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
     a = daily.alias("a")

@@ -288,6 +288,7 @@ _PYTHON_OK = {
     "multimodal_resize_audit",
     "pandas_udaf_cents_sum",
     "pandas_udf_scalar_normalize",
+    "embedding_pca_project",  # mapInPandas Gram partials + projection
 }
 
 
@@ -425,3 +426,89 @@ def test_parquet_aggregate_pushdown_serves_count_min_max_from_footers(spark, sf_
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_target_encode_fact_scanned_once_prior_broadcast(spark, sf_dir):
+    """The 25-row brand partials are checkpointed, so the lineitem-part
+    join runs ONCE (downstream plan reads ExistingRDD, no parquet
+    re-scan) and the 1-row prior combines via broadcast."""
+    plan = plan_of(spark, sf_dir, "feature_target_encode_smoothed")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_hash_is_pure_scan_side(spark, sf_dir):
+    """The hashing trick must be generate + project over one scan —
+    no join, no aggregate, no window, no Python."""
+    plan = plan_of(spark, sf_dir, "feature_hash_trick")
+    assert tree_nodes(plan, "Window") == 0, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_quantile_bins_window_runs_over_value_grain(spark, sf_dir):
+    """The cumulative window must consume the checkpointed VALUE-grain
+    counts (customer scanned once), one Window total."""
+    plan = plan_of(spark, sf_dir, "clean_quantile_bins")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert tree_nodes(plan, "Window") == 1, plan
+
+
+def test_pca_covariance_single_scan_broadcast_dims(spark, sf_dir):
+    """Pair products and dim sums ride ONE explode of one embeddings
+    scan (checkpointed 44-row moment table); the two dim-sum join
+    sides broadcast."""
+    plan = plan_of(spark, sf_dir, "embedding_pca_covariance")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_seasonal_decompose_day_grain_and_broadcast_seasonal(spark, sf_dir):
+    """Raw events aggregate to day grain once (checkpoint); the 7-row
+    seasonal table joins back via broadcast, never a shuffle."""
+    plan = plan_of(spark, sf_dir, "timeseries_seasonal_decompose")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_cross_correlation_joins_day_spine_only(spark, sf_dir):
+    """The 8-lag self-join runs over the checkpointed 30-row day spine —
+    raw events aggregate once; the lag table broadcasts."""
+    plan = plan_of(spark, sf_dir, "timeseries_cross_correlation_lag")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_window_runs_over_value_grain(spark, sf_dir):
+    """The ECDF window consumes the checkpointed value-grain counts —
+    events scanned once, one Window, D-max in exact integers."""
+    plan = plan_of(spark, sf_dir, "stats_ks_two_sample")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert tree_nodes(plan, "Window") == 1, plan
+
+
+def test_adamic_adar_wedge_join_is_hash_topk_partial(spark, sf_dir):
+    """The wedge self-join must hash on the center node (never nested
+    loop over the corpus), and the top-50 must be a TakeOrdered."""
+    plan = plan_of(spark, sf_dir, "graph_adamic_adar_links")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert tree_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_rake_scores_at_phrase_grain_topk_partial(spark, sf_dir):
+    """Word stats and phrase scores re-aggregate the checkpointed
+    distinct-phrase table (raw text tokenized once); word-score join
+    broadcasts; top-25 is a TakeOrdered."""
+    plan = plan_of(spark, sf_dir, "text_rake_keywords")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
