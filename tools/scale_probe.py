@@ -77,6 +77,15 @@ PROBE_QUERIES = [
     "text_winnowing_shared_pairs",
     "text_bigram_lm_nll",
     "sample_dsir_importance",
+    # round-5 seventh/eighth wave: the covariance moment agg and the
+    # two-pass PCA (embeddings 10x), RAKE (documents 10x, Heaps vocab),
+    # and the scan-side hashing trick.  (Target encode / bins / KS /
+    # Welch / seasonal / xcorr run over unscaled fixture tables, and
+    # Adamic-Adar over the unscaled lineitem basket graph — not probed.)
+    "embedding_pca_covariance",
+    "embedding_pca_project",
+    "text_rake_keywords",
+    "feature_hash_trick",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
