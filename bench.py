@@ -148,6 +148,7 @@ HEADLINE = [
     "stats_welch_ttest",
     "graph_adamic_adar_links",
     "text_rake_keywords",
+    "events_top_trigram_paths",
 ]
 
 

@@ -700,3 +700,45 @@ def events_rfm_segments(spark, sf_dir):
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+@register(
+    "events_top_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 10
+    """,
+    tags=("events", "window", "sequence"),
+    doc=(
+        "Top-10 three-step behavioral paths (sequential pattern mining "
+        "at n=3): both lead() columns share ONE user-keyed window over "
+        "one exchange, then a hash agg over the 5^3 path space and a "
+        "TakeOrdered partial top-k.  The n-gram-over-sessions primitive "
+        "behind funnel discovery — contrast events_type_transition_"
+        "matrix (n=2, full matrix) and events_funnel_* (fixed pattern)."
+    ),
+)
+def events_top_trigram_paths(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )

@@ -983,3 +983,30 @@ def sample_dsir_importance(spark, sf_dir):
     top = scored.orderBy(F.col("log_w_micro").desc(), F.col("doc_id")).limit(100)
     w = Window.orderBy(F.col("log_w_micro").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+# -- declarative config-driven pipeline (plans/curation.py): the oracle
+# SQL is GENERATED from the same YAML the Spark plan compiles from.
+from ..plans.curation import compile_oracle, compile_spark, load_spec  # noqa: E402
+
+_CURATION_SPEC = load_spec()
+
+
+@register(
+    "training_pipeline_from_config",
+    oracle=compile_oracle(_CURATION_SPEC),
+    tags=("pipeline", "config", "flagship"),
+    doc=(
+        "Config-driven curation: resources/curation_default.yaml "
+        "declares the stage list (token floor, chars-per-token band, "
+        "language allowlist, exact dedup, train split, 256-token "
+        "packing) and plans/curation.py compiles it into ONE Catalyst "
+        "plan AND the equivalent DuckDB SQL — the reference's config-"
+        "table design (tables.csv routing, Form700.py:325-344) applied "
+        "to the training-data surface.  A new pipeline YAML is oracle-"
+        "checked for free; every stage shape is scan-side or one keyed "
+        "shuffle, same as the hand-written flagship."
+    ),
+)
+def training_pipeline_from_config(spark, sf_dir):
+    return compile_spark(_CURATION_SPEC)(spark, sf_dir)

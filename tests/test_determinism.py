@@ -57,6 +57,16 @@ SAMPLE = [
     "text_repeated_substring_spans",
     "dedup_semantic_clusters",
     "events_rfm_segments",
+    # seventh/eighth wave reps: checkpointed-partial target encoding,
+    # value-grain cumulative bins, 128-bit covariance moments, integer
+    # ECDF sup-distance, degree-capped wedge scores (e9-quantized sums),
+    # phrase-grain RAKE top-k
+    "feature_target_encode_smoothed",
+    "clean_quantile_bins",
+    "embedding_pca_covariance",
+    "stats_ks_two_sample",
+    "graph_adamic_adar_links",
+    "text_rake_keywords",
 ]
 
 

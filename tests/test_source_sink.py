@@ -769,3 +769,48 @@ def test_dynamic_partition_overwrite_backfills_one_day_only(spark, sf_dir, tmp_p
     s_new = got.filter(F.col("day") == day).agg(F.sum("value")).first()[0]
     s_old = e.filter(F.col("day") == day).agg(F.sum("value")).first()[0]
     assert abs(s_new - 2 * s_old) < 1e-6
+
+
+class TestColumnarFormats:
+    """ORC round-trip: Spark ships the ORC reader/writer natively, and a
+    100 TB lake is rarely single-format — the engine must read back what
+    other writers produced with pushdown/pruning intact, same as parquet."""
+
+    def test_orc_roundtrip_preserves_values_and_schema(self, spark, sf_dir):
+        import tempfile
+
+        from form700_etl_spark.io import table
+
+        src = table(spark, sf_dir, "orders")
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/orders_orc"
+            src.write.orc(path)
+            back = spark.read.orc(path)
+            assert back.schema == src.schema
+            assert back.count() == src.count()
+            a = sorted(src.select("o_orderkey", "o_totalprice").collect())
+            b = sorted(back.select("o_orderkey", "o_totalprice").collect())
+            assert a == b
+
+    def test_orc_scan_pushes_filters_and_prunes_columns(self, spark, sf_dir):
+        import tempfile
+
+        from form700_etl_spark.io import table
+
+        src = table(spark, sf_dir, "orders")
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/orders_orc"
+            src.write.orc(path)
+            q = (
+                spark.read.orc(path)
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey")
+            )
+            plan = q._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                q._jdf.queryExecution(), "formatted"
+            )
+            assert "PushedFilters" in plan and "o_orderstatus" in plan.split(
+                "PushedFilters"
+            )[1].split("]")[0], plan
+            m = [s for s in plan.splitlines() if "ReadSchema" in s]
+            assert m and "o_totalprice" not in m[0], m
