@@ -149,6 +149,8 @@ HEADLINE = [
     "graph_adamic_adar_links",
     "text_rake_keywords",
     "events_top_trigram_paths",
+    "stats_mann_whitney_u",
+    "training_pipeline_from_config",
 ]
 
 

@@ -1162,3 +1162,104 @@ def stats_welch_ttest(spark, sf_dir):
             2,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ),
+    ranked AS (
+        -- average rank over ties, doubled to stay integer:
+        -- r2 = 2*(rows strictly below) + ties + 1
+        SELECT c1, c2, c1 + c2 AS t,
+               2 * (SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2)) + (c1 + c2) + 1
+                 AS r2
+        FROM s
+    ),
+    m AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * r2) AS BIGINT) AS r1_x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        FROM ranked
+    )
+    SELECT n1, n2,
+           CAST((r1_x2 - n1 * (n1 + 1)) / 2 AS BIGINT) AS u1,
+           round(((CAST(r1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6)
+             AS z_stat
+    FROM m
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Mann-Whitney U rank-sum test between purchase and click values "
+        "(the nonparametric mean-shift complement to stats_welch_ttest "
+        "and the KS sup-distance): average ranks over ties stay EXACT "
+        "by doubling (r2 = 2*below + ties + 1), so the rank sum, U, and "
+        "the tie-correction term are all integer arithmetic; the "
+        "normal-approximation z evaluates once on identical doubles.  "
+        "Same value-grain shape as the KS test: one hash agg of raw "
+        "events, one window over distinct cents values."
+    ),
+)
+def stats_mann_whitney_u(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = e.groupBy(F.round(F.col("value") * 100).cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    t = F.col("c1") + F.col("c2")
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = s.select(
+        "c1",
+        "c2",
+        t.alias("t"),
+        (2 * (F.sum(t).over(wv) - t) + t + 1).alias("r2"),
+    )
+    m = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("r2")).cast("long").alias("r1_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    r1 = (F.col("r1_x2").cast("double") - n1d * (F.col("n1") + 1)) / 2
+    return m.select(
+        "n1",
+        "n2",
+        ((F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)) / 2)
+        .cast("bigint")
+        .alias("u1"),
+        F.round(
+            (r1 - n1d * n2d / 2)
+            / F.sqrt(
+                (n1d * n2d / 12)
+                * (
+                    (F.col("n1") + F.col("n2") + 1)
+                    - F.col("tie3").cast("double") / (nd * (nd - 1))
+                )
+            ),
+            6,
+        ).alias("z_stat"),
+    )

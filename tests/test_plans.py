@@ -512,3 +512,27 @@ def test_rake_scores_at_phrase_grain_topk_partial(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mann_whitney_single_scan_one_window(spark, sf_dir):
+    """Unlike the KS twin (which needs a separate totals branch), the
+    rank-sum folds totals into the final aggregate — one parquet scan,
+    one value-grain window, no checkpoint needed."""
+    plan = plan_of(spark, sf_dir, "stats_mann_whitney_u")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert tree_nodes(plan, "Window") == 1, plan
+
+
+def test_config_pipeline_compiles_to_single_scan_plan(spark, sf_dir):
+    """The YAML-compiled pipeline must produce the same plan shape as
+    the hand-written flagship: one documents scan, the dedup and pack
+    windows, no Python nodes, no cartesian."""
+    plan = plan_of(spark, sf_dir, "training_pipeline_from_config")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    # dedup rank + pack cumsum ("Window (" counts exact nodes — the
+    # rank filter also earns WindowGroupLimit pre-rank pruning, which
+    # a bare "Window" substring would miscount)
+    assert plan.count("+- Window (") == 2, plan
+    assert "WindowGroupLimit" in plan, plan  # rank<=1 pushed below sort
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
