@@ -151,6 +151,7 @@ HEADLINE = [
     "events_top_trigram_paths",
     "stats_mann_whitney_u",
     "training_pipeline_from_config",
+    "multimodal_audio_decode",
 ]
 
 

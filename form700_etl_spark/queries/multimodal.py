@@ -102,3 +102,25 @@ def multimodal_resize_audit(spark, sf_dir):
     from ..operators.multimodal import resize_media
 
     return resize_media(synthesize_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle=None,  # a real binary container decode has no SQL analog;
+    # tests/test_functions.py::TestAudioDecode recomputes every feature
+    # locally from the same synth and checks sample-exact equality.
+    tags=("multimodal", "audio"),
+    doc=(
+        "REAL audio decode (not a stub): deterministic PCM16 WAV "
+        "payloads parsed with the stdlib wave module inside an Arrow-"
+        "batched mapInPandas — sample rate, channel count, duration, "
+        "integer-exact squared-sample RMS (e3-quantized) and peak come "
+        "from the decoded frames.  The pattern for codec-true feature "
+        "extraction at 100 TB: payload bytes never leave the executor, "
+        "decode is embarrassingly parallel, features are tiny rows."
+    ),
+)
+def multimodal_audio_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_audio_features, synthesize_audio
+
+    return decode_audio_features(synthesize_audio(spark, sf_dir))

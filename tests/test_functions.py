@@ -576,3 +576,53 @@ def test_prefix_filter_join_is_complete_vs_naive(spark, sf_dir):
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard")).collect()
     }
     assert got == naive, (len(got), len(naive))
+
+
+class TestAudioDecode:
+    """The real-WAV path: every feature the distributed decode emits
+    must equal a local recompute from the same deterministic synth —
+    sample-exact, no tolerance (same container bytes, same parser)."""
+
+    def test_decoded_features_match_local_recompute(self, spark, sf_dir):
+        import io
+        import math
+        import struct
+        import wave as wavelib
+
+        from form700_etl_spark.operators.multimodal import (
+            decode_audio_features,
+            synth_wav_bytes,
+            synthesize_audio,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in decode_audio_features(synthesize_audio(spark, sf_dir)).collect()
+        }
+        assert len(got) > 0
+        for doc_id, r in list(got.items())[:50]:
+            with wavelib.open(io.BytesIO(synth_wav_bytes(doc_id)), "rb") as w:
+                n = w.getnframes()
+                s = struct.unpack(f"<{n}h", w.readframes(n))
+            assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+            assert r["n_samples"] == n == 400
+            assert r["duration_ms"] == 50
+            assert r["peak"] == max(abs(min(s)), abs(max(s)))
+            assert r["rms_e3"] == round(
+                1000 * math.sqrt(sum(x * x for x in s) / n)
+            )
+
+    def test_sine_rms_physics(self, spark, sf_dir):
+        """A pure sine's RMS is amp/sqrt(2); the decoded RMS must land
+        within 0.5% of it (finite-cycle truncation is the only error)."""
+        import math
+
+        from form700_etl_spark.operators.multimodal import (
+            decode_audio_features,
+            synthesize_audio,
+        )
+
+        for r in decode_audio_features(synthesize_audio(spark, sf_dir)).collect()[:20]:
+            amp = 8000 + (r["doc_id"] % 7) * 1000
+            expect = 1000 * amp / math.sqrt(2)
+            assert abs(r["rms_e3"] - expect) / expect < 0.005, r
