@@ -152,6 +152,7 @@ HEADLINE = [
     "stats_mann_whitney_u",
     "training_pipeline_from_config",
     "multimodal_audio_decode",
+    "graph_bfs_hops",
 ]
 
 

@@ -1357,3 +1357,83 @@ def graph_adamic_adar_links(spark, sf_dir):
         .limit(_AA_TOP_K)
         .drop("score_e9")
     )
+
+
+_BFS_MAX_HOPS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE co AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u AS w, v AS nbr FROM co UNION ALL SELECT v, u FROM co),
+    src AS (SELECT MIN(u) AS s FROM co),
+    bfs AS (
+        SELECT (SELECT s FROM src) AS node, 0 AS hop
+        UNION ALL
+        SELECT adj.nbr, bfs.hop + 1
+        FROM bfs JOIN adj ON adj.w = bfs.node
+        WHERE bfs.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM bfs GROUP BY node ORDER BY hop, node
+    """,
+    tags=("graph", "scale"),
+    doc=(
+        "Level-synchronous BFS: min-hop distance from the lowest-id "
+        "part to every node within 3 hops of the co-purchase graph.  "
+        "The Spark side is the scalable form — per level ONE hash join "
+        "of the current frontier against the adjacency list plus an "
+        "anti join against the visited set, so each edge is relaxed at "
+        "most once per level and the visited set never re-expands "
+        "(Pregel's BFS in DataFrame ops; contrast the oracle's "
+        "recursive CTE, which re-walks every path and is exponential "
+        "in hop count — fine for a 3-hop check, unusable at scale).  "
+        "The checkpointed edge list is scanned once."
+    ),
+)
+def graph_bfs_hops(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    co = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i+2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint()  # adjacency consumed once per BFS level
+    )
+    adj = co.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        co.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    src = co.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("hop")
+    )
+    # level-synchronous expansion; frontiers checkpoint so level h+1
+    # builds on materialized level h instead of re-deriving the chain
+    visited = src.localCheckpoint()
+    frontier = visited
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.w)
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        F.col("node").cast("bigint").alias("node"), "hop"
+    ).orderBy("hop", "node")
