@@ -153,6 +153,8 @@ HEADLINE = [
     "training_pipeline_from_config",
     "multimodal_audio_decode",
     "graph_bfs_hops",
+    "dedup_lsh_scurve_report",
+    "linkage_fs_scores",
 ]
 
 

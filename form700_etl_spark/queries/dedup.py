@@ -1132,3 +1132,51 @@ def dedup_cluster_size_distribution(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------- LSH s-curve report
+
+from ..operators.dedup import BAND_ROWS as _SC_R, N_HASHES as _SC_K  # noqa: E402
+
+_SC_B = _SC_K // _SC_R  # bands
+
+
+@register(
+    "dedup_lsh_scurve_report",
+    oracle=f"""
+    SELECT CAST(k AS BIGINT) AS step,
+           CAST(k AS DOUBLE) / 20 AS jaccard_s,
+           round(1 - pow(1 - pow(CAST(k AS DOUBLE) / 20, {_SC_R}), {_SC_B}), 6)
+             AS p_candidate,
+           round(pow(1.0 / {_SC_B}, 1.0 / {_SC_R}), 6) AS band_threshold
+    FROM (SELECT unnest(range(1, 20)) AS k)
+    ORDER BY step
+    """,
+    tags=("dedup", "profiling"),
+    doc=(
+        "The MinHash-LSH design curve, derived from the SAME constants "
+        "the operator runs with (N_HASHES/BAND_ROWS imports — the "
+        "report can never drift from the implementation): candidate "
+        "probability 1-(1-s^r)^b per Jaccard level and the (1/b)^(1/r) "
+        "threshold (Leskovec/Rajaraman/Ullman ch.3).  What an operator "
+        "of the pipeline reads to choose bands/rows for a target "
+        "near-dup threshold; pure expression work over a generated "
+        "spine."
+    ),
+)
+def dedup_lsh_scurve_report(spark, sf_dir):
+    s = F.col("id").cast("double") / 20
+    return (
+        spark.range(1, 20)
+        .select(
+            F.col("id").cast("bigint").alias("step"),
+            s.alias("jaccard_s"),
+            F.round(
+                1 - F.pow(1 - F.pow(s, F.lit(_SC_R)), F.lit(_SC_B)), 6
+            ).alias("p_candidate"),
+            F.round(
+                F.pow(F.lit(1.0 / _SC_B), F.lit(1.0 / _SC_R)), 6
+            ).alias("band_threshold"),
+        )
+        .orderBy("step")
+    )

@@ -2164,3 +2164,176 @@ def text_rake_keywords(spark, sf_dir):
         .limit(_RAKE_TOP_K)
         .drop("score_e9")
     )
+
+
+# ------------------------------------------- record-linkage scoring
+
+# Fellegi-Sunter agreement weights with fixed m = P(agree | true match)
+# and DATA-DERIVED u = P(agree | random pair) = sum_v n_v(n_v-1)/(N(N-1)).
+# m is a documented prior (0.95: corrupted records keep most fields);
+# u comes from the value distribution, so common values (weak evidence)
+# earn small weights and rare values large ones — the core F-S insight.
+_FS_M = 0.95
+
+
+def _fs_u_sql(col: str) -> str:
+    return (
+        f"(SELECT CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)"
+        f" / (CAST((SELECT COUNT(*) FROM part) AS DOUBLE)"
+        f"    * ((SELECT COUNT(*) FROM part) - 1))"
+        f" FROM (SELECT COUNT(*) AS c FROM part GROUP BY {col}))"
+    )
+
+
+def _fs_w_sql(u: str, agree: str) -> str:
+    """e6-quantized agreement/disagreement weight."""
+    return (
+        f"CASE WHEN {agree} THEN CAST(round(1000000 * ln({_FS_M} / {u})) AS BIGINT)"
+        f" ELSE CAST(round(1000000 * ln((1 - {_FS_M}) / (1 - {u}))) AS BIGINT) END"
+    )
+
+
+@register(
+    "linkage_fs_scores",
+    oracle=f"""
+    WITH clean AS (
+        SELECT p_partkey AS match_id, p_name AS name,
+               p_brand AS b2, p_type AS c2, p_size AS s2
+        FROM part
+    ),
+    dirty AS (
+        SELECT p_partkey AS query_id, {_CORRUPT_SQL} AS qname,
+               p_brand AS b1, p_type AS c1, p_size AS s1
+        FROM part
+    ),
+    hot AS (
+        SELECT lower(substr(name, 1, 3)) AS bk, length(name) AS bl
+        FROM clean GROUP BY 1, 2 HAVING COUNT(*) > {_FUZZY_MAX_BLOCK_DF}
+    ),
+    us AS (
+        SELECT {_fs_u_sql("p_brand")} AS u_brand,
+               {_fs_u_sql("p_type")} AS u_cont,
+               {_fs_u_sql("p_size")} AS u_size
+    ),
+    cand AS (
+        SELECT d.query_id, c.match_id,
+               CAST(levenshtein(d.qname, c.name) AS INT) AS dist,
+               d.b1 = c.b2 AS a_brand, d.c1 = c.c2 AS a_cont,
+               d.s1 = c.s2 AS a_size
+        FROM dirty d JOIN clean c
+          ON lower(substr(d.qname, 1, 3)) = lower(substr(c.name, 1, 3))
+         AND abs(length(d.qname) - length(c.name)) <= 2
+        WHERE levenshtein(d.qname, c.name) <= 2
+          AND d.query_id <> c.match_id
+          AND NOT EXISTS (
+              SELECT 1 FROM hot h
+              WHERE h.bk = lower(substr(c.name, 1, 3)) AND h.bl = length(c.name)
+          )
+    ),
+    scored AS (
+        SELECT query_id, match_id, dist, a_brand, a_cont, a_size,
+               {_fs_w_sql("u_brand", "a_brand")}
+               + {_fs_w_sql("u_cont", "a_cont")}
+               + {_fs_w_sql("u_size", "a_size")} AS score_e6
+        FROM cand CROSS JOIN us
+    )
+    SELECT query_id, match_id, dist, a_brand, a_cont, a_size,
+           CAST(score_e6 AS DOUBLE) / 1000000 AS fs_score
+    FROM scored
+    ORDER BY score_e6 DESC, query_id, match_id
+    LIMIT 50
+    """,
+    tags=("join", "fuzzy", "linkage"),
+    doc=(
+        "Fellegi-Sunter record-linkage scoring over the fuzzy-join "
+        "candidate pairs (same (prefix, length) blocking + levenshtein "
+        "verify; self-matches excluded): per-field agreement weights "
+        "ln(m/u) with m a documented prior and u = P(agree | random "
+        "pair) DERIVED from the value distribution in one value-grain "
+        "agg per field — rare-value agreement earns large weights, "
+        "common-value small, the F-S core.  Weights quantize to e6 "
+        "integers so pair scores sum order-independently; the 1-row "
+        "u-table broadcasts; top-50 is a TakeOrdered."
+    ),
+)
+def linkage_fs_scores(spark, sf_dir):
+    import math
+
+    from ..operators.fuzzy import fuzzy_join
+
+    p = table(spark, sf_dir, "part")
+    p4 = (F.col("p_partkey") % 4).cast("int")
+    corrupted = (
+        F.when(p4 == 0, F.concat(F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")))
+        .when(p4 == 1, F.concat(F.col("p_name"), F.lit("x")))
+        .when(
+            p4 == 2,
+            F.concat(F.substring("p_name", 1, 4), F.lit("zq"), F.expr("substring(p_name, 7)")),
+        )
+        .otherwise(F.col("p_name"))
+    )
+    dirty = p.select(
+        F.col("p_partkey").alias("query_id"), corrupted.alias("qname"),
+        F.col("p_brand").alias("b1"), F.col("p_type").alias("c1"),
+        F.col("p_size").alias("s1"),
+    )
+    clean = p.select(
+        F.col("p_partkey").alias("match_id"), F.col("p_name").alias("name"),
+        F.col("p_brand").alias("b2"), F.col("p_type").alias("c2"),
+        F.col("p_size").alias("s2"),
+    )
+
+    def u_of(col):
+        cnts = p.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return cnts.agg(
+            (
+                F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)).cast("double")
+            ).alias("num"),
+            F.sum("c").cast("double").alias("n"),
+        ).select((F.col("num") / (F.col("n") * (F.col("n") - 1))).alias("u"))
+
+    us = (
+        u_of("p_brand").withColumnRenamed("u", "u_brand")
+        .crossJoin(u_of("p_type").withColumnRenamed("u", "u_cont"))
+        .crossJoin(u_of("p_size").withColumnRenamed("u", "u_size"))
+    )
+
+    def w(u_col, agree_col):
+        return (
+            F.when(
+                F.col(agree_col),
+                F.round(1000000 * F.log(F.lit(_FS_M) / F.col(u_col))),
+            )
+            .otherwise(
+                F.round(1000000 * F.log((1 - _FS_M) / (1 - F.col(u_col))))
+            )
+            .cast("long")
+        )
+
+    cand = (
+        fuzzy_join(
+            dirty, clean, "qname", "name",
+            max_dist=2, prefix_len=3, max_block_df=_FUZZY_MAX_BLOCK_DF,
+        )
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id", "match_id", "dist",
+            (F.col("b1") == F.col("b2")).alias("a_brand"),
+            (F.col("c1") == F.col("c2")).alias("a_cont"),
+            (F.col("s1") == F.col("s2")).alias("a_size"),
+        )
+    )
+    scored = cand.crossJoin(F.broadcast(us)).withColumn(
+        "score_e6",
+        w("u_brand", "a_brand") + w("u_cont", "a_cont") + w("u_size", "a_size"),
+    )
+    return (
+        scored.select(
+            "query_id", "match_id", "dist", "a_brand", "a_cont", "a_size",
+            (F.col("score_e6").cast("double") / 1000000).alias("fs_score"),
+            "score_e6",
+        )
+        .orderBy(F.col("score_e6").desc(), "query_id", "match_id")
+        .limit(50)
+        .drop("score_e6")
+    )
