@@ -67,6 +67,11 @@ SAMPLE = [
     "stats_ks_two_sample",
     "graph_adamic_adar_links",
     "text_rake_keywords",
+    # ninth wave reps: BFS frontier levels, F-S top-50 (score ties
+    # broken on ids), config-compiled pipeline
+    "graph_bfs_hops",
+    "linkage_fs_scores",
+    "training_pipeline_from_config",
 ]
 
 
