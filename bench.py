@@ -155,6 +155,8 @@ HEADLINE = [
     "graph_bfs_hops",
     "dedup_lsh_scurve_report",
     "linkage_fs_scores",
+    "multimodal_image_decode",
+    "multimodal_video_frames_real",
 ]
 
 

@@ -367,3 +367,189 @@ def decode_audio_features(audio: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ----------------------------------------------------- real image path
+
+# Same move as WAV: 24-bit BMP is a fixed-layout container a pure-
+# Python struct parse handles — so the image path also gets a REAL
+# decode (header-declared dims + exact integer channel sums), keeping
+# the sha256 fake only for formats that genuinely need absent codecs.
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, n_pixels int, "
+    "mean_r_e3 long, mean_g_e3 long, mean_b_e3 long, decoder string"
+)
+
+
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic 24-bit bottom-up BMP; dims and pixels derive from
+    doc_id.  Also used by the law test for local recomputation."""
+    import struct
+
+    w = 8 + doc_id % 9
+    h = 8 + doc_id % 7
+    row_pad = (-(w * 3)) % 4
+    rows = []
+    for y in range(h):  # bottom-up per the format
+        row = bytearray()
+        for x in range(w):
+            b = (doc_id * 11 + x * 3 + y * 7) % 256
+            g = (doc_id * 5 + x * 13 + y * 2) % 256
+            r = (doc_id * 3 + x * 7 + y * 11) % 256
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    off = 14 + 40
+    file_header = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixel_data
+
+
+def synthesize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_bmp_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.mapInPandas(gen, schema=AUDIO_SCHEMA)  # same (doc_id, payload) shape
+
+
+def decode_bmp_features(images: DataFrame) -> DataFrame:
+    """REAL decode: parse the BITMAPFILE/INFO headers, walk the padded
+    bottom-up pixel rows, and produce header dims + exact integer
+    channel sums (e3-quantized means)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                magic, _, _, _, off = struct.unpack_from("<2sIHHI", buf, 0)
+                assert magic == b"BM", "not a BMP payload"
+                hsz, w, h, _, bpp = struct.unpack_from("<IiiHH", buf, 14)
+                row_stride = (w * 3 + 3) & ~3
+                sr = sg = sb = 0
+                for y in range(h):
+                    base = off + y * row_stride
+                    for x in range(w):
+                        i = base + x * 3
+                        sb += buf[i]
+                        sg += buf[i + 1]
+                        sr += buf[i + 2]
+                n = w * h
+                rows.append(
+                    (
+                        int(doc_id), w, h, bpp, n,
+                        round(1000 * sr / n), round(1000 * sg / n),
+                        round(1000 * sb / n), "stdlib-struct-bmp",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bpp", "n_pixels",
+                    "mean_r_e3", "mean_g_e3", "mean_b_e3", "decoder",
+                ],
+            )
+
+    return images.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+
+
+# ----------------------------------------------------- real video path
+
+# YUV4MPEG2 (y4m) is the plain-header raw-frame interchange format the
+# ffmpeg/mplayer toolchain uses; header + FRAME markers parse with
+# pure Python, so frame SAMPLING becomes real too: parse the stream
+# header, seek frame payloads, and emit one feature row per sampled
+# frame (1 -> N, the media-UDTF pattern over an actual container).
+
+Y4M_FRAME_SCHEMA = (
+    "doc_id long, frame_index int, width int, height int, "
+    "mean_y_e3 long, decoder string"
+)
+
+
+def synth_y4m_bytes(doc_id: int) -> bytes:
+    """Deterministic C444 y4m clip: 1 + doc_id % 4 frames of 8x6 YUV."""
+    w, h = 8, 6
+    n_frames = 1 + doc_id % 4
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        y_plane = bytes(
+            (doc_id * 13 + f * 29 + i) % 256 for i in range(w * h)
+        )
+        u_plane = bytes((doc_id * 7 + f * 3 + i) % 256 for i in range(w * h))
+        v_plane = bytes((doc_id * 17 + f * 5 + i) % 256 for i in range(w * h))
+        out += [y_plane, u_plane, v_plane]
+    return b"".join(out)
+
+
+def synthesize_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_y4m_bytes(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def decode_y4m_frames(videos: DataFrame) -> DataFrame:
+    """REAL frame sampling: parse the YUV4MPEG2 stream header (W/H/C
+    tokens), walk FRAME markers, and emit per-frame luma means from
+    exact integer sums — one output row per frame of each clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                nl = buf.index(b"\n")
+                tokens = buf[:nl].decode().split(" ")
+                assert tokens[0] == "YUV4MPEG2", "not a y4m payload"
+                w = int(next(t[1:] for t in tokens if t.startswith("W")))
+                h = int(next(t[1:] for t in tokens if t.startswith("H")))
+                c = next((t[1:] for t in tokens if t.startswith("C")), "420")
+                plane = w * h
+                frame_bytes = plane * 3 if c == "444" else plane * 3 // 2
+                pos, idx = nl + 1, 0
+                while pos < len(buf):
+                    fnl = buf.index(b"\n", pos)
+                    assert buf[pos:fnl].startswith(b"FRAME")
+                    y_plane = buf[fnl + 1 : fnl + 1 + plane]
+                    rows.append(
+                        (
+                            int(doc_id), idx, w, h,
+                            round(1000 * sum(y_plane) / plane),
+                            "stdlib-y4m",
+                        )
+                    )
+                    pos = fnl + 1 + frame_bytes
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_index", "width", "height",
+                    "mean_y_e3", "decoder",
+                ],
+            )
+
+    return videos.mapInPandas(run, schema=Y4M_FRAME_SCHEMA)

@@ -124,3 +124,43 @@ def multimodal_audio_decode(spark, sf_dir):
     from ..operators.multimodal import decode_audio_features, synthesize_audio
 
     return decode_audio_features(synthesize_audio(spark, sf_dir))
+
+
+@register(
+    "multimodal_image_decode",
+    oracle=None,  # real container parse; law tests recompute locally
+    tags=("multimodal", "image"),
+    doc=(
+        "REAL image decode (not a stub): deterministic 24-bit BMP "
+        "payloads parsed with stdlib struct inside Arrow-batched "
+        "mapInPandas — header-declared dims, bits-per-pixel, and exact "
+        "integer channel sums (e3-quantized means) from the padded "
+        "bottom-up pixel rows.  With WAV (audio) and y4m (video), every "
+        "modality now has a codec-true path; the sha256 fake remains "
+        "only for formats whose codecs are genuinely absent here."
+    ),
+)
+def multimodal_image_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_bmp_features, synthesize_images
+
+    return decode_bmp_features(synthesize_images(spark, sf_dir))
+
+
+@register(
+    "multimodal_video_frames_real",
+    oracle=None,  # real container parse; law tests recompute locally
+    tags=("multimodal", "video"),
+    doc=(
+        "REAL video frame sampling: deterministic YUV4MPEG2 (y4m) clips "
+        "— the ffmpeg/mplayer raw interchange format — parsed with pure "
+        "Python: stream-header W/H/C tokens, FRAME markers walked, one "
+        "row per frame with its exact-integer-sum luma mean.  The 1->N "
+        "media-UDTF pattern over an actual container (contrast "
+        "multimodal_frame_sample, whose digest fake exists for its SQL "
+        "oracle)."
+    ),
+)
+def multimodal_video_frames_real(spark, sf_dir):
+    from ..operators.multimodal import decode_y4m_frames, synthesize_videos
+
+    return decode_y4m_frames(synthesize_videos(spark, sf_dir))

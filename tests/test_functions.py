@@ -626,3 +626,57 @@ class TestAudioDecode:
             amp = 8000 + (r["doc_id"] % 7) * 1000
             expect = 1000 * amp / math.sqrt(2)
             assert abs(r["rms_e3"] - expect) / expect < 0.005, r
+
+
+class TestImageVideoDecode:
+    """BMP and y4m codec-true paths: distributed decode must equal a
+    local recompute from the same deterministic synth, bit-exact."""
+
+    def test_bmp_features_match_local_recompute(self, spark, sf_dir):
+        from form700_etl_spark.operators.multimodal import (
+            decode_bmp_features,
+            synthesize_images,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in decode_bmp_features(synthesize_images(spark, sf_dir)).collect()
+        }
+        assert len(got) > 0
+        for doc_id, r in list(got.items())[:40]:
+            w, h = 8 + doc_id % 9, 8 + doc_id % 7
+            assert (r["width"], r["height"], r["bpp"]) == (w, h, 24)
+            assert r["n_pixels"] == w * h
+            sr = sum(
+                (doc_id * 3 + x * 7 + y * 11) % 256
+                for x in range(w) for y in range(h)
+            )
+            sg = sum(
+                (doc_id * 5 + x * 13 + y * 2) % 256
+                for x in range(w) for y in range(h)
+            )
+            sb = sum(
+                (doc_id * 11 + x * 3 + y * 7) % 256
+                for x in range(w) for y in range(h)
+            )
+            assert r["mean_r_e3"] == round(1000 * sr / (w * h))
+            assert r["mean_g_e3"] == round(1000 * sg / (w * h))
+            assert r["mean_b_e3"] == round(1000 * sb / (w * h))
+
+    def test_y4m_frames_match_local_recompute(self, spark, sf_dir):
+        from form700_etl_spark.operators.multimodal import (
+            decode_y4m_frames,
+            synthesize_videos,
+        )
+
+        rows = decode_y4m_frames(synthesize_videos(spark, sf_dir)).collect()
+        per_doc: dict[int, list] = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, frames in list(per_doc.items())[:40]:
+            assert len(frames) == 1 + doc_id % 4  # 1 -> N generation
+            for r in frames:
+                assert (r["width"], r["height"]) == (8, 6)
+                f = r["frame_index"]
+                sy = sum((doc_id * 13 + f * 29 + i) % 256 for i in range(48))
+                assert r["mean_y_e3"] == round(1000 * sy / 48)
