@@ -157,6 +157,7 @@ HEADLINE = [
     "linkage_fs_scores",
     "multimodal_image_decode",
     "multimodal_video_frames_real",
+    "dedup_lsh_recall_eval",
 ]
 
 

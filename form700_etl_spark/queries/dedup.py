@@ -1180,3 +1180,127 @@ def dedup_lsh_scurve_report(spark, sf_dir):
         )
         .orderBy("step")
     )
+
+
+# ------------------------------------------- LSH recall self-evaluation
+
+_RECALL_J = 0.5  # near-dup threshold the eval grades recall at
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    shingles AS ({_CAPPED_SHINGLES_SQL.format(max_df=MAX_SHINGLE_DF)}),
+    {_minhash_sql()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    exact_pairs AS (
+        SELECT p.doc1, p.doc2
+        FROM (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) p
+        JOIN sizes s1 ON p.doc1 = s1.doc_id
+        JOIN sizes s2 ON p.doc2 = s2.doc_id
+        WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= {_RECALL_J}
+    ),
+    lsh_pairs AS (
+        SELECT v.doc1, v.doc2
+        FROM (
+            SELECT c.doc1, c.doc2, COUNT(*) AS common
+            FROM candidates c
+            JOIN shingles a ON a.doc_id = c.doc1
+            JOIN shingles b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+            GROUP BY c.doc1, c.doc2
+        ) v
+        JOIN sizes s1 ON v.doc1 = s1.doc_id
+        JOIN sizes s2 ON v.doc2 = s2.doc_id
+        WHERE CAST(v.common AS DOUBLE) / (s1.n + s2.n - v.common) >= {_RECALL_J}
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+               (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+               (SELECT COUNT(*) FROM exact_pairs e
+                 JOIN lsh_pairs l ON e.doc1 = l.doc1 AND e.doc2 = l.doc2)
+                 AS n_common
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / nullif(n_exact, 0), 6) AS recall,
+           round(CAST(n_common AS DOUBLE) / nullif(n_lsh, 0), 6) AS precision
+    FROM m
+    """,
+    tags=("dedup", "lsh", "profiling"),
+    doc=(
+        "In-engine LSH quality measurement: over ONE consistent shingle "
+        "universe (df-capped distinct 3-grams), compare the banded-LSH-"
+        "then-verify pairs at J>=0.5 against the exact inverted-index "
+        "pairs at the same threshold — recall quantifies band misses "
+        "(the s-curve's 1-(1-s^r)^b made empirical; see "
+        "dedup_lsh_scurve_report for the design curve), precision is 1 "
+        "by construction since candidates are exact-Jaccard-verified.  "
+        "The eval a pipeline operator runs before trusting MinHash "
+        "parameters on a new corpus; shingles/signatures compute once "
+        "and feed both arms."
+    ),
+)
+def dedup_lsh_recall_eval(spark, sf_dir):
+    from ..operators.dedup import lsh_candidates, minhash_signatures
+
+    sh = _shingles_cached(spark, sf_dir, max_df=MAX_SHINGLE_DF).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+
+    def thresholded(pairs):
+        s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+        s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+        return (
+            pairs.join(s1, "doc1")
+            .join(s2, "doc2")
+            .filter(
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+                >= _RECALL_J
+            )
+            .select("doc1", "doc2")
+        )
+
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2"))
+    exact_pairs = thresholded(
+        a.join(b, (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sig = minhash_signatures(sh, n_hashes=_N_HASHES)
+    cand = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
+    ca = cand.join(a, "doc1").select("doc1", "doc2", "s1")
+    b2 = sh.select(F.col("doc_id").alias("bd2"), F.col("shingle").alias("s2"))
+    lsh_pairs = thresholded(
+        ca.join(b2, (F.col("s1") == F.col("s2")) & (F.col("doc2") == F.col("bd2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    common = exact_pairs.join(lsh_pairs, ["doc1", "doc2"])
+    n_exact = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh_pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_common = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_common)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.expr("nullif(n_exact, 0)"),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_common").cast("double") / F.expr("nullif(n_lsh, 0)"), 6
+            ).alias("precision"),
+        )
+    )
