@@ -536,3 +536,22 @@ def test_config_pipeline_compiles_to_single_scan_plan(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan  # rank<=1 pushed below sort
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_linkage_candidates_hash_join_topk_partial(spark, sf_dir):
+    """F-S scoring must ride the fuzzy join's blocked hash join (never
+    a corpus nested loop; the only broadcast-nested-loop allowed is the
+    1-row u-table combine), and the top-50 is a TakeOrdered."""
+    plan = plan_of(spark, sf_dir, "linkage_fs_scores")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_recall_eval_reuses_one_shingle_pass(spark, sf_dir):
+    """Both eval arms (exact pairs + LSH pairs) must consume the SAME
+    checkpointed shingle table — the corpus is shingled once."""
+    plan = plan_of(spark, sf_dir, "dedup_lsh_recall_eval")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -86,6 +86,12 @@ PROBE_QUERIES = [
     "embedding_pca_project",
     "text_rake_keywords",
     "feature_hash_trick",
+    # round-5 ninth wave: the LSH self-eval (shingle-pass reuse) and
+    # the three codec-true container decodes (linear in clip count)
+    "dedup_lsh_recall_eval",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "multimodal_video_frames_real",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
