@@ -158,6 +158,11 @@ HEADLINE = [
     "multimodal_image_decode",
     "multimodal_video_frames_real",
     "dedup_lsh_recall_eval",
+    # round-5 tenth wave: A/B z-test, funnel latency quantiles,
+    # hash-ring contrastive negative mining.
+    "stats_proportion_ztest",
+    "events_time_to_convert_percentiles",
+    "sample_negative_pairs",
 ]
 
 

@@ -1263,3 +1263,149 @@ def stats_mann_whitney_u(spark, sf_dir):
             6,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "stats_proportion_ztest",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT % 2
+                 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM assigned GROUP BY variant
+    ),
+    w AS (
+        SELECT a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2
+        FROM m a CROSS JOIN m b WHERE a.variant = 0 AND b.variant = 1
+    )
+    SELECT n1, k1, n2, k2,
+           round(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+           round(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+           round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                 / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+    FROM w
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Two-proportion z-test (pooled) between md5-assigned user "
+        "variants on high-value-purchase conversion (every fixture user "
+        "purchases SOMETHING, so the gate uses value > 90 to stay non-"
+        "degenerate) — THE A/B primitive, alongside "
+        "Welch (means), Mann-Whitney (ranks), and KS (distributions).  "
+        "Variant assignment is the same deterministic md5 ring every "
+        "split operator uses (stable under re-runs and late-arriving "
+        "users); conversion counts are exact integers from one user-"
+        "grain agg; the pooled z evaluates once on identical doubles."
+    ),
+)
+def stats_proportion_ztest(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 2
+    )
+    assigned = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    m = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    a = m.filter(F.col("variant") == 0).alias("a")
+    b = m.filter(F.col("variant") == 1).alias("b")
+    w = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n1"), F.col("a.k").alias("k1"),
+        F.col("b.n").alias("n2"), F.col("b.k").alias("k2"),
+    )
+    n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
+    n2, k2 = F.col("n2").cast("double"), F.col("k2").cast("double")
+    pool = (k1 + k2) / (n1 + n2)
+    return w.select(
+        "n1", "k1", "n2", "k2",
+        F.round(k1 / n1, 6).alias("p1"),
+        F.round(k2 / n2, 6).alias("p2"),
+        F.round(
+            (k1 / n1 - k2 / n2)
+            / F.sqrt(pool * (1 - pool) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "events_time_to_convert_percentiles",
+    oracle="""
+    WITH first_signup AS (
+        SELECT user_id, MIN(ts) AS ts_s FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT e.user_id,
+               MIN(e.ts) AS ts_p
+        FROM events e JOIN first_signup s
+          ON e.user_id = s.user_id AND e.ts >= s.ts_s
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT CAST(floor(epoch(p.ts_p)) - floor(epoch(s.ts_s)) AS BIGINT)
+                 AS latency_s
+        FROM first_signup s JOIN first_purchase p ON s.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(CAST(latency_s AS DOUBLE), 0.5), 4) AS p50_s,
+           round(quantile_cont(CAST(latency_s AS DOUBLE), 0.9), 4) AS p90_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+    tags=("events", "stats", "funnel"),
+    doc=(
+        "Funnel latency: per user, first signup -> first subsequent "
+        "purchase, exact interpolated p50/p90 of the integer-second "
+        "latencies (percentile == quantile_cont on identical bigint "
+        "inputs).  Two user-grain aggs + one user-keyed join — the "
+        "conversion-velocity complement to events_funnel_* (which "
+        "counts) and events_retention_cohorts (which buckets)."
+    ),
+)
+def events_time_to_convert_percentiles(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_s"))
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") >= F.col("ts_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_p"))
+    )
+    lat = (
+        first_signup.join(first_purchase, "user_id")
+        .select(
+            (F.col("ts_p").cast("long") - F.col("ts_s").cast("long")).alias(
+                "latency_s"
+            )
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )

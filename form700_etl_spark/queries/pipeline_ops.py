@@ -1010,3 +1010,123 @@ _CURATION_SPEC = load_spec()
 )
 def training_pipeline_from_config(spark, sf_dir):
     return compile_spark(_CURATION_SPEC)(spark, sf_dir)
+
+
+# ----------------------------------------- contrastive negative mining
+
+_NEG_K = 3        # negatives per anchor
+_NEG_BUCKETS = 4  # hash-ring shards (4 keeps every shard non-empty at sf0.001)
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH ring AS (
+        SELECT doc_id AS ring_doc, md5(CAST(doc_id AS VARCHAR)) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+                 % {_NEG_BUCKETS} AS bucket,
+               1 AS tag
+        FROM documents
+    ),
+    probes AS (
+        SELECT doc_id AS anchor, j,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR)), 1, 1))::BIGINT % {_NEG_BUCKETS}
+                 AS bucket,
+               0 AS tag
+        FROM documents, unnest(range(1, {_NEG_K + 1})) AS t(j)
+        WHERE doc_id % 50 = 0
+    ),
+    u AS (
+        SELECT bucket, h, tag, ring_doc, NULL AS anchor, NULL AS j FROM ring
+        UNION ALL
+        SELECT bucket, h, tag, NULL, anchor, j FROM probes
+    ),
+    scanned AS (
+        SELECT bucket, tag, anchor, j,
+               first_value(ring_doc IGNORE NULLS) OVER (
+                 PARTITION BY bucket ORDER BY h, tag
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+               first_value(ring_doc IGNORE NULLS) OVER (
+                 PARTITION BY bucket ORDER BY h, tag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS wrap
+        FROM u
+    )
+    SELECT CAST(anchor AS BIGINT) AS anchor,
+           CAST(j AS BIGINT) AS j,
+           CAST(COALESCE(nxt, wrap) AS BIGINT) AS negative_doc
+    FROM scanned
+    WHERE tag = 0 AND COALESCE(nxt, wrap) <> anchor
+    ORDER BY anchor, j
+    """,
+    tags=("pipeline", "sample", "mlprep"),
+    doc=(
+        "Deterministic negative-pair mining for contrastive training: "
+        "every document sits on an md5 hash ring; each anchor derives "
+        f"{_NEG_K} probe hashes and takes the next ring document at or "
+        "after each probe (wrap-around inside the shard).  The ring is "
+        "sharded into 4 hash buckets so the ordered scan is a "
+        "PARTITIONED window — no global sort — and lookups are uniform "
+        "because md5 is; re-runs, re-partitioning, and corpus growth "
+        "only perturb neighbors locally (consistent-hashing property).  "
+        "One union + one bucket-keyed window; self-hits are dropped "
+        "(an anchor can be its own ring successor)."
+    ),
+)
+def sample_negative_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    h_ring = F.md5(F.col("doc_id").cast("string"))
+    bucket = lambda h: (  # noqa: E731
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % _NEG_BUCKETS
+    )
+    ring = d.select(
+        bucket(h_ring).alias("bucket"),
+        h_ring.alias("h"),
+        F.lit(1).alias("tag"),
+        F.col("doc_id").alias("ring_doc"),
+        F.lit(None).cast("long").alias("anchor"),
+        F.lit(None).cast("long").alias("j"),
+    )
+    h_probe = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string"))
+    )
+    probes = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j"))
+        .select(
+            bucket(h_probe).alias("bucket"),
+            h_probe.alias("h"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("ring_doc"),
+            F.col("doc_id").cast("long").alias("anchor"),
+            F.col("j").cast("long").alias("j"),
+        )
+    )
+    u = ring.unionByName(probes)
+    w_next = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    scanned = u.select(
+        "tag",
+        "anchor",
+        "j",
+        F.first("ring_doc", ignorenulls=True).over(w_next).alias("nxt"),
+        F.first("ring_doc", ignorenulls=True).over(w_all).alias("wrap"),
+    )
+    neg = F.coalesce(F.col("nxt"), F.col("wrap"))
+    return (
+        scanned.filter((F.col("tag") == 0) & (neg != F.col("anchor")))
+        .select(
+            "anchor", "j", neg.cast("long").alias("negative_doc")
+        )
+        .orderBy("anchor", "j")
+    )
