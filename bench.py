@@ -163,6 +163,7 @@ HEADLINE = [
     "stats_proportion_ztest",
     "events_time_to_convert_percentiles",
     "sample_negative_pairs",
+    "timeseries_spike_detector",
 ]
 
 

@@ -588,3 +588,71 @@ def timeseries_cross_correlation_lag(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.expr(_XCORR_R_SQL).alias("r"),
     ).orderBy("lag")
+
+
+@register(
+    "timeseries_spike_detector",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    walls AS (
+        SELECT day, n,
+               CAST(SUM(n) OVER w AS BIGINT) AS s,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER w AS BIGINT) AS k
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(s AS BIGINT) AS trailing_sum, k AS trailing_days,
+           CASE WHEN k >= 3 THEN round(
+               (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
+               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                      / (k - 1) + 1e-9), 4)
+           END AS spike_z,
+           CASE WHEN k >= 3 THEN
+               (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / k)
+               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                      / (k - 1) + 1e-9) > 3.0
+           ELSE FALSE END AS is_spike
+    FROM walls ORDER BY day
+    """,
+    tags=("time", "window", "anomaly"),
+    doc=(
+        "Operational spike detection on the daily error-event series: "
+        "each day scores against the TRAILING 7-day window only "
+        "(preceding frame — no look-ahead leakage, the correct form "
+        "for an online monitor), with exact integer sum/sum-of-squares "
+        "walls and one float z evaluation; the first 2 warm-up days "
+        "abstain.  Day-grain agg first, windows over the tiny day "
+        "spine — same scale argument as the decomposition."
+    ),
+)
+def timeseries_spike_detector(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    walls = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("ss"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    kd = F.col("k").cast("double")
+    z = (nd - sd / kd) / F.sqrt((ssd - sd * F.col("s") / kd) / (kd - 1) + 1e-9)
+    return walls.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("s").alias("trailing_sum"),
+        F.col("k").alias("trailing_days"),
+        F.when(F.col("k") >= 3, F.round(z, 4)).alias("spike_z"),
+        F.when(F.col("k") >= 3, z > 3.0).otherwise(F.lit(False)).alias("is_spike"),
+    ).orderBy("day")

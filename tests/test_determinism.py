@@ -72,6 +72,10 @@ SAMPLE = [
     "graph_bfs_hops",
     "linkage_fs_scores",
     "training_pipeline_from_config",
+    # tenth wave reps: hash-ring negative lookup (bucketed window),
+    # variant-assigned conversion counts
+    "sample_negative_pairs",
+    "stats_proportion_ztest",
 ]
 
 

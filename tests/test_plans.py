@@ -555,3 +555,12 @@ def test_lsh_recall_eval_reuses_one_shingle_pass(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_negative_pairs_window_is_bucket_partitioned(spark, sf_dir):
+    """The hash-ring lookup must run as a PARTITIONED window (sharded
+    by bucket) — a global-sort ring would single-partition at scale."""
+    plan = plan_of(spark, sf_dir, "sample_negative_pairs")
+    m = re.search(r"Window.*?Arguments: \[.*?\], \[(\w+)", plan, re.S)
+    assert m and "bucket" in m.group(1), plan
+    assert "CartesianProduct" not in plan, plan
