@@ -164,6 +164,7 @@ HEADLINE = [
     "events_time_to_convert_percentiles",
     "sample_negative_pairs",
     "timeseries_spike_detector",
+    "sketch_histogram_quantiles",
 ]
 
 

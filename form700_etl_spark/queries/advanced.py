@@ -1409,3 +1409,97 @@ def events_time_to_convert_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+# ------------------------------------- mergeable quantile histogram
+
+# Log-spaced bins: bin = floor(16 * log2(cents)) gives 16 sub-bins per
+# octave, so interpolated quantile estimates carry a bounded relative
+# error of 2^(1/16) - 1 ~ 4.4% regardless of the value distribution —
+# and fixed boundaries make partial histograms merge by integer
+# addition (the property t-digest needs clustering for; here it is
+# free).  tests/test_properties.py asserts both the error bound vs the
+# exact percentile and lossless merge across splits.
+_HQ_SUBBINS = 16
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CAST(floor({_HQ_SUBBINS} * log2(
+                 CAST(round(l_extendedprice * 100) AS BIGINT))) AS BIGINT)
+                 AS bin
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+               (SELECT SUM(cnt) FROM hist) AS big_n
+        FROM hist
+    ),
+    targets AS (
+        SELECT q, CAST(ceil(q * (SELECT SUM(cnt) FROM hist)) AS BIGINT) AS t
+        FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    ),
+    crossing AS (
+        SELECT t.q, t.t,
+               min_by(c.bin, c.bin) AS bin,
+               min_by(c.cnt, c.bin) AS cnt,
+               min_by(c.cum, c.bin) AS cum
+        FROM targets t JOIN cum c ON c.cum >= t.t
+        GROUP BY t.q, t.t
+    )
+    SELECT q,
+           round((pow(2, CAST(bin AS DOUBLE) / {_HQ_SUBBINS})
+                  + (pow(2, CAST(bin + 1 AS DOUBLE) / {_HQ_SUBBINS})
+                     - pow(2, CAST(bin AS DOUBLE) / {_HQ_SUBBINS}))
+                    * (CAST(t - (cum - cnt) AS DOUBLE) / cnt)) / 100, 4)
+             AS est_price
+    FROM crossing ORDER BY q
+    """,
+    tags=("sketch", "agg", "stats"),
+    doc=(
+        "Mergeable quantile sketch: fixed log-spaced bins (16 per "
+        "octave) over integer cents — partial histograms merge by "
+        "integer ADDITION across shards/days, unlike exact percentile "
+        "which needs the full multiset; interpolated estimates carry a "
+        "bounded 2^(1/16)-1 ~ 4.4% relative error by construction.  "
+        "One hash agg to bin grain, a window over the ~200-bin "
+        "histogram, crossing-bin pick + within-bin interpolation.  "
+        "Completes the sketch family: HLL/KMV (distinct), count-min "
+        "(frequency), Bloom (membership), histogram (quantiles)."
+    ),
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    cents_e = F.round(F.col("l_extendedprice") * 100).cast("long")
+    binned = l.select(
+        F.floor(_HQ_SUBBINS * F.log2(cents_e)).cast("long").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    big_n = hist.agg(F.sum("cnt").alias("big_n"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(W.orderBy("bin")))
+    targets = (
+        spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+        .crossJoin(F.broadcast(big_n))
+        .select("q", F.ceil(F.col("q") * F.col("big_n")).cast("long").alias("t"))
+    )
+    crossing = (
+        F.broadcast(targets)
+        .join(cum, cum.cum >= targets.t)
+        .groupBy("q", "t")
+        .agg(
+            F.min_by("bin", "bin").alias("bin"),
+            F.min_by("cnt", "bin").alias("cnt"),
+            F.min_by("cum", "bin").alias("cum"),
+        )
+    )
+    lo = F.pow(F.lit(2.0), F.col("bin").cast("double") / _HQ_SUBBINS)
+    hi = F.pow(F.lit(2.0), (F.col("bin") + 1).cast("double") / _HQ_SUBBINS)
+    frac = (F.col("t") - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
+    return crossing.select(
+        "q", F.round((lo + (hi - lo) * frac) / 100, 4).alias("est_price")
+    ).orderBy("q")
