@@ -1503,3 +1503,168 @@ def sketch_histogram_quantiles(spark, sf_dir):
     return crossing.select(
         "q", F.round((lo + (hi - lo) * frac) / 100, 4).alias("est_price")
     ).orderBy("q")
+
+
+@register(
+    "stats_spearman_rank_corr",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem
+    ),
+    rq AS (
+        SELECT q, 2 * (SUM(c) OVER (ORDER BY q) - c) + c + 1 AS r2
+        FROM (SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY q)
+    ),
+    rp AS (
+        SELECT p, 2 * (SUM(c) OVER (ORDER BY p) - c) + c + 1 AS r2
+        FROM (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY p)
+    ),
+    joined AS (
+        SELECT rq.r2 AS x, rp.r2 AS y
+        FROM base JOIN rq ON base.q = rq.q JOIN rp ON base.p = rp.p
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy
+        FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS rho_spearman
+    FROM m
+    """,
+    tags=("stats", "agg", "window"),
+    doc=(
+        "Spearman rank correlation between l_quantity and "
+        "l_extendedprice with exact tie handling: average ranks stay "
+        "integer by doubling (r2 = 2*below + ties + 1, the Mann-Whitney "
+        "trick), assigned at VALUE grain (quantity has 50 distinct "
+        "values; price cents live in a bounded domain that saturates "
+        "with SF, so both rank maps stay dimension-sized at any corpus "
+        "size) and joined back to the fact by value.  Pearson on the "
+        "doubled ranks — the doubling cancels — from one exact integer "
+        "moment agg; the rho evaluates once on identical doubles."
+    ),
+)
+def stats_spearman_rank_corr(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        cents("l_extendedprice").alias("p"),
+    )
+    def rank_map(col):
+        g = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wv = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return g.select(
+            col, (2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1).alias("r2")
+        )
+    rq = rank_map("q").withColumnRenamed("r2", "x")
+    rp = rank_map("p").withColumnRenamed("r2", "y")
+    joined = (
+        base.join(maybe_broadcast(rq), "q")
+        .join(maybe_broadcast(rp), "p")
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = joined.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                        * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS ss
+        FROM events GROUP BY event_type
+    ),
+    terms AS (
+        -- s^2/n quantized per group BEFORE the cross-group sum so the
+        -- reduction is exact integer arithmetic in any order
+        SELECT CAST(COUNT(*) AS BIGINT) AS g,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) AS HUGEINT))
+                    AS DOUBLE) AS sum_s2n,
+               CAST(SUM(CAST(s AS HUGEINT)) AS DOUBLE) AS grand_s,
+               CAST(SUM(ss) AS DOUBLE) AS grand_ss
+        FROM m
+    )
+    SELECT g, n,
+           round(((sum_s2n - round(grand_s * grand_s / CAST(n AS DOUBLE)))
+                  / (g - 1))
+                 / ((grand_ss - sum_s2n) / (n - g)), 6) AS f_stat,
+           round((sum_s2n - round(grand_s * grand_s / CAST(n AS DOUBLE)))
+                 / (grand_ss - round(grand_s * grand_s / CAST(n AS DOUBLE))), 6)
+             AS eta_squared
+    FROM terms
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "One-way ANOVA F-test of event value (cents) across event "
+        "types — the k-group generalization of stats_welch_ttest: one "
+        "hash agg produces exact integer moments per group, each "
+        "s^2/n between-group term quantizes to an integer before the "
+        "cross-group reduction (the order-independence pattern), and "
+        "F = (SSB/(g-1)) / (SSW/(N-g)) plus effect size eta^2 evaluate "
+        "once on identical doubles.  Mergeable sufficient statistics: "
+        "the per-group partials combine across shards at any scale."
+    ),
+)
+def stats_anova_oneway(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vc).cast("long").alias("s"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("ss"),
+    )
+    s2n = F.round(
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ).cast("decimal(38,0)")
+    t = m.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum(s2n).cast("double").alias("sum_s2n"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("grand_s"),
+        F.sum("ss").cast("double").alias("grand_ss"),
+    )
+    nd = F.col("n").cast("double")
+    grand_term = F.round(F.col("grand_s") * F.col("grand_s") / nd)
+    ssb = F.col("sum_s2n") - grand_term
+    ssw = F.col("grand_ss") - F.col("sum_s2n")
+    sst = F.col("grand_ss") - grand_term
+    return t.select(
+        "g",
+        "n",
+        F.round((ssb / (F.col("g") - 1)) / (ssw / (nd - F.col("g"))), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
