@@ -1437,3 +1437,81 @@ def graph_bfs_hops(spark, sf_dir):
     return visited.select(
         F.col("node").cast("bigint").alias("node"), "hop"
     ).orderBy("hop", "node")
+
+
+@register(
+    "audit_benford_first_digit",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    terms AS (
+        SELECT digit, n_obs, n,
+               CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit) AS expected,
+               -- chi-square contribution quantized to e6 BEFORE the
+               -- cross-digit sum (order-independent reduction)
+               CAST(round(1000000.0
+                          * pow(CAST(n_obs AS DOUBLE)
+                                - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 2)
+                          / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)))
+                    AS BIGINT) AS term_e6
+        FROM obs CROSS JOIN tot
+    ),
+    chi AS (SELECT CAST(SUM(term_e6) AS BIGINT) AS chi_e6 FROM terms)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           round(CAST(chi_e6 AS DOUBLE) / 1000000.0, 4) AS chi2_stat
+    FROM terms CROSS JOIN chi
+    ORDER BY digit
+    """,
+    tags=("audit", "stats", "scale"),
+    doc=(
+        "Benford's-law first-significant-digit audit of o_totalprice — "
+        "the classic fraud/synthetic-data screen: observed digit shares "
+        "vs log10(1+1/d), with the chi-square statistic against the "
+        "Benford expectation.  The digit extracts from the exact cents "
+        "integer's decimal string (float formatting never touches the "
+        "comparison); each chi-square contribution quantizes to integer "
+        "e6 units before the cross-digit sum, so the statistic is "
+        "order-independent.  One hash agg at digit grain (9 groups) — "
+        "the scan is the only data-sized cost at any corpus size."
+    ),
+)
+def audit_benford_first_digit(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("long")
+    obs = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    expected = F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit"))
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        "n",
+        F.round(
+            1000000.0
+            * F.pow(F.col("n_obs").cast("double") - expected, 2)
+            / expected
+        )
+        .cast("long")
+        .alias("term_e6"),
+    )
+    chi = terms.agg(F.sum("term_e6").cast("long").alias("chi_e6"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("obs_share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+            F.round(F.col("chi_e6").cast("double") / 1000000.0, 4).alias("chi2_stat"),
+        )
+        .orderBy("digit")
+    )

@@ -656,3 +656,89 @@ def timeseries_spike_detector(spark, sf_dir):
         F.when(F.col("k") >= 3, F.round(z, 4)).alias("spike_z"),
         F.when(F.col("k") >= 3, z > 3.0).otherwise(F.lit(False)).alias("is_spike"),
     ).orderBy("day")
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(rev_c AS HUGEINT)) AS HUGEINT) AS grand
+        FROM daily
+    ),
+    walked AS (
+        -- CUSUM against the series mean, scaled by n_days so every
+        -- intermediate stays an exact integer:
+        --   S_i * n = n * cumsum_i - i * grand
+        SELECT day,
+               CAST(tot.n_days AS HUGEINT)
+                 * SUM(CAST(rev_c AS HUGEINT)) OVER (ORDER BY day)
+               - CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) * tot.grand
+                 AS s_scaled,
+               tot.n_days, tot.grand
+        FROM daily CROSS JOIN tot
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+           n_days,
+           round(CAST(abs(s_scaled) AS DOUBLE) / n_days / 100.0, 2)
+             AS max_cusum_dollars,
+           round(CAST(grand AS DOUBLE) / n_days / 100.0, 2) AS daily_mean_dollars
+    FROM walked
+    ORDER BY abs(s_scaled) DESC, day
+    LIMIT 1
+    """,
+    tags=("timeseries", "window", "stats"),
+    doc=(
+        "CUSUM changepoint detection on daily order revenue (Page 1954): "
+        "the cumulative sum of deviations from the series mean peaks at "
+        "the most likely level-shift point.  Scaling by n_days keeps "
+        "every partial sum an exact 128-bit integer (S_i*n = n*cumsum_i "
+        "- i*grand), so the argmax is order-independent and engine-"
+        "exact — no float accumulation across the series.  Day-grain "
+        "agg first; the ordered window runs over the tiny day spine "
+        "(the decomposition/spike-detector scale argument)."
+    ),
+)
+def timeseries_cusum_changepoint(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("grand"),
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walked = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        "grand",
+        (
+            F.col("n_days").cast("decimal(38,0)")
+            * F.sum(F.col("rev_c").cast("decimal(38,0)")).over(wd)
+            - F.row_number().over(W.orderBy("day")).cast("decimal(38,0)")
+            * F.col("grand")
+        ).alias("s_scaled"),
+    )
+    return (
+        walked.orderBy(F.abs(F.col("s_scaled")).desc(), "day")
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            "n_days",
+            F.round(
+                F.abs(F.col("s_scaled")).cast("double")
+                / F.col("n_days")
+                / 100.0,
+                2,
+            ).alias("max_cusum_dollars"),
+            F.round(
+                F.col("grand").cast("double") / F.col("n_days") / 100.0, 2
+            ).alias("daily_mean_dollars"),
+        )
+    )
