@@ -1668,3 +1668,101 @@ def stats_anova_oneway(spark, sf_dir):
         ),
         F.round(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+@register(
+    "events_ushape_attribution",
+    oracle="""
+    WITH walked AS (
+        SELECT user_id, ts, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                 OVER (PARTITION BY user_id) AS conv_ts
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    touches AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id) AS k
+        FROM walked
+        WHERE event_type IN ('click', 'view') AND ts < conv_ts
+    ),
+    credited AS (
+        SELECT event_type,
+               CAST(round(1000000000000.0 * CASE
+                    WHEN k = 1 THEN 1.0
+                    WHEN k = 2 THEN 0.5
+                    WHEN pos = 1 OR pos = k THEN 0.4
+                    ELSE 0.2 / (k - 2) END) AS BIGINT) AS credit_e12
+        FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(CAST(SUM(credit_e12) AS DOUBLE) / 1000000000000.0, 6)
+             AS conversions_credited
+    FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "window", "analytics"),
+    doc=(
+        "U-shaped (position-based) multi-touch attribution — the 40/20/"
+        "40 complement to events_last_touch_attribution: each user's "
+        "pre-conversion click/view path credits 40% to the first touch, "
+        "40% to the last, and splits 20% across the middles (100% to a "
+        "solo touch, 50/50 to a pair).  One user-clustered exchange "
+        "serves both windows (conversion timestamp, then path position/"
+        "length); per-touch credit quantizes to integer e12 units before "
+        "the channel aggregation so the totals sum order-independently."
+    ),
+)
+def events_ushape_attribution(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    wu = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    walked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(wu).alias("conv_ts"),
+    )
+    touches = (
+        walked.filter(
+            F.col("event_type").isin("click", "view")
+            & (F.col("ts") < F.col("conv_ts"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count(F.lit(1)).over(wu).alias("k"),
+        )
+    )
+    k, pos = F.col("k"), F.col("pos")
+    credit = (
+        F.when(k == 1, 1.0)
+        .when(k == 2, 0.5)
+        .when((pos == 1) | (pos == k), 0.4)
+        .otherwise(F.lit(0.2) / (k - 2))
+    )
+    credited = touches.select(
+        "event_type",
+        F.round(1000000000000.0 * credit).cast("long").alias("credit_e12"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(
+                F.sum("credit_e12").cast("double") / 1000000000000.0, 6
+            ).alias("conversions_credited"),
+        )
+        .orderBy("event_type")
+    )

@@ -54,6 +54,7 @@ def _load_all() -> None:
         advanced,
         dedup,
         events,
+        geo,
         mlprep,
         multimodal,
         pipeline_ops,
