@@ -1508,30 +1508,34 @@ def sketch_histogram_quantiles(spark, sf_dir):
 @register(
     "stats_spearman_rank_corr",
     oracle="""
-    WITH base AS (
+    WITH pairs AS (
         SELECT CAST(l_quantity AS BIGINT) AS q,
-               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
-        FROM lineitem
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
     ),
     rq AS (
         SELECT q, 2 * (SUM(c) OVER (ORDER BY q) - c) + c + 1 AS r2
-        FROM (SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY q)
+        FROM (SELECT q, CAST(SUM(c) AS BIGINT) AS c FROM pairs GROUP BY q)
     ),
     rp AS (
         SELECT p, 2 * (SUM(c) OVER (ORDER BY p) - c) + c + 1 AS r2
-        FROM (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY p)
+        FROM (SELECT p, CAST(SUM(c) AS BIGINT) AS c FROM pairs GROUP BY p)
     ),
     joined AS (
-        SELECT rq.r2 AS x, rp.r2 AS y
-        FROM base JOIN rq ON base.q = rq.q JOIN rp ON base.p = rp.p
+        SELECT pairs.c, rq.r2 AS x, rp.r2 AS y
+        FROM pairs JOIN rq ON pairs.q = rq.q JOIN rp ON pairs.p = rp.p
     ),
     m AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy
+        SELECT CAST(SUM(c) AS DOUBLE) AS n,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(x AS HUGEINT)
+                        * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(y AS HUGEINT)
+                        * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(x AS HUGEINT)
+                        * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy
         FROM joined
     )
     SELECT CAST(n AS BIGINT) AS n,
@@ -1545,22 +1549,31 @@ def sketch_histogram_quantiles(spark, sf_dir):
         "Spearman rank correlation between l_quantity and "
         "l_extendedprice with exact tie handling: average ranks stay "
         "integer by doubling (r2 = 2*below + ties + 1, the Mann-Whitney "
-        "trick), assigned at VALUE grain (quantity has 50 distinct "
-        "values; price cents live in a bounded domain that saturates "
-        "with SF, so both rank maps stay dimension-sized at any corpus "
-        "size) and joined back to the fact by value.  Pearson on the "
-        "doubled ranks — the doubling cancels — from one exact integer "
-        "moment agg; the rho evaluates once on identical doubles."
+        "trick).  The fact is scanned ONCE, down to (quantity, cents) "
+        "pair grain with multiplicities; both rank maps and the moment "
+        "agg re-consume that checkpointed table (quantity has 50 "
+        "distinct values, price cents live in a bounded domain that "
+        "saturates with SF, so everything after the scan is dimension-"
+        "sized at any corpus size).  Pearson on the doubled ranks — the "
+        "doubling cancels — from exact weighted integer moments; the "
+        "rho evaluates once on identical doubles."
     ),
 )
 def stats_spearman_rank_corr(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    base = li.select(
-        F.col("l_quantity").cast("long").alias("q"),
-        cents("l_extendedprice").alias("p"),
+    # ONE fact scan: reduce to (quantity, cents) pair grain with
+    # multiplicities, checkpoint, and derive both rank maps plus the
+    # weighted moments from that bounded-domain table.
+    pairs = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("q"),
+            cents("l_extendedprice").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     def rank_map(col):
-        g = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        g = pairs.groupBy(col).agg(F.sum("c").cast("long").alias("c"))
         wv = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
         return g.select(
             col, (2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1).alias("r2")
@@ -1568,18 +1581,18 @@ def stats_spearman_rank_corr(spark, sf_dir):
     rq = rank_map("q").withColumnRenamed("r2", "x")
     rp = rank_map("p").withColumnRenamed("r2", "y")
     joined = (
-        base.join(maybe_broadcast(rq), "q")
+        pairs.join(maybe_broadcast(rq), "q")
         .join(maybe_broadcast(rp), "p")
-        .select("x", "y")
+        .select("c", "x", "y")
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
     m = joined.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec("x")).cast("double").alias("sx"),
-        F.sum(dec("y")).cast("double").alias("sy"),
-        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
-        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
-        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum("c").cast("double").alias("n"),
+        F.sum(dec("c") * dec("x")).cast("double").alias("sx"),
+        F.sum(dec("c") * dec("y")).cast("double").alias("sy"),
+        F.sum(dec("c") * dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("c") * dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum(dec("c") * dec("x") * dec("y")).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     return m.select(

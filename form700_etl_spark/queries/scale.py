@@ -1486,8 +1486,12 @@ def graph_bfs_hops(spark, sf_dir):
 def audit_benford_first_digit(spark, sf_dir):
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("long")
-    obs = o.groupBy(digit.alias("digit")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs")
+    # checkpoint the 9-row digit table: totals, chi-square terms, and
+    # the final projection all re-consume it off ONE parquet scan
+    obs = (
+        o.groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint()
     )
     tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
     expected = F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit"))

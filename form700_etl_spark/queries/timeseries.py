@@ -706,8 +706,12 @@ def timeseries_spike_detector(spark, sf_dir):
 )
 def timeseries_cusum_changepoint(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(cents("o_totalprice")).cast("long").alias("rev_c")
+    # day-grain agg first; checkpoint the tiny spine so the totals
+    # branch and the CUSUM walk share ONE parquet scan
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
+        .localCheckpoint()
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),

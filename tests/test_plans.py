@@ -564,3 +564,70 @@ def test_negative_pairs_window_is_bucket_partitioned(spark, sf_dir):
     m = re.search(r"Window.*?Arguments: \[.*?\], \[(\w+)", plan, re.S)
     assert m and "bucket" in m.group(1), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spearman_single_scan_pair_grain(spark, sf_dir):
+    """Both rank maps and the moment agg must re-consume the ONE
+    checkpointed (quantity, cents) pair-grain table — one fact scan,
+    two value-grain rank windows, hash joins only."""
+    plan = plan_of(spark, sf_dir, "stats_spearman_rank_corr")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("+- Window (") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_anova_single_scan_no_window(spark, sf_dir):
+    """ANOVA is two chained hash aggs over one scan — group moments,
+    then the exact cross-group reduction.  No window, no join."""
+    plan = plan_of(spark, sf_dir, "stats_anova_oneway")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert plan.count("+- Window (") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cusum_walks_checkpointed_day_spine(spark, sf_dir):
+    """The totals branch and the CUSUM window share the checkpointed
+    day spine (one parquet scan); the argmax is a TakeOrdered partial
+    top-1, and the only nested-loop is the 1-row totals combine."""
+    plan = plan_of(spark, sf_dir, "timeseries_cusum_changepoint")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("+- Window (") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_benford_reaggregates_checkpointed_digit_table(spark, sf_dir):
+    """Totals, chi-square terms, and the final projection all derive
+    from the checkpointed 9-row digit table — the orders scan happens
+    exactly once, at checkpoint time."""
+    plan = plan_of(spark, sf_dir, "audit_benford_first_digit")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ushape_attribution_single_scan_user_clustered(spark, sf_dir):
+    """One events scan serves the conversion-timestamp window and the
+    path position/length windows — all partitioned by user, never a
+    global sort."""
+    plan = plan_of(spark, sf_dir, "events_ushape_attribution")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # every Window node is user-partitioned (no unpartitioned sort):
+    # each formatted Window detail lists its partition spec arguments
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert specs and all("user_id" in s for s in specs), plan
+
+
+def test_geo_knn_blocks_on_grid_cells(spark, sf_dir):
+    """Candidates must come from a hash join on the cell key (constant
+    9x probe fan-out) — never a cross join or nested loop over the
+    corpus — and the per-point top-3 must push rank below the sort
+    (WindowGroupLimit)."""
+    plan = plan_of(spark, sf_dir, "geo_knn_grid_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("+- Window (") == 1, plan
