@@ -616,9 +616,9 @@ def test_ushape_attribution_single_scan_user_clustered(spark, sf_dir):
     assert plan.count("Scan parquet") // 2 == 1, plan
     assert "CartesianProduct" not in plan, plan
     # every Window node is user-partitioned (no unpartitioned sort):
-    # each formatted Window detail lists its partition spec arguments
-    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
-    assert specs and all("user_id" in s for s in specs), plan
+    # windowspecdefinition's first argument is the partition key
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "user_id" for s in specs), plan
 
 
 def test_geo_knn_blocks_on_grid_cells(spark, sf_dir):
