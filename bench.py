@@ -165,6 +165,15 @@ HEADLINE = [
     "sample_negative_pairs",
     "timeseries_spike_detector",
     "sketch_histogram_quantiles",
+    # round-5 eleventh wave: rank correlation + ANOVA (exact-moment
+    # stats), CUSUM changepoint, Benford audit, position attribution,
+    # and the grid-blocked spatial kNN (cell-key hash join).
+    "stats_spearman_rank_corr",
+    "stats_anova_oneway",
+    "timeseries_cusum_changepoint",
+    "audit_benford_first_digit",
+    "events_ushape_attribution",
+    "geo_knn_grid_join",
 ]
 
 

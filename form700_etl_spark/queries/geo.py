@@ -1,5 +1,5 @@
-"""Geospatial operators: grid-bucketed nearest-neighbor search with
-haversine verification.
+"""Geospatial operators: adaptive grid-bucketed nearest-neighbor
+search with haversine verification.
 
 The reference (Form700.py) has no spatial surface; this extends the
 engine with the standard large-scale pattern for proximity joins:
@@ -7,15 +7,30 @@ engine with the standard large-scale pattern for proximity joins:
 as wide as the search radius, probe the 3x3 cell neighborhood, and
 verify candidates with the exact haversine distance.  By the pigeonhole
 argument, every pair within the radius shares the 3x3 neighborhood, so
-blocking is complete; the candidate join is an ordinary hash shuffle on
-the cell key, never a cross join, and per-cell population is bounded by
-geographic density (points per km^2), not by corpus size.
+blocking is complete and the candidate join is an ordinary hash shuffle
+on the cell key, never a cross join.
+
+A single-resolution grid sized to the search radius degrades as point
+DENSITY grows: candidate pairs scale as N * rho * r^2, so a 10x-denser
+corpus costs 100x (measured: 53.9x wall for 10x density in the first
+cut — SCALE.md).  The fix is the classic **adaptive two-phase grid**:
+a fine pass (1 km cells) first — any point with >= 3 verified
+neighbors within 1 km already has its exact global top-3 (nothing
+outside 1 km can displace them), and at high density that is almost
+every point at ~1/16 the candidate cost; only unsatisfied points
+escalate to the full-radius coarse pass, whose probe side shrinks to
+the sparse residue.  Per-point work is min(fine-neighborhood
+population, coarse-neighborhood population) + o(1) — bounded by the
+RESOLUTION MATCHED to local density, not by corpus growth.  Both
+phases are exact; the escalation rule is deterministic, so the result
+is identical to the single-phase join and the DuckDB oracle mirrors
+the whole two-phase structure verbatim.
 
 Fixture coordinates derive deterministically from md5(c_custkey) — the
 same hash-ring trick every split/sample operator uses — placing
 customers in a 2-degree x 2-degree box so the fixture has realistic
-neighbor structure.  The derivation is mirrored verbatim in the DuckDB
-oracle; distance ranking happens on identical doubles in both engines.
+neighbor structure.  Distance ranking happens on identical doubles in
+both engines with a key tie-break.
 """
 
 from __future__ import annotations
@@ -26,12 +41,14 @@ from pyspark.sql import functions as F
 from ..io import table
 from ..registry import register
 
-# Search radius and grid size.  Cell edges must be >= the radius in
-# both axes for 3x3-neighborhood completeness: 0.05 deg latitude is
-# 5.55 km, and 0.05 deg longitude at 37-39N is ~4.3 km, so a 4 km
-# radius satisfies the pigeonhole bound with margin.
+# Search radius and grid sizes.  Cell edges must be >= the phase
+# radius in both axes for 3x3-neighborhood completeness:
+# coarse 0.05 deg = 5.55 km lat / ~4.3 km lon at 37-39N  >= 4 km;
+# fine 0.0125 deg = 1.39 km lat / ~1.08 km lon            >= 1 km.
 _RADIUS_KM = 4.0
 _CELL_DEG = 0.05
+_FINE_KM = 1.0
+_FINE_DEG = 0.0125
 _TOP_K = 3
 _EARTH_R_KM = 6371.0
 
@@ -44,6 +61,11 @@ _COORD_SQL = """
         FROM customer
 """
 
+_HAVERSINE_SQL = """2 * {r} * asin(sqrt(
+                   pow(sin(radians(b.lat - p.lat) / 2), 2)
+                   + cos(radians(p.lat)) * cos(radians(b.lat))
+                     * pow(sin(radians(b.lon - p.lon) / 2), 2)))"""
+
 
 @register(
     "geo_knn_grid_join",
@@ -52,48 +74,76 @@ _COORD_SQL = """
     celled AS (
         SELECT c_custkey, lat, lon,
                CAST(floor(lat / {_CELL_DEG}) AS BIGINT) AS cx,
-               CAST(floor(lon / {_CELL_DEG}) AS BIGINT) AS cy
+               CAST(floor(lon / {_CELL_DEG}) AS BIGINT) AS cy,
+               CAST(floor(lat / {_FINE_DEG}) AS BIGINT) AS fx,
+               CAST(floor(lon / {_FINE_DEG}) AS BIGINT) AS fy
         FROM pts
     ),
-    probes AS (
-        SELECT c.c_custkey, c.lat, c.lon,
-               c.cx + dx.d AS px, c.cy + dy.d AS py
-        FROM celled c
-        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
-        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
-    ),
-    cands AS (
+    offsets AS (SELECT dx.d AS dx, dy.d AS dy
+                FROM (VALUES (-1), (0), (1)) AS dx(d)
+                CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)),
+    -- phase 1: fine 1 km pass over every point
+    fine_cands AS (
         SELECT p.c_custkey, b.c_custkey AS neighbor_key,
-               2 * {_EARTH_R_KM} * asin(sqrt(
-                   pow(sin(radians(b.lat - p.lat) / 2), 2)
-                   + cos(radians(p.lat)) * cos(radians(b.lat))
-                     * pow(sin(radians(b.lon - p.lon) / 2), 2))) AS d_km
-        FROM probes p JOIN celled b
-          ON p.px = b.cx AND p.py = b.cy
+               {_HAVERSINE_SQL.format(r=_EARTH_R_KM)} AS d_km
+        FROM (SELECT c.*, c.fx + o.dx AS px, c.fy + o.dy AS py
+              FROM celled c CROSS JOIN offsets o) p
+        JOIN celled b ON p.px = b.fx AND p.py = b.fy
         WHERE p.c_custkey <> b.c_custkey
     ),
-    ranked AS (
+    fine_ranked AS (
         SELECT c_custkey, neighbor_key, d_km,
                ROW_NUMBER() OVER (PARTITION BY c_custkey
-                                  ORDER BY d_km, neighbor_key) AS rank
-        FROM cands WHERE d_km <= {_RADIUS_KM}
+                                  ORDER BY d_km, neighbor_key) AS rank,
+               COUNT(*) OVER (PARTITION BY c_custkey) AS cnt
+        FROM fine_cands WHERE d_km <= {_FINE_KM}
+    ),
+    satisfied AS (SELECT DISTINCT c_custkey FROM fine_ranked
+                  WHERE cnt >= {_TOP_K}),
+    fine_top AS (
+        SELECT c_custkey, neighbor_key, rank, d_km
+        FROM fine_ranked WHERE cnt >= {_TOP_K} AND rank <= {_TOP_K}
+    ),
+    -- phase 2: full-radius coarse pass, probe side = unsatisfied only
+    coarse_cands AS (
+        SELECT p.c_custkey, b.c_custkey AS neighbor_key,
+               {_HAVERSINE_SQL.format(r=_EARTH_R_KM)} AS d_km
+        FROM (SELECT e.*, e.cx + o.dx AS px, e.cy + o.dy AS py
+              FROM (SELECT c.* FROM celled c
+                    ANTI JOIN satisfied s ON c.c_custkey = s.c_custkey) e
+              CROSS JOIN offsets o) p
+        JOIN celled b ON p.px = b.cx AND p.py = b.cy
+        WHERE p.c_custkey <> b.c_custkey
+    ),
+    coarse_top AS (
+        SELECT c_custkey, neighbor_key, rank, d_km
+        FROM (SELECT c_custkey, neighbor_key, d_km,
+                     ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                        ORDER BY d_km, neighbor_key) AS rank
+              FROM coarse_cands WHERE d_km <= {_RADIUS_KM})
+        WHERE rank <= {_TOP_K}
     )
     SELECT c_custkey, neighbor_key, CAST(rank AS BIGINT) AS rank,
            round(d_km, 3) AS dist_km
-    FROM ranked WHERE rank <= {_TOP_K}
+    FROM (SELECT * FROM fine_top UNION ALL SELECT * FROM coarse_top)
     ORDER BY c_custkey, rank
     """,
     tags=("geo", "join", "scale"),
     doc=(
-        "Top-3 nearest neighbors within 4 km per customer, via grid-"
-        "cell blocking + exact haversine verify: points hash into "
-        "0.05-degree cells (edge >= radius in both axes, so the 3x3 "
-        "probe neighborhood is pigeonhole-complete), candidates come "
-        "from an ordinary hash join on the cell key (constant 9x probe "
-        "fan-out — never a cross join), and ranking runs per point on "
-        "identical doubles with a key tie-break.  Output is <= 3N rows "
-        "regardless of density; per-cell cost is bounded by points/km^2, "
-        "not corpus size — the standard spatial-join shape at 100 TB."
+        "Top-3 nearest neighbors within 4 km per customer, via an "
+        "ADAPTIVE two-phase grid + exact haversine verify: a fine 1 km "
+        "pass (0.0125-degree cells, 3x3 probe neighborhood pigeonhole-"
+        "complete) settles every point with >= 3 verified sub-1 km "
+        "neighbors — their global top-3 provably lies inside 1 km — "
+        "and only the sparse residue escalates to the 4 km coarse "
+        "pass.  Candidates always come from hash joins on cell keys "
+        "(constant 9x probe fan-out, never a cross join); per-point "
+        "cost tracks LOCAL density at the matched resolution instead "
+        "of growing with corpus density (the single-grid version "
+        "measured 53.9x wall for 10x density; see SCALE.md).  Output "
+        "is <= 3N rows; ranking runs on identical doubles with a key "
+        "tie-break, and the escalation rule is deterministic, so the "
+        "two-phase result is exactly the single-phase answer."
     ),
 )
 def geo_knn_grid_join(spark, sf_dir):
@@ -106,59 +156,101 @@ def geo_knn_grid_join(spark, sf_dir):
         (-122.0 + F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 200000 / 100000.0)
         .alias("lon"),
     )
+    # 5 narrow columns + 4 cell keys; checkpointed once so both phases
+    # (4 consumers) never re-scan the corpus
     celled = pts.select(
         "c_custkey",
         "lat",
         "lon",
         F.floor(F.col("lat") / _CELL_DEG).alias("cx"),
         F.floor(F.col("lon") / _CELL_DEG).alias("cy"),
-    )
-    offs = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
-    probes = (
-        celled.select("c_custkey", "lat", "lon", "cx", "cy", offs.alias("dx"))
-        .select("c_custkey", "lat", "lon", "cx", "cy", "dx", offs.alias("dy"))
-        .select(
-            "c_custkey",
-            "lat",
-            "lon",
-            (F.col("cx") + F.col("dx")).alias("px"),
-            (F.col("cy") + F.col("dy")).alias("py"),
-        )
-    )
-    b = celled.select(
-        F.col("c_custkey").alias("neighbor_key"),
-        F.col("lat").alias("blat"),
-        F.col("lon").alias("blon"),
-        "cx",
-        "cy",
-    )
-    d_km = (
-        2.0
-        * _EARTH_R_KM
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(F.radians(F.col("blat") - F.col("lat")) / 2), 2)
-                + F.cos(F.radians("lat"))
-                * F.cos(F.radians("blat"))
-                * F.pow(F.sin(F.radians(F.col("blon") - F.col("lon")) / 2), 2)
+        F.floor(F.col("lat") / _FINE_DEG).alias("fx"),
+        F.floor(F.col("lon") / _FINE_DEG).alias("fy"),
+    ).localCheckpoint()
+
+    def probe9(df, kx, ky):
+        offs = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+        return (
+            df.select("*", offs.alias("dx"))
+            .select("*", offs.alias("dy"))
+            .select(
+                "c_custkey",
+                "lat",
+                "lon",
+                (F.col(kx) + F.col("dx")).alias("px"),
+                (F.col(ky) + F.col("dy")).alias("py"),
             )
         )
+
+    def haversine():
+        return (
+            2.0
+            * _EARTH_R_KM
+            * F.asin(
+                F.sqrt(
+                    F.pow(F.sin(F.radians(F.col("blat") - F.col("lat")) / 2), 2)
+                    + F.cos(F.radians("lat"))
+                    * F.cos(F.radians("blat"))
+                    * F.pow(F.sin(F.radians(F.col("blon") - F.col("lon")) / 2), 2)
+                )
+            )
+        )
+
+    def cands(probe_df, kx, ky):
+        b = celled.select(
+            F.col("c_custkey").alias("neighbor_key"),
+            F.col("lat").alias("blat"),
+            F.col("lon").alias("blon"),
+            F.col(kx).alias("bx"),
+            F.col(ky).alias("by"),
+        )
+        p = probe9(probe_df, kx, ky)
+        return (
+            p.join(b, (p.px == b.bx) & (p.py == b.by))
+            .filter(F.col("c_custkey") != F.col("neighbor_key"))
+            .select("c_custkey", "neighbor_key", haversine().alias("d_km"))
+        )
+
+    wp = W.partitionBy("c_custkey")
+    # phase 1: fine 1 km pass over every point.  The ranked sub-1 km
+    # pair set IS the phase-1 result — checkpoint it so the top-3
+    # branch and the satisfied-set branch don't re-run the fine join.
+    fine_ranked = (
+        cands(celled, "fx", "fy")
+        .filter(F.col("d_km") <= _FINE_KM)
+        .select(
+            "c_custkey",
+            "neighbor_key",
+            "d_km",
+            F.row_number().over(wp.orderBy("d_km", "neighbor_key")).alias("rank"),
+            F.count(F.lit(1))
+            .over(wp.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("cnt"),
+        )
+        .localCheckpoint()
     )
-    cands = (
-        probes.join(b, (probes.px == b.cx) & (probes.py == b.cy))
-        .filter(F.col("c_custkey") != F.col("neighbor_key"))
-        .select("c_custkey", "neighbor_key", d_km.alias("d_km"))
+    fine_top = fine_ranked.filter(
+        (F.col("cnt") >= _TOP_K) & (F.col("rank") <= _TOP_K)
+    ).select("c_custkey", "neighbor_key", "rank", "d_km")
+    satisfied = (
+        fine_ranked.filter(F.col("cnt") >= _TOP_K).select("c_custkey").distinct()
     )
-    ranked = cands.filter(F.col("d_km") <= _RADIUS_KM).select(
-        "c_custkey",
-        "neighbor_key",
-        "d_km",
-        F.row_number()
-        .over(W.partitionBy("c_custkey").orderBy("d_km", "neighbor_key"))
-        .alias("rank"),
+    # phase 2: full-radius coarse pass, probe side = unsatisfied only
+    escalated = celled.join(satisfied, "c_custkey", "left_anti")
+    coarse_top = (
+        cands(escalated, "cx", "cy")
+        .filter(F.col("d_km") <= _RADIUS_KM)
+        .select(
+            "c_custkey",
+            "neighbor_key",
+            "d_km",
+            F.row_number().over(wp.orderBy("d_km", "neighbor_key")).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+        .select("c_custkey", "neighbor_key", "rank", "d_km")
     )
     return (
-        ranked.filter(F.col("rank") <= _TOP_K)
+        fine_top.unionAll(coarse_top)
         .select(
             "c_custkey",
             "neighbor_key",

@@ -622,12 +622,18 @@ def test_ushape_attribution_single_scan_user_clustered(spark, sf_dir):
 
 
 def test_geo_knn_blocks_on_grid_cells(spark, sf_dir):
-    """Candidates must come from a hash join on the cell key (constant
-    9x probe fan-out) — never a cross join or nested loop over the
-    corpus — and the per-point top-3 must push rank below the sort
-    (WindowGroupLimit)."""
+    """Candidates must come from hash joins on cell keys (constant 9x
+    probe fan-out) — never a cross join or nested loop over the corpus.
+    Both phases re-consume the one checkpointed cell table (single
+    corpus scan), the coarse top-3 pushes rank below its sort
+    (WindowGroupLimit), and the union has exactly the fine + coarse
+    rank windows."""
     plan = plan_of(spark, sf_dir, "geo_knn_grid_join")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+    # coarse rank window only — the fine pass's two windows sit behind
+    # the phase-1 checkpoint, run once
     assert plan.count("+- Window (") == 1, plan

@@ -207,8 +207,31 @@ def synth_tables(out_dir: str) -> None:
         os.path.join(out_dir, "lineitem.parquet"),
     )
 
+    # ----- customer: opt-in 10x (geo probes) --------------------------
+    # Default is pass-through (the bloom/pagerank probes NEED the dim
+    # fixed while the fact scales).  SCALE_PROBE_SCALE_CUSTOMER=1 emits
+    # key-shifted replicas instead: geo coordinates derive from
+    # md5(c_custkey), so new keys land at fresh uniform spots in the
+    # same 2-degree box — point DENSITY grows 10x, the stress axis for
+    # grid-blocked spatial joins.  Use a separate SCALE_PROBE_DIR.
+    passthrough = ["region", "nation", "supplier", "events"]
+    if os.environ.get("SCALE_PROBE_SCALE_CUSTOMER") == "1":
+        cust = con.execute(f"SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')").df()
+        ckey_stride = int(cust["c_custkey"].max()) + 1
+        c_frames = [cust]
+        for i in range(1, SCALE):
+            c_rep = cust.copy()
+            c_rep["c_custkey"] = c_rep["c_custkey"] + i * ckey_stride
+            c_frames.append(c_rep)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(c_frames, ignore_index=True), preserve_index=False),
+            os.path.join(out_dir, "customer.parquet"),
+        )
+    else:
+        passthrough.append("customer")
+
     # remaining fixture tables pass through unchanged
-    for name in ("region", "nation", "customer", "supplier", "events"):
+    for name in passthrough:
         shutil.copyfile(
             os.path.join(SF_DIR, f"{name}.parquet"), os.path.join(out_dir, f"{name}.parquet")
         )
