@@ -1779,3 +1779,199 @@ def events_ushape_attribution(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Poisson bootstrap: replicate count and inverse-CDF thresholds for
+# Poisson(1) weights (cumulative e^-1 * sum 1/k!; k <= 7 covers all but
+# ~1e-5 of the mass, and the tail bucket maps to 7).  Weights derive
+# from md5(orderkey, replicate) — the deterministic hash-ring trick —
+# so both engines draw IDENTICAL resamples.
+_BOOT_B = 32
+_BOOT_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def _poisson_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "stats_bootstrap_ci_poisson",
+    oracle=f"""
+    WITH fan AS (
+        SELECT o_orderkey, {cents_sql('o_totalprice')} AS v, b.b
+        FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+    ),
+    weighted AS (
+        SELECT b, v,
+               {_poisson_case_sql(
+                   "(('0x' || substr(md5(concat(CAST(o_orderkey AS VARCHAR), '-', "
+                   "CAST(b AS VARCHAR))), 1, 8))::BIGINT / 4294967296.0)"
+               )} AS w
+        FROM fan
+    ),
+    reps AS (
+        SELECT b,
+               CAST(SUM(CAST(w AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE)
+                 / CAST(SUM(w) AS DOUBLE) AS rep_mean
+        FROM weighted GROUP BY b
+    ),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST({cents_sql('o_totalprice')} AS HUGEINT)) AS DOUBLE)
+                 / COUNT(*) AS mean_c
+        FROM orders
+    )
+    SELECT n,
+           round(mean_c / 100.0, 4) AS mean_price,
+           round(quantile_cont(rep_mean, 0.025) / 100.0, 4) AS ci_lo,
+           round(quantile_cont(rep_mean, 0.975) / 100.0, 4) AS ci_hi
+    FROM reps CROSS JOIN pt
+    GROUP BY n, mean_c
+    """,
+    tags=("stats", "agg", "sample"),
+    doc=(
+        "Poisson-bootstrap 95% CI for mean order price (Chamandy et al. "
+        "2012, the distributed bootstrap): instead of B global "
+        "resamples (impossible without B corpus shuffles), every row "
+        "draws an independent Poisson(1) replicate weight from "
+        "md5(key, b) — one scan with a {B}x map-side fan-out feeds all "
+        "{B} replicate means as mergeable integer partials.  The "
+        "inverse-CDF thresholds are evaluated on identical hash-uniform "
+        "doubles, so both engines draw IDENTICAL resamples; replicate "
+        "means divide once, and the percentile CI interpolates over the "
+        "same 32-value multiset."
+    ).format(B=_BOOT_B),
+)
+def stats_bootstrap_ci_poisson(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    fan = o.select(
+        "o_orderkey",
+        cents("o_totalprice").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    w = F.lit(7)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(u < _BOOT_CDF[k], k).otherwise(w)
+    weighted = fan.select("b", "v", w.alias("w"))
+    reps = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum("w").cast("double")
+        ).alias("rep_mean")
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(cents("o_totalprice").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_c"),
+    )
+    return reps.crossJoin(F.broadcast(pt)).groupBy("n", "mean_c").agg(
+        F.round(F.expr("percentile(rep_mean, 0.025)") / 100.0, 4).alias("ci_lo"),
+        F.round(F.expr("percentile(rep_mean, 0.975)") / 100.0, 4).alias("ci_hi"),
+    ).select(
+        "n",
+        F.round(F.col("mean_c") / 100.0, 4).alias("mean_price"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+@register(
+    "skyline_pareto_frontier",
+    oracle=f"""
+    WITH g AS (
+        SELECT p_size, CAST(MIN({cents_sql('p_retailprice')}) AS BIGINT) AS pmin,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_size
+    ),
+    walked AS (
+        SELECT p_size, pmin,
+               MIN(pmin) OVER (ORDER BY p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_larger
+        FROM g
+    ),
+    frontier AS (
+        SELECT p_size, pmin FROM walked
+        WHERE best_larger IS NULL OR best_larger > pmin
+    )
+    SELECT f.p_size,
+           round(CAST(f.pmin AS DOUBLE) / 100.0, 2) AS frontier_price,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_at_point
+    FROM frontier f JOIN part p
+      ON p.p_size = f.p_size AND {cents_sql('p_retailprice')} = f.pmin
+    GROUP BY f.p_size, f.pmin
+    ORDER BY f.p_size
+    """,
+    tags=("agg", "window", "scale"),
+    doc=(
+        "2-D skyline (Pareto frontier) over parts — maximize size, "
+        "minimize price (Borzsonyi et al., ICDE 2001): a part is on the "
+        "frontier iff no part is bigger-and-cheaper-or-equal, nor "
+        "same-size-and-strictly-cheaper.  The classic O(n^2) dominance "
+        "test collapses to ONE window for 2-D: reduce to size grain "
+        "(min price per size — 50 groups, exact cents), then a running "
+        "min over strictly larger sizes; a size survives iff its min "
+        "beats every larger size's.  The dominance window runs over the "
+        "bounded size domain, never raw rows; the final joinback "
+        "broadcasts the frontier."
+    ),
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    g = (
+        p.groupBy("p_size")
+        .agg(F.min(cents("p_retailprice")).cast("long").alias("pmin"))
+        .localCheckpoint()
+    )
+    wd = W.orderBy(F.col("p_size").desc()).rowsBetween(W.unboundedPreceding, -1)
+    frontier = (
+        g.select("p_size", "pmin", F.min("pmin").over(wd).alias("best_larger"))
+        .filter(F.col("best_larger").isNull() | (F.col("best_larger") > F.col("pmin")))
+        .select("p_size", "pmin")
+    )
+    f = frontier.select(
+        F.col("p_size").alias("f_size"), F.col("pmin").alias("f_pmin")
+    )
+    return (
+        p.join(
+            F.broadcast(f),
+            (F.col("p_size") == F.col("f_size"))
+            & (cents("p_retailprice") == F.col("f_pmin")),
+        )
+        .groupBy("f_size", "f_pmin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_at_point"))
+        .select(
+            F.col("f_size").alias("p_size"),
+            F.round(F.col("f_pmin").cast("double") / 100.0, 2).alias("frontier_price"),
+            "n_parts_at_point",
+        )
+        .orderBy("p_size")
+    )

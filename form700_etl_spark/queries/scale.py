@@ -1519,3 +1519,111 @@ def audit_benford_first_digit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH co AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+        SELECT u AS w, v AS nbr FROM co UNION ALL SELECT v, u FROM co
+    ),
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w),
+    capped AS (
+        SELECT a.w, a.nbr FROM adj a JOIN deg ON a.w = deg.w
+        WHERE deg.d BETWEEN 2 AND {_AA_MAX_CENTER_DEGREE}
+    ),
+    wedges AS (
+        SELECT x.nbr AS u, y.nbr AS v
+        FROM capped x JOIN capped y
+          ON x.w = y.w AND x.nbr < y.nbr
+    ),
+    common AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM wedges GROUP BY u, v
+    ),
+    novel AS (
+        SELECT c.u, c.v, c.n_common, du.d AS du, dv.d AS dv
+        FROM (SELECT s.* FROM common s ANTI JOIN co
+              ON s.u = co.u AND s.v = co.v) c
+        JOIN deg du ON c.u = du.w JOIN deg dv ON c.v = dv.w
+    )
+    SELECT u, v, n_common,
+           round(CAST(n_common AS DOUBLE) / (du + dv - n_common), 6)
+             AS jaccard
+    FROM novel
+    ORDER BY CAST(n_common AS DOUBLE) / (du + dv - n_common) DESC, u, v
+    LIMIT {_AA_TOP_K}
+    """,
+    tags=("graph", "scale"),
+    doc=(
+        "Neighborhood-Jaccard link prediction over the part co-purchase "
+        "graph — the set-overlap complement to graph_adamic_adar_links: "
+        "for non-adjacent pairs, J = |common| / (deg(u)+deg(v)-|common|). "
+        "Wedges enumerate per CENTER with the shared degree cap (the "
+        "hub guard; common counts through capped centers only, a "
+        "documented lower bound exactly mirrored in the oracle), known "
+        "edges drop via anti join, endpoint degrees join from the "
+        "dimension-sized degree table, and the top-50 is a TakeOrdered "
+        "partial.  Ranking divides exact integers once — identical "
+        "doubles both engines, key tie-break."
+    ),
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    co = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i+2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint()  # feeds adjacency, the anti join, and degrees
+    )
+    adj = co.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        co.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d")).localCheckpoint()
+    capped = (
+        adj.join(deg, "w")
+        .filter(F.col("d").between(2, _AA_MAX_CENTER_DEGREE))
+        .select("w", "nbr")
+    )
+    x = capped.alias("x")
+    y = capped.alias("y")
+    wedges = x.join(
+        y, (F.col("x.w") == F.col("y.w")) & (F.col("x.nbr") < F.col("y.nbr"))
+    ).select(F.col("x.nbr").alias("u"), F.col("y.nbr").alias("v"))
+    common = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    novel = (
+        common.join(co, ["u", "v"], "left_anti")
+        .join(
+            deg.select(F.col("w").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("w").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+    )
+    j = F.col("n_common").cast("double") / (
+        F.col("du") + F.col("dv") - F.col("n_common")
+    )
+    return (
+        novel.select("u", "v", "n_common", j.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(_AA_TOP_K)
+        .select("u", "v", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    )

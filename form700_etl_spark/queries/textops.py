@@ -2337,3 +2337,100 @@ def linkage_fs_scores(spark, sf_dir):
         .limit(50)
         .drop("score_e6")
     )
+
+
+_PMI_MIN_DF = 5  # drop hapax-ish terms: PMI is noise below this support
+_PMI_TOP_K = 25
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY term
+        HAVING COUNT(*) >= {_PMI_MIN_DF}
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    pairs AS (
+        SELECT a.term AS u, b.term AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.u, p.v, p.c_uv, du.c AS c_u, dv.c AS c_v,
+               ln(CAST(n.n_docs AS DOUBLE) * p.c_uv / (du.c * dv.c)) AS pmi
+        FROM pairs p
+        JOIN df du ON p.u = du.term
+        JOIN df dv ON p.v = dv.term
+        CROSS JOIN n
+    )
+    SELECT u, v, c_uv, round(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY pmi DESC, u, v
+    LIMIT {_PMI_TOP_K}
+    """,
+    tags=("text", "stats"),
+    doc=(
+        "Pointwise mutual information of term co-occurrence at document "
+        "grain (Church & Hanks 1990) — the collocation detector: "
+        "PMI(u,v) = ln(N * c_uv / (c_u * c_v)) over presence counts.  "
+        "Pairs generate per DOC from the sorted distinct-token array "
+        "(the triangle-count trick: one doc-clustered shuffle, no "
+        "corpus self-join); document frequencies join from the "
+        "vocabulary-sized df table (min-df {_PMI_MIN_DF} floors the "
+        "noise support), and the top-25 is a TakeOrdered partial.  PMI "
+        "evaluates once per pair on identical doubles — no cross-row "
+        "float accumulation."
+    ),
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    df_t = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= _PMI_MIN_DF)
+        .localCheckpoint()  # vocabulary-sized; feeds both endpoint joins
+    )
+    n = d.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    pairs = (
+        d.select(
+            "doc_id", F.sort_array(F.array_distinct(F.split("text", " "))).alias("ts")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) ->"
+                    " transform(slice(ts, i+2, size(ts)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_uv"))
+    )
+    scored = (
+        pairs.join(F.broadcast(df_t.select(F.col("term").alias("u"), F.col("c").alias("c_u"))), "u")
+        .join(F.broadcast(df_t.select(F.col("term").alias("v"), F.col("c").alias("c_v"))), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "c_uv",
+            F.log(
+                F.col("n_docs").cast("double")
+                * F.col("c_uv")
+                / (F.col("c_u") * F.col("c_v"))
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "u", "v")
+        .limit(_PMI_TOP_K)
+        .select("u", "v", "c_uv", F.round("pmi", 6).alias("pmi"))
+    )

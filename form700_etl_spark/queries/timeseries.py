@@ -746,3 +746,60 @@ def timeseries_cusum_changepoint(spark, sf_dir):
             ).alias("daily_mean_dollars"),
         )
     )
+
+
+@register(
+    "timeseries_theil_sen_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        FROM daily a JOIN daily b ON b.x > a.x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5) / 100.0, 6) AS sen_slope_dollars
+    FROM slopes
+    """,
+    tags=("timeseries", "stats"),
+    doc=(
+        "Theil-Sen robust trend estimator on daily order revenue (Sen "
+        "1968): the median of all pairwise slopes — immune to the "
+        "outlier days that wreck OLS.  The O(n^2) pair enumeration runs "
+        "at DAY grain over the checkpointed spine, so pair count is "
+        "fixed by the calendar (n_days^2, SF-independent), not the "
+        "corpus: the fact contributes one scan + one day-grain agg at "
+        "any scale.  Slopes are exact-integer differences divided once "
+        "(identical doubles both engines); the median interpolates over "
+        "the same multiset."
+    ),
+)
+def timeseries_theil_sen_slope(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("y"))
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = a.join(b, F.col("x2") > F.col("x1")).select(
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1"))
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6).alias(
+            "sen_slope_dollars"
+        ),
+    )
