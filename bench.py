@@ -174,6 +174,14 @@ HEADLINE = [
     "audit_benford_first_digit",
     "events_ushape_attribution",
     "geo_knn_grid_join",
+    # round-5 twelfth wave: robust slope (day-grain pair median),
+    # distributed bootstrap, skyline window, Jaccard link scores,
+    # PMI collocations.
+    "timeseries_theil_sen_slope",
+    "stats_bootstrap_ci_poisson",
+    "skyline_pareto_frontier",
+    "graph_jaccard_neighbors",
+    "text_pmi_cooccurrence",
 ]
 
 

@@ -1817,23 +1817,20 @@ def _poisson_case_sql(u: str) -> str:
         FROM fan
     ),
     reps AS (
+        -- every replicate also carries the EXACT raw moments, so the
+        -- point estimate re-aggregates replicate partials (one scan)
         SELECT b,
                CAST(SUM(CAST(w AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE)
-                 / CAST(SUM(w) AS DOUBLE) AS rep_mean
+                 / CAST(SUM(w) AS DOUBLE) AS rep_mean,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS raw_sum
         FROM weighted GROUP BY b
-    ),
-    pt AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST({cents_sql('o_totalprice')} AS HUGEINT)) AS DOUBLE)
-                 / COUNT(*) AS mean_c
-        FROM orders
     )
-    SELECT n,
-           round(mean_c / 100.0, 4) AS mean_price,
+    SELECT MAX(n) AS n,
+           round(CAST(MAX(raw_sum) AS DOUBLE) / MAX(n) / 100.0, 4) AS mean_price,
            round(quantile_cont(rep_mean, 0.025) / 100.0, 4) AS ci_lo,
            round(quantile_cont(rep_mean, 0.975) / 100.0, 4) AS ci_hi
-    FROM reps CROSS JOIN pt
-    GROUP BY n, mean_c
+    FROM reps
     """,
     tags=("stats", "agg", "sample"),
     doc=(
@@ -1878,28 +1875,24 @@ def stats_bootstrap_ci_poisson(spark, sf_dir):
     for k in range(len(_BOOT_CDF) - 1, -1, -1):
         w = F.when(u < _BOOT_CDF[k], k).otherwise(w)
     weighted = fan.select("b", "v", w.alias("w"))
+    # every replicate also carries the EXACT raw moments, so the point
+    # estimate re-aggregates replicate partials — one scan total
     reps = weighted.groupBy("b").agg(
         (
             F.sum(F.col("w").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)"))
             .cast("double")
             / F.sum("w").cast("double")
-        ).alias("rep_mean")
-    )
-    pt = o.agg(
+        ).alias("rep_mean"),
         F.count(F.lit(1)).cast("long").alias("n"),
-        (
-            F.sum(cents("o_totalprice").cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_c"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("raw_sum"),
     )
-    return reps.crossJoin(F.broadcast(pt)).groupBy("n", "mean_c").agg(
+    return reps.agg(
+        F.max("n").alias("n"),
+        F.round(
+            F.max("raw_sum").cast("double") / F.max("n") / 100.0, 4
+        ).alias("mean_price"),
         F.round(F.expr("percentile(rep_mean, 0.025)") / 100.0, 4).alias("ci_lo"),
         F.round(F.expr("percentile(rep_mean, 0.975)") / 100.0, 4).alias("ci_hi"),
-    ).select(
-        "n",
-        F.round(F.col("mean_c") / 100.0, 4).alias("mean_price"),
-        "ci_lo",
-        "ci_hi",
     )
 
 

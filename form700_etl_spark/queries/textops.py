@@ -2389,20 +2389,22 @@ _PMI_TOP_K = 25
 )
 def text_pmi_cooccurrence(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
-    )
+    # tokenize ONCE (the RAKE pattern): the checkpointed per-doc sorted
+    # distinct-token table feeds df counts, the doc total, and pair
+    # generation — documents is scanned a single time
+    tok = d.select(
+        "doc_id", F.sort_array(F.array_distinct(F.split("text", " "))).alias("ts")
+    ).localCheckpoint()
+    dt = tok.select("doc_id", F.explode("ts").alias("term"))
     df_t = (
         dt.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= _PMI_MIN_DF)
         .localCheckpoint()  # vocabulary-sized; feeds both endpoint joins
     )
-    n = d.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    n = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     pairs = (
-        d.select(
-            "doc_id", F.sort_array(F.array_distinct(F.split("text", " "))).alias("ts")
-        )
+        tok
         .select(
             F.explode(
                 F.expr(

@@ -637,3 +637,58 @@ def test_geo_knn_blocks_on_grid_cells(spark, sf_dir):
     # coarse rank window only — the fine pass's two windows sit behind
     # the phase-1 checkpoint, run once
     assert plan.count("+- Window (") == 1, plan
+
+
+def test_theil_sen_pairs_enumerate_day_grain_only(spark, sf_dir):
+    """The O(n^2) slope enumeration must run over the checkpointed DAY
+    spine (calendar-bounded, SF-independent) — the fact is scanned only
+    at checkpoint time.  The non-equi day-pair join is the deliberate
+    bounded-domain nested loop."""
+    plan = plan_of(spark, sf_dir, "timeseries_theil_sen_slope")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bootstrap_single_scan_replicate_partials(spark, sf_dir):
+    """All 32 replicate means AND the point estimate must come from ONE
+    orders scan: the explode fans map-side, and the final agg
+    re-aggregates replicate partials (no second pass for the mean)."""
+    plan = plan_of(spark, sf_dir, "stats_bootstrap_ci_poisson")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert tree_nodes(plan, "Generate") >= 1, plan  # the replicate explode
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_skyline_dominance_window_runs_over_size_grain(spark, sf_dir):
+    """The dominance test must collapse to one window over the
+    checkpointed size-grain table (bounded domain), with the frontier
+    broadcast back for the joinback — never an n^2 dominance join."""
+    plan = plan_of(spark, sf_dir, "skyline_pareto_frontier")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("+- Window (") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jaccard_neighbors_wedge_join_is_hash_topk_partial(spark, sf_dir):
+    """Same contract as Adamic-Adar: wedges hash-join on the center,
+    degrees join from the checkpointed degree table, top-50 is a
+    TakeOrdered partial."""
+    plan = plan_of(spark, sf_dir, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_pmi_tokenizes_corpus_once(spark, sf_dir):
+    """df counts, the doc total, and pair generation must all consume
+    the ONE checkpointed token table (the RAKE tokenize-once pattern);
+    endpoint df joins broadcast; top-25 is a TakeOrdered."""
+    plan = plan_of(spark, sf_dir, "text_pmi_cooccurrence")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
