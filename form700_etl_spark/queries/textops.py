@@ -2339,34 +2339,49 @@ def linkage_fs_scores(spark, sf_dir):
     )
 
 
-_PMI_MIN_DF = 5  # drop hapax-ish terms: PMI is noise below this support
+_PMI_MIN_F = 50  # occurrence floor: PMI is noise below this support
+_PMI_WINDOW = 5  # co-occurrence window (token distance 1..5)
 _PMI_TOP_K = 25
 
 
 @register(
     "text_pmi_cooccurrence",
     oracle=f"""
-    WITH dt AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ),
-    df AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY term
-        HAVING COUNT(*) >= {_PMI_MIN_DF}
+    pos AS (
+        -- parallel unnests zip in DuckDB: token with its position
+        SELECT doc_id, unnest(ts) AS term,
+               unnest(range(1, len(ts) + 1)) AS i
+        FROM tok
     ),
-    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
     pairs AS (
-        SELECT a.term AS u, b.term AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
-        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        SELECT least(a.term, b.term) AS u, greatest(a.term, b.term) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c_uv
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + {_PMI_WINDOW}
+        WHERE a.term <> b.term
         GROUP BY 1, 2
     ),
+    freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM pos GROUP BY term
+        HAVING COUNT(*) >= {_PMI_MIN_F}
+    ),
+    tot AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS t_tok,
+               (SELECT CAST(SUM(c_uv) AS BIGINT) FROM pairs) AS t_pairs
+        FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM pos GROUP BY term)
+    ),
     scored AS (
-        SELECT p.u, p.v, p.c_uv, du.c AS c_u, dv.c AS c_v,
-               ln(CAST(n.n_docs AS DOUBLE) * p.c_uv / (du.c * dv.c)) AS pmi
+        SELECT p.u, p.v, p.c_uv,
+               ln((CAST(p.c_uv AS DOUBLE) / t.t_pairs)
+                  / ((CAST(fu.f AS DOUBLE) / t.t_tok)
+                     * (CAST(fv.f AS DOUBLE) / t.t_tok))) AS pmi
         FROM pairs p
-        JOIN df du ON p.u = du.term
-        JOIN df dv ON p.v = dv.term
-        CROSS JOIN n
+        JOIN freq fu ON p.u = fu.term
+        JOIN freq fv ON p.v = fv.term
+        CROSS JOIN tot t
     )
     SELECT u, v, c_uv, round(pmi, 6) AS pmi
     FROM scored
@@ -2375,59 +2390,66 @@ _PMI_TOP_K = 25
     """,
     tags=("text", "stats"),
     doc=(
-        "Pointwise mutual information of term co-occurrence at document "
-        "grain (Church & Hanks 1990) — the collocation detector: "
-        "PMI(u,v) = ln(N * c_uv / (c_u * c_v)) over presence counts.  "
-        "Pairs generate per DOC from the sorted distinct-token array "
-        "(the triangle-count trick: one doc-clustered shuffle, no "
-        "corpus self-join); document frequencies join from the "
-        "vocabulary-sized df table (min-df {_PMI_MIN_DF} floors the "
-        "noise support), and the top-25 is a TakeOrdered partial.  PMI "
-        "evaluates once per pair on identical doubles — no cross-row "
-        "float accumulation."
+        "Pointwise mutual information of WINDOWED term co-occurrence "
+        "(Church & Hanks 1990): pairs are token occurrences within "
+        f"distance {_PMI_WINDOW}, so pair volume is O(corpus_tokens * w) "
+        "— linear in document length, unlike whole-doc pairing, which "
+        "is quadratic in per-doc vocabulary and measured 44.3x wall for "
+        "a 10x Heaps-scaled corpus (SCALE.md).  Window pairs generate "
+        "per DOC from the checkpointed token array (slice/transform — "
+        "no positional self-join, no corpus shuffle before the pair "
+        "agg); occurrence frequencies and totals re-aggregate the same "
+        f"checkpoint, an occurrence floor of {_PMI_MIN_F} drops noise "
+        "support, and PMI = ln((c_uv/T_pairs) / ((f_u/T)(f_v/T))) "
+        "evaluates once per pair on identical doubles.  TakeOrdered "
+        "top-25."
     ),
 )
 def text_pmi_cooccurrence(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    # tokenize ONCE (the RAKE pattern): the checkpointed per-doc sorted
-    # distinct-token table feeds df counts, the doc total, and pair
-    # generation — documents is scanned a single time
-    tok = d.select(
-        "doc_id", F.sort_array(F.array_distinct(F.split("text", " "))).alias("ts")
-    ).localCheckpoint()
-    dt = tok.select("doc_id", F.explode("ts").alias("term"))
-    df_t = (
-        dt.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .filter(F.col("c") >= _PMI_MIN_DF)
-        .localCheckpoint()  # vocabulary-sized; feeds both endpoint joins
+    # tokenize ONCE: the checkpointed per-doc token array (raw order)
+    # feeds pair generation, occurrence counts, and both totals
+    tok = d.select("doc_id", F.split("text", " ").alias("ts")).localCheckpoint()
+    pos = tok.select("doc_id", F.explode("ts").alias("term"))
+    freq = (
+        pos.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .localCheckpoint()  # vocabulary-sized; feeds floor + both joins
     )
-    n = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     pairs = (
-        tok
-        .select(
+        tok.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ts, (x, i) ->"
-                    " transform(slice(ts, i+2, size(ts)), y -> struct(x AS u, y AS v))))"
+                    f"flatten(transform(ts, (x, i) ->"
+                    f" transform(slice(ts, i+2, {_PMI_WINDOW}), y ->"
+                    f" struct(least(x, y) AS u, greatest(x, y) AS v))))"
                 )
             ).alias("p")
         )
+        .filter(F.col("p.u") != F.col("p.v"))
         .groupBy("p.u", "p.v")
         .agg(F.count(F.lit(1)).cast("long").alias("c_uv"))
+        .localCheckpoint()  # feeds the pair total and the scoring join
+    )
+    fk = freq.filter(F.col("f") >= _PMI_MIN_F)
+    tot = (
+        freq.agg(F.sum("f").cast("long").alias("t_tok"))
+        .crossJoin(pairs.agg(F.sum("c_uv").cast("long").alias("t_pairs")))
     )
     scored = (
-        pairs.join(F.broadcast(df_t.select(F.col("term").alias("u"), F.col("c").alias("c_u"))), "u")
-        .join(F.broadcast(df_t.select(F.col("term").alias("v"), F.col("c").alias("c_v"))), "v")
-        .crossJoin(F.broadcast(n))
+        pairs.join(F.broadcast(fk.select(F.col("term").alias("u"), F.col("f").alias("f_u"))), "u")
+        .join(F.broadcast(fk.select(F.col("term").alias("v"), F.col("f").alias("f_v"))), "v")
+        .crossJoin(F.broadcast(tot))
         .select(
             "u",
             "v",
             "c_uv",
             F.log(
-                F.col("n_docs").cast("double")
-                * F.col("c_uv")
-                / (F.col("c_u") * F.col("c_v"))
+                (F.col("c_uv").cast("double") / F.col("t_pairs"))
+                / (
+                    (F.col("f_u").cast("double") / F.col("t_tok"))
+                    * (F.col("f_v").cast("double") / F.col("t_tok"))
+                )
             ).alias("pmi"),
         )
     )
