@@ -182,6 +182,11 @@ HEADLINE = [
     "skyline_pareto_frontier",
     "graph_jaccard_neighbors",
     "text_pmi_cooccurrence",
+    # round-5 thirteenth wave: corpus-tail estimate (count-of-counts),
+    # Zipf authenticity slope, Fano burstiness screen.
+    "text_good_turing_mass",
+    "stats_zipf_slope",
+    "events_burstiness_fano",
 ]
 
 

@@ -742,3 +742,56 @@ def events_top_trigram_paths(spark, sf_dir):
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT) AS ss
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n_users,
+           round(CAST(s AS DOUBLE) / n_users, 6) AS mean_per_user,
+           round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users)
+                  / (n_users - 1))
+                 / (CAST(s AS DOUBLE) / n_users), 6) AS fano_factor
+    FROM m ORDER BY event_type
+    """,
+    tags=("events", "stats", "agg"),
+    doc=(
+        "Fano-factor burstiness of per-user event counts by type "
+        "(variance-to-mean ratio): 1 for Poisson arrivals, > 1 for "
+        "bursty/overdispersed behavior — the dispersion screen that "
+        "tells bot-like traffic from organic before rate features feed "
+        "a model.  Two chained hash aggs produce exact integer moments "
+        "(user grain, then type grain); variance and the ratio evaluate "
+        "once on identical doubles.  Mergeable partials at any scale."
+    ),
+)
+def events_burstiness_fano(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).cast("long").alias("ss"),
+    )
+    nd = F.col("n_users").cast("double")
+    sd = F.col("s").cast("double")
+    var = (F.col("ss").cast("double") - sd * F.col("s") / nd) / (nd - 1)
+    return m.select(
+        "event_type",
+        "n_users",
+        F.round(sd / nd, 6).alias("mean_per_user"),
+        F.round(var / (sd / nd), 6).alias("fano_factor"),
+    ).orderBy("event_type")

@@ -8,6 +8,7 @@ text shards.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -2457,4 +2458,185 @@ def text_pmi_cooccurrence(spark, sf_dir):
         scored.orderBy(F.col("pmi").desc(), "u", "v")
         .limit(_PMI_TOP_K)
         .select("u", "v", "c_uv", F.round("pmi", 6).alias("pmi"))
+    )
+
+
+@register(
+    "text_good_turing_mass",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(ts) AS term,
+               unnest(range(1, len(ts) + 1)) AS i
+        FROM tok
+    ),
+    grams AS (
+        SELECT concat_ws(' ', term, t1, t2, t3, t4) AS g
+        FROM (SELECT term,
+                     lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2,
+                     lead(term, 3) OVER w AS t3, lead(term, 4) OVER w AS t4
+              FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        WHERE t4 IS NOT NULL
+    ),
+    freq AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM grams GROUP BY g
+    ),
+    coc AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY r
+    ),
+    tot AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_r) AS BIGINT) AS vocab
+        FROM coc
+    ),
+    low AS (
+        SELECT a.r, a.n_r, b.n_r AS n_r1
+        FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+        WHERE a.r <= 5
+    ),
+    p0 AS (SELECT n_r AS n_1 FROM coc WHERE r = 1)
+    SELECT low.r, low.n_r,
+           round(CAST(low.r * low.n_r AS DOUBLE) / tot.n_tokens, 9)
+             AS mass_share,
+           CASE WHEN low.n_r1 IS NOT NULL
+                THEN round((low.r + 1) * CAST(low.n_r1 AS DOUBLE) / low.n_r, 6)
+           END AS gt_adjusted_count,
+           round(CAST(p0.n_1 AS DOUBLE) / tot.n_tokens, 9) AS unseen_mass_p0,
+           tot.vocab, tot.n_tokens
+    FROM low CROSS JOIN tot CROSS JOIN p0
+    ORDER BY low.r
+    """,
+    tags=("text", "stats", "corpus"),
+    doc=(
+        "Good-Turing frequency-of-frequencies diagnostic (Good 1953): "
+        "counts-of-counts N_r for r<=5, the smoothed adjusted counts "
+        "r* = (r+1) N_{r+1} / N_r, and the unseen-probability mass "
+        "P0 = N_1/N — computed over 5-gram shingles (the fixture's 31-word unigram vocabulary has NO rare types — every diagnostic needs a unit sparse enough to have a tail), the standard answer to 'how much corpus tail "
+        "has this corpus not seen yet', which gates when to stop "
+        "collecting training data.  Everything reduces through TWO "
+        "bounded hash aggs (term grain, then count grain — the second "
+        "is at most max-frequency rows); every statistic is a single "
+        "division of exact integers."
+    ),
+)
+def text_good_turing_mass(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(0, size(split(text, ' ')) - 4)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+            )
+        ).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    coc = (
+        freq.groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+        .localCheckpoint()  # count-grain (<= max term frequency rows)
+    )
+    tot = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+    )
+    n1 = coc.filter(F.col("r") == 1).select(F.col("n_r").alias("n_1"))
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    low = coc.filter(F.col("r") <= 5).join(nxt, "r", "left")
+    return (
+        low.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") * F.col("n_r")).cast("double") / F.col("n_tokens"), 9
+            ).alias("mass_share"),
+            F.when(
+                F.col("n_r1").isNotNull(),
+                F.round(
+                    (F.col("r") + 1) * F.col("n_r1").cast("double") / F.col("n_r"), 6
+                ),
+            ).alias("gt_adjusted_count"),
+            F.round(F.col("n_1").cast("double") / F.col("n_tokens"), 9).alias(
+                "unseen_mass_p0"
+            ),
+            "vocab",
+            "n_tokens",
+        )
+        .orderBy("r")
+    )
+
+
+@register(
+    "stats_zipf_slope",
+    oracle="""
+    WITH freq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rnk FROM freq
+    ),
+    pts AS (
+        -- per-term log-log moment contributions quantized to integer
+        -- e9 units BEFORE the cross-term sums (order-independence)
+        SELECT CAST(round(1000000000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x_e9,
+               CAST(round(1000000000.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y_e9
+        FROM ranked
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x_e9 AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y_e9 AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x_e9 AS HUGEINT) * CAST(x_e9 AS HUGEINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x_e9 AS HUGEINT) * CAST(y_e9 AS HUGEINT)) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM m
+    """,
+    tags=("text", "stats", "corpus"),
+    doc=(
+        "Zipf's-law slope fit: OLS of ln(frequency) on ln(rank) over "
+        "the vocabulary — natural text sits near -1; synthetic or "
+        "templated corpora flatten, making the slope a cheap corpus-"
+        "authenticity screen next to audit_benford_first_digit.  Rank "
+        "assignment is a window over the VOCABULARY-grain frequency "
+        "table (deterministic tie-break by term); each term's log-log "
+        "moment contribution quantizes to integer e9 units before the "
+        "cross-term sums, so the regression inputs accumulate order-"
+        "independently and the slope divides once on identical doubles."
+    ),
+)
+def stats_zipf_slope(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    freq = d.select(F.explode(F.split("text", " ")).alias("term")).groupBy(
+        "term"
+    ).agg(F.count(F.lit(1)).cast("long").alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), "term"))
+        .alias("rnk"),
+    )
+    q = lambda c: F.round(1000000000.0 * F.log(c.cast("double"))).cast("long")
+    pts = ranked.select(q(F.col("rnk")).alias("x_e9"), q(F.col("f")).alias("y_e9"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x_e9")).cast("double").alias("sx"),
+        F.sum(dec("y_e9")).cast("double").alias("sy"),
+        F.sum(dec("x_e9") * dec("x_e9")).cast("double").alias("sxx"),
+        F.sum(dec("x_e9") * dec("y_e9")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(
+            (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
+        ).alias("zipf_slope"),
     )

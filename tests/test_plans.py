@@ -692,3 +692,32 @@ def test_pmi_tokenizes_corpus_once(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_good_turing_reaggregates_count_grain(spark, sf_dir):
+    """Counts-of-counts must chain gram grain -> count grain with the
+    count-grain table checkpointed (low/totals/P0 branches re-consume
+    it); the only nested loop is the 1-row totals/P0 combine."""
+    plan = plan_of(spark, sf_dir, "text_good_turing_mass")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zipf_rank_window_runs_over_vocabulary_grain(spark, sf_dir):
+    """The rank window must consume the vocabulary-grain frequency agg
+    (never raw tokens), and the regression moments must be one final
+    agg — single scan, one window."""
+    plan = plan_of(spark, sf_dir, "stats_zipf_slope")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert plan.count("+- Window (") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fano_two_chained_aggs_single_scan(spark, sf_dir):
+    """Burstiness is user-grain then type-grain hash aggs over one
+    events scan — no window, no join."""
+    plan = plan_of(spark, sf_dir, "events_burstiness_fano")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert plan.count("+- Window (") == 0, plan
+    assert "Join" not in plan, plan
