@@ -453,12 +453,46 @@ def ann_filtered_topk(spark, sf_dir):
     )
 
 
+# Adaptive bucket width for the corpus self-join: hold PER-BUCKET
+# occupancy constant (~8 vectors, the sf0.1 fixture's occupancy at the
+# original 8 bits) instead of the bucket COUNT constant, so the within-
+# bucket quadratic work stays ~linear in N.  Rounding is floor(x + 0.5)
+# in BOTH engines — identical double arithmetic, immune to the DuckDB
+# half-away vs Python banker's divergence at exact .5.  At the
+# sf0.01/sf0.1 fixtures (500 / 2k vectors) the rule resolves to the
+# 8-bit instance, so oracle values there are identical to the fixed form.
+_ADAPTIVE_BITS_SQL = """
+    params AS (
+        SELECT GREATEST(8, LEAST(16,
+               CAST(FLOOR(LOG2(COUNT(*) / 8.0) + 0.5) AS INT))) AS bits
+        FROM embeddings
+    )
+"""
+_ADAPTIVE_BUCKET_SQL = (
+    "CAST(list_sum(list_transform(range(0, (SELECT bits FROM params)), "
+    "i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT)"
+)
+
+
+def _adaptive_signbit_bits(n: int, target_occupancy: int = 8,
+                           lo: int = 8, hi: int = 16) -> int:
+    """bits ~ round(log2(N / target_occupancy)), clamped to [lo, hi].
+
+    Rounding is floor(x + 0.5) to match the DuckDB oracle expression
+    bit-for-bit (both engines evaluate the same binary64 arithmetic)."""
+    import math
+
+    return max(lo, min(hi, math.floor(
+        math.log2(max(n, 1) / float(target_occupancy)) + 0.5)))
+
+
 @register(
     "ann_knn_graph_bucketed",
     oracle=f"""
-    WITH v AS (
+    WITH {_ADAPTIVE_BITS_SQL},
+    v AS (
         SELECT vec_id, {_VEC_DOUBLE_SQL} AS vec,
-               CAST({_BUCKET_SQL} AS INT) AS bucket
+               {_ADAPTIVE_BUCKET_SQL} AS bucket
         FROM embeddings
     ),
     sims AS (
@@ -485,21 +519,26 @@ def ann_filtered_topk(spark, sf_dir):
         "up is confined within buckets (N^2/2^bits per bucket family) "
         "and no side needs to fit in memory — the plan that survives a "
         "billion-vector corpus, where broadcasting either side cannot.  "
-        "SCALING RULE (measured, SCALE.md round-5 wave 6): with the bit "
-        "width FIXED, bucket occupancy grows with N and the self-join "
-        "degenerates toward N^2/2^bits — 18.8x wall time for a 10x "
-        "corpus in the probe.  The operator is only scale-sound when "
-        "bits ~ log2(N / target_occupancy), holding per-bucket work "
-        "constant (8 bits fits the 5k-vector fixture at ~20/bucket; a "
-        "10x corpus wants 11-12 bits; the fixed-8-bit form here is the "
-        "oracle-replayable instance, not the production parameter)."
+        "SCALING RULE (measured, SCALE.md round-5 wave 6, APPLIED round "
+        "6): with the bit width FIXED, bucket occupancy grows with N and "
+        "the self-join degenerates toward N^2/2^bits — 18.8x wall time "
+        "for a 10x corpus in the probe.  The operator therefore derives "
+        "bits = clamp(round(log2(N / 8)), 8, 16) from one corpus count "
+        "(the IVF sample-sizing pattern), holding per-bucket occupancy "
+        "~constant so within-bucket work stays ~linear in N.  The DuckDB "
+        "oracle computes the identical rule from its own COUNT(*), so "
+        "parity holds at every SF; at the sf0.01/sf0.1 fixtures the rule "
+        "resolves to the original 8-bit instance."
     ),
 )
 def ann_knn_graph_bucketed(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_double().alias("vec"), signbit_bucket().alias("bucket")
+    emb = table(spark, sf_dir, "embeddings")
+    bits = _adaptive_signbit_bits(emb.count())
+    v = emb.select(
+        "vec_id", _vec_double().alias("vec"),
+        signbit_bucket(bits=bits).alias("bucket"),
     )
     a = v.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
     b = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"),
