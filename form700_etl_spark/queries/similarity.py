@@ -536,17 +536,28 @@ def ann_knn_graph_bucketed(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     bits = _adaptive_signbit_bits(emb.count())
+    # Precompute each vector's norm ONCE before the self-join: the naive
+    # per-pair cosine re-folds both operands' self-dot inside every pair
+    # (3 64-element folds/pair); hoisting the norms to scan-side columns
+    # cuts per-pair work to one fold + two divisions.  Division order
+    # (dot / norm_a) / norm_b matches the oracle's  / sqrt(..) / sqrt(..)
+    # exactly, so similarities stay bit-identical.
     v = emb.select(
         "vec_id", _vec_double().alias("vec"),
         signbit_bucket(bits=bits).alias("bucket"),
-    )
-    a = v.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    a = v.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+                 F.col("norm").alias("qnorm"), "bucket")
     b = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"),
-                 F.col("bucket").alias("nbucket"))
+                 F.col("norm").alias("nnorm"), F.col("bucket").alias("nbucket"))
     sims = (
         a.join(b, (F.col("bucket") == F.col("nbucket"))
                & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", _cosine(F.col("qvec"), F.col("nvec")).alias("cosine"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("qvec"), F.col("nvec"))
+                    / F.col("qnorm") / F.col("nnorm"), 6).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
