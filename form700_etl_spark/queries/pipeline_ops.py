@@ -676,11 +676,10 @@ def _near_dedup_curriculum_oracle() -> str:
     ),
 )
 def training_pipeline_near_dedup_curriculum(spark, sf_dir):
-    import math
-
     from pyspark.sql import Window as W
 
     from ..operators.dedup import connected_components
+    from ..operators.quantiles import exact_fraction_thresholds
     from .dedup import dedup_ngram_jaccard
     from .textops import text_quality_score
 
@@ -709,25 +708,22 @@ def training_pipeline_near_dedup_curriculum(spark, sf_dir):
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
             "m",
         )
-        .localCheckpoint()  # reused by 3 threshold jobs + the final audit
+        .localCheckpoint()  # reused by the threshold pass + the final audit
     )
-    n = survivors.count()
-    thresholds = []
-    for frac in (0.25, 0.50, 0.75):
-        k = int(math.ceil(frac * n))
-        thresholds.append(
-            survivors.orderBy("m").limit(k).agg(F.max("m")).collect()[0][0]
-        )
-    t25, t50, t75 = thresholds
+    # value-grain cumulative-window thresholds (operators/quantiles.py):
+    # same ceil(f*n)-th-smallest semantics as before, but no global
+    # sort-limit whose k grows with N — the quantile-funnel fix.
+    thr = exact_fraction_thresholds(survivors, "m")
     bin_col = (
-        F.when(F.col("m") <= F.lit(t25), 1)
-        .when(F.col("m") <= F.lit(t50), 2)
-        .when(F.col("m") <= F.lit(t75), 3)
+        F.when(F.col("m") <= F.col("t25"), 1)
+        .when(F.col("m") <= F.col("t50"), 2)
+        .when(F.col("m") <= F.col("t75"), 3)
         .otherwise(4)
         .cast("int")
     )
     return (
-        survivors.withColumn("bin", bin_col)
+        survivors.crossJoin(F.broadcast(thr))
+        .withColumn("bin", bin_col)
         .groupBy("bin", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1126,39 +1126,34 @@ def text_bpe_train_merges(spark, sf_dir):
         "EXACT order-statistic thresholds over the integer-micro-unit "
         "quality score (threshold k = ceil(q*n)-th smallest; ties roll "
         "into the lower bin — fully deterministic, no interpolated-"
-        "percentile cross-engine hazard).  Thresholds are three bounded "
-        "top-k jobs (k rows scanned, 1 value returned) broadcast as "
-        "literals; binning is a pure projection.  The curriculum/"
+        "percentile cross-engine hazard).  Thresholds come from the "
+        "value-grain cumulative-window pattern (operators/quantiles.py, "
+        "the clean_quantile_bins plan): one hash agg to distinct scores, "
+        "one window over values — never a global sort-limit whose k "
+        "grows with N — then the 1-row threshold frame broadcasts back "
+        "and binning is a pure projection.  The curriculum/"
         "mixture-schedule precursor: downstream samplers draw per-bin."
     ),
 )
 def text_quality_curriculum_bins(spark, sf_dir):
-    import math
+    from ..operators.quantiles import exact_fraction_thresholds
 
     qdf = text_quality_score(spark, sf_dir).select(
         "doc_id",
         F.round(F.col("quality_score") * 1000000).cast("long").alias("quality_micro"),
     )
-    n = qdf.count()  # bounded driver step: one scalar, like IVF's sample sizing
-    thresholds = []
-    for frac in (0.25, 0.50, 0.75):
-        k = int(math.ceil(frac * n))
-        t = (
-            qdf.orderBy("quality_micro")
-            .limit(k)
-            .agg(F.max("quality_micro"))
-            .collect()[0][0]
-        )
-        thresholds.append(t)
-    t25, t50, t75 = thresholds
+    thr = exact_fraction_thresholds(qdf, "quality_micro")
     bin_col = (
-        F.when(F.col("quality_micro") <= F.lit(t25), 1)
-        .when(F.col("quality_micro") <= F.lit(t50), 2)
-        .when(F.col("quality_micro") <= F.lit(t75), 3)
+        F.when(F.col("quality_micro") <= F.col("t25"), 1)
+        .when(F.col("quality_micro") <= F.col("t50"), 2)
+        .when(F.col("quality_micro") <= F.col("t75"), 3)
         .otherwise(4)
         .cast("int")
     )
-    return qdf.select("doc_id", "quality_micro", bin_col.alias("bin"))
+    return (
+        qdf.crossJoin(F.broadcast(thr))
+        .select("doc_id", "quality_micro", bin_col.alias("bin"))
+    )
 
 
 @register(

@@ -457,6 +457,32 @@ def test_quantile_bins_window_runs_over_value_grain(spark, sf_dir):
     assert tree_nodes(plan, "Window") == 1, plan
 
 
+def test_curriculum_bins_no_global_sort_limit_over_rows(spark, sf_dir):
+    """Quartile thresholds must come from the value-grain cumulative
+    window (operators/quantiles.py), NEVER the orderBy().limit(ceil(
+    f*N)) idiom whose limit grows with N and funnels O(N) rows through
+    one task (round-5 weak item).  The binned row-grain output joins
+    the 1-row threshold frame via broadcast — no sort-limit nodes, one
+    broadcast join, no added shuffle of the scored rows."""
+    plan = plan_of(spark, sf_dir, "text_quality_curriculum_bins")
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "GlobalLimit" not in plan, plan
+    assert "CollectLimit" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row threshold frame
+
+
+def test_capstone_curriculum_no_global_sort_limit_over_rows(spark, sf_dir):
+    """Same contract for the capstone pipeline's quartile stage: the
+    survivor frame (checkpointed) feeds the value-grain threshold pass
+    and the final audit; no global sort-limit over raw rows anywhere
+    in the composed plan."""
+    plan = plan_of(spark, sf_dir, "training_pipeline_near_dedup_curriculum")
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "GlobalLimit" not in plan, plan
+    assert "CollectLimit" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row threshold frame
+
+
 def test_pca_covariance_single_scan_broadcast_dims(spark, sf_dir):
     """Pair products and dim sums ride ONE explode of one embeddings
     scan (checkpointed 44-row moment table); the two dim-sum join
