@@ -71,8 +71,12 @@ def pca_components(df: DataFrame, k: int = 2) -> tuple[np.ndarray, np.ndarray, n
     )
     if not rows:
         raise ValueError("pca_components: empty input")
-    # deterministic merge order regardless of task completion order
-    rows = sorted(rows, key=lambda r: (r["n"], r["s"][0] if r["s"] else 0.0))
+    # deterministic merge order regardless of task completion order —
+    # the key must be TOTAL: (n, s[0]) alone can collide (two partitions
+    # with equal row count and first-coordinate sum would fall back to
+    # nondeterministic collect order and change float summation order),
+    # so sort on the full partial-sum tuple.
+    rows = sorted(rows, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["g"])))
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s = np.zeros(d)

@@ -1191,7 +1191,11 @@ def stats_welch_ttest(spark, sf_dir):
         FROM ranked
     )
     SELECT n1, n2,
-           CAST((r1_x2 - n1 * (n1 + 1)) / 2 AS BIGINT) AS u1,
+           -- DOUBLED U (always integer): with ties U1 itself can be a
+           -- half-integer, and a float->BIGINT cast ROUNDS in DuckDB
+           -- but TRUNCATES in Spark, so the doubled value is the only
+           -- representation both engines agree on exactly.
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
            round(((CAST(r1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
                   - CAST(n1 AS DOUBLE) * n2 / 2)
                  / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
@@ -1206,7 +1210,10 @@ def stats_welch_ttest(spark, sf_dir):
         "Mann-Whitney U rank-sum test between purchase and click values "
         "(the nonparametric mean-shift complement to stats_welch_ttest "
         "and the KS sup-distance): average ranks over ties stay EXACT "
-        "by doubling (r2 = 2*below + ties + 1), so the rank sum, U, and "
+        "by doubling (r2 = 2*below + ties + 1), so the rank sum, the "
+        "DOUBLED U statistic u1_x2 (emitted doubled because U itself "
+        "can be half-integer under ties, and a float->BIGINT cast "
+        "rounds in DuckDB but truncates in Spark), and "
         "the tie-correction term are all integer arithmetic; the "
         "normal-approximation z evaluates once on identical doubles.  "
         "Same value-grain shape as the KS test: one hash agg of raw "
@@ -1248,9 +1255,9 @@ def stats_mann_whitney_u(spark, sf_dir):
     return m.select(
         "n1",
         "n2",
-        ((F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)) / 2)
-        .cast("bigint")
-        .alias("u1"),
+        # doubled U: stays integer under ties (a half-integer U1 would
+        # round in DuckDB but truncate in Spark on the BIGINT cast)
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
         F.round(
             (r1 - n1d * n2d / 2)
             / F.sqrt(

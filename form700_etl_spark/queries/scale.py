@@ -1294,7 +1294,8 @@ _AA_TOP_K = 50
         "Adamic-Adar link prediction over the part co-purchase graph: "
         "for each non-adjacent pair, sum 1/ln(deg(w)) over common "
         "neighbors w (Adamic & Adar 2003).  Wedges enumerate per CENTER "
-        "node with a degree cap of 32 (high-degree centers contribute "
+        f"node with a degree cap of {_AA_MAX_CENTER_DEGREE} "
+        "(high-degree centers contribute "
         "~0 signal but quadratic cost — the cap is the hub guard, "
         "mirrored in the oracle), existing edges drop via an anti join, "
         "and the top-50 is a TakeOrdered partial top-k.  Contributions "

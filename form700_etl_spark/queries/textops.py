@@ -2456,6 +2456,21 @@ def text_pmi_cooccurrence(spark, sf_dir):
     )
 
 
+# 5-gram generator, guarded for short documents: sequence(1, n) with
+# n <= 0 yields a DESCENDING [1, 0] (step defaults to -1), whose i=0
+# would throw at slice() under ANSI mode ('array indices start at 1')
+# and a 4-token doc would emit a bogus short gram — so docs under 5
+# tokens must produce an EMPTY gram array, matching the oracle's
+# t4 IS NOT NULL guard.  Regression-tested on 0-5-token docs
+# (tests/test_robustness.py).
+_FIVE_GRAM_EXPR = (
+    "CASE WHEN size(split(text, ' ')) >= 5 "
+    "THEN transform(sequence(1, size(split(text, ' ')) - 4),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 5))) "
+    "ELSE array() END"
+)
+
+
 @register(
     "text_good_turing_mass",
     oracle="""
@@ -2518,14 +2533,7 @@ def text_pmi_cooccurrence(spark, sf_dir):
 )
 def text_good_turing_mass(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    grams = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(0, size(split(text, ' ')) - 4)),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-            )
-        ).alias("g")
-    )
+    grams = d.select(F.explode(F.expr(_FIVE_GRAM_EXPR)).alias("g"))
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("r"))
     coc = (
         freq.groupBy("r")

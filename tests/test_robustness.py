@@ -96,3 +96,30 @@ def test_malformed_json_rows_quarantine_not_fail(spark, tmp_path):
     # quarantine is replayable: raw text preserved byte-for-byte
     assert "{this is not json at all" in quarantined
     df.unpersist()
+
+
+def test_five_gram_generator_handles_short_docs(spark):
+    """Regression (round-5 advice): sequence(1, n) with n <= 0 yields a
+    DESCENDING [1, 0], so an unguarded 5-gram transform throws at
+    slice() under ANSI mode for any doc under 5 tokens (and a 4-token
+    doc emitted a bogus short gram).  The guarded generator must emit
+    an EMPTY gram list for 0-4 tokens and exactly size-4 grams past
+    that — matching the DuckDB oracle's t4 IS NOT NULL semantics."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.queries.textops import _FIVE_GRAM_EXPR
+
+    docs = spark.createDataFrame(
+        [
+            ("",),                       # 1 empty token after split
+            ("a",),
+            ("a b c d",),                # 4 tokens: NO bogus short gram
+            ("a b c d e",),              # exactly one 5-gram
+            ("a b c d e f g",),          # three 5-grams
+        ],
+        "text string",
+    )
+    rows = docs.select(F.expr(_FIVE_GRAM_EXPR).alias("grams")).collect()
+    assert [len(r.grams) for r in rows] == [0, 0, 0, 1, 3]
+    assert rows[3].grams == ["a b c d e"]
+    assert rows[4].grams == ["a b c d e", "b c d e f", "c d e f g"]
