@@ -92,6 +92,14 @@ PROBE_QUERIES = [
     "multimodal_audio_decode",
     "multimodal_image_decode",
     "multimodal_video_frames_real",
+    # round-6: the last two >3s bench queries without probe rows.  BFS
+    # carries the triangle-count fixture caveat (replicated lineitem
+    # reuses part sets, so distinct co-purchase edges don't grow); BPE
+    # encode is ~linear in documents against the broadcast merge table.
+    "graph_bfs_hops",
+    "text_bpe_encode_heldout",
+    # round-6: adaptive-bits kNN graph (fixed-bit form measured 18.8x)
+    "ann_knn_graph_bucketed",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
