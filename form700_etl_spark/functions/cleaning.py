@@ -44,12 +44,41 @@ def number_cast(col: str | Column) -> Column:
     return F.coalesce(cleaned.try_cast("double"), F.lit(0.0))
 
 
-def text_cast(col: str | Column) -> Column:
+def text_cast(col: str | Column, ascii_compat: bool = False) -> Column:
     """Reference 'text' cast (Form700.py:274-279): NULL -> '' then
     stringify.  The Py2 ascii-backslashreplace fallback is moot on
-    UTF-8-native Spark."""
+    UTF-8-native Spark — UTF-8 text flows through unmangled by default;
+    ``ascii_compat=True`` opts into the byte-faithful reference
+    behavior via :func:`ascii_translit` for consumers that require the
+    legacy escaped form."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.cast("string"), F.lit(""))
+    out = F.coalesce(c.cast("string"), F.lit(""))
+    return ascii_translit(out) if ascii_compat else out
+
+
+def ascii_translit(col: str | Column) -> Column:
+    """Reference C6 ``castAscii`` (Form700.py:291-294): Python 2's
+    ``unicode.encode('ascii', 'backslashreplace')`` — every non-ASCII
+    code point becomes its ``\\xHH`` / ``\\uHHHH`` / ``\\UHHHHHHHH``
+    escape, ASCII passes through.  Pure built-in expression (per-code-
+    point transform + hex), codegen'd JVM-side; unit-tested char-exact
+    against CPython's backslashreplace output, including astral-plane
+    code points.  Off by default: Spark is UTF-8-native, so the engine
+    only applies this when a consumer opts into the legacy bytes form
+    (``text_cast(..., ascii_compat=True)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _escape(ch: Column) -> Column:
+        cp = F.ascii(ch)  # full code point of the single-char element
+        hx = F.lower(F.hex(cp))
+        return (
+            F.when(cp.between(0, 127), ch)
+            .when(cp < 256, F.concat(F.lit("\\x"), F.lpad(hx, 2, "0")))
+            .when(cp < 65536, F.concat(F.lit("\\u"), F.lpad(hx, 4, "0")))
+            .otherwise(F.concat(F.lit("\\U"), F.lpad(hx, 8, "0")))
+        )
+
+    return F.concat_ws("", F.transform(F.split(c, ""), _escape))
 
 
 def checkbox_cast(col: str | Column) -> Column:

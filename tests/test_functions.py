@@ -680,3 +680,23 @@ class TestImageVideoDecode:
                 f = r["frame_index"]
                 sy = sum((doc_id * 13 + f * 29 + i) % 256 for i in range(48))
                 assert r["mean_y_e3"] == round(1000 * sy / 48)
+
+
+def test_ascii_translit_matches_py2_backslashreplace(spark):
+    """C6 compat: char-exact vs CPython's 'backslashreplace' (the Py2
+    castAscii semantics, Form700.py:291-294) across Latin-1, BMP, and
+    astral-plane code points; ASCII passes through untouched."""
+    from form700_etl_spark.functions.cleaning import ascii_translit, text_cast
+    from pyspark.sql import functions as F
+
+    samples = ["héllo wörld", "café 你好 𝄞 ok", "plain ascii", ""]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.v for r in df.select(ascii_translit("s").alias("v")).collect()]
+    want = [s.encode("ascii", "backslashreplace").decode() for s in samples]
+    assert got == want
+    # flag plumbed through text_cast; default stays UTF-8-native
+    df2 = spark.createDataFrame([(None,), ("é",)], "raw string")
+    compat = [r.v for r in df2.select(text_cast("raw", ascii_compat=True).alias("v")).collect()]
+    assert compat == ["", "\\xe9"]
+    plain = [r.v for r in df2.select(text_cast("raw").alias("v")).collect()]
+    assert plain == ["", "é"]
