@@ -192,6 +192,10 @@ HEADLINE = [
     "text_good_turing_mass",
     "stats_zipf_slope",
     "events_burstiness_fano",
+    # round-6 fourteenth wave: iterative k-core peel and node-grain
+    # clustering coefficient over the support-filtered co-purchase graph.
+    "graph_kcore_peel_profile",
+    "graph_local_clustering_coeff",
 ]
 
 

@@ -1628,3 +1628,211 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .limit(_AA_TOP_K)
         .select("u", "v", "n_common", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------- k-core
+
+# "Stable" co-purchase graph: part pairs co-purchased in >= 2 DISTINCT
+# orders.  The raw co-purchase graph is too dense to peel (min degree
+# 42 at sf0.01); the support filter is the standard market-basket move
+# and leaves a graph whose 3-core peeling takes many rounds — the
+# interesting regime for an iterative-peel operator.
+_KCORE_K = 3
+_KCORE_ROUNDS = 10  # both fixture SFs converge by round 9; the
+#                     `converged` column cross-checks that at any SF
+
+# co/adj MATERIALIZED: consumers reference them many times (the k-core
+# oracle's 10 unrolled layers each hit adj), and DuckDB inlines plain
+# CTEs — materializing keeps the base scans O(1) instead of O(layers).
+_STABLE_CO_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS MATERIALIZED (SELECT u AS w, v AS nbr FROM co UNION ALL SELECT v, u FROM co)
+"""
+
+
+def _stable_co_edges(spark, sf_dir):
+    """DISTINCT (u < v) part pairs co-purchased in >= 2 orders, plus the
+    symmetric adjacency — the per-order pair explode is linear via the
+    sorted-set transform (no order-level self-join), then one (u, v)
+    hash agg applies the support filter."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    co = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i+2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # adjacency consumed once per peel round
+    )
+    adj = co.select(F.col("u").alias("w"), F.col("v").alias("nbr")).unionAll(
+        co.select(F.col("v").alias("w"), F.col("u").alias("nbr"))
+    )
+    return co, adj
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each layer references its predecessor twice, so 10 unrolled
+    # layers would otherwise expand to 2^10 scans of the base table
+    # (reproduced: 'Too many open files' on the parquet view).
+    layers = []
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        layers.append(
+            f"k{i} AS MATERIALIZED (SELECT a.w FROM adj a "
+            f"JOIN {prev} s ON a.w = s.w JOIN {prev} x ON a.nbr = x.w "
+            f"GROUP BY a.w HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        prev = f"k{i}"
+    rounds_sql = "\n        UNION ALL ".join(
+        f"SELECT {i} AS round, (SELECT COUNT(*) FROM k{i}) AS nodes_remaining"
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    last, second = f"k{_KCORE_ROUNDS}", f"k{_KCORE_ROUNDS - 1}"
+    layers_sql = ",\n    ".join(layers)
+    return f"""
+    WITH {_STABLE_CO_SQL},
+    n0 AS MATERIALIZED (SELECT DISTINCT w FROM adj),
+    {layers_sql}
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(nodes_remaining AS BIGINT) AS nodes_remaining,
+           (SELECT COUNT(*) FROM {last}) = (SELECT COUNT(*) FROM {second})
+             AS converged
+    FROM ({rounds_sql})
+    ORDER BY round
+    """
+
+
+@register(
+    "graph_kcore_peel_profile",
+    oracle=_kcore_oracle(),
+    tags=("graph", "scale", "iterative"),
+    doc=(
+        f"k-core decomposition profile (k={_KCORE_K}) of the stable "
+        "(support>=2) part co-purchase graph: repeatedly delete nodes "
+        "with in-subgraph degree < k until fixpoint (Seidman 1983; "
+        "Batagelj-Zaversnik peeling), reporting nodes remaining after "
+        f"each of {_KCORE_ROUNDS} level-synchronous rounds plus a "
+        "convergence flag — the community-stability screen that "
+        "separates durable product affinities from one-off baskets.  "
+        "Spark side: ONE checkpointed edge list, then per round ONE "
+        "semi-join of the adjacency against the surviving node set per "
+        "endpoint + a degree hash agg — per-round cost O(surviving "
+        "edges), the Pregel peel shape; the surviving-set DataFrame is "
+        "checkpointed per round so round r+1 never re-derives the "
+        "chain.  Rounds past the fixpoint are no-ops by construction "
+        "(membership is stable), so the fixed round count is "
+        "deterministic at every SF while the `converged` column "
+        "cross-checks that the unrolled oracle reached the same "
+        "fixpoint.  Per-round node counts are bounded driver scalars "
+        "(the profile IS the output)."
+    ),
+)
+def graph_kcore_peel_profile(spark, sf_dir):
+    _, adj = _stable_co_edges(spark, sf_dir)
+    adj = adj.localCheckpoint()
+    keep = adj.select("w").distinct().localCheckpoint()
+    counts: list[int] = []
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            adj.join(keep, "w", "left_semi")
+            .join(
+                keep.select(F.col("w").alias("nbr")), "nbr", "left_semi"
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("w")
+            .localCheckpoint()
+        )
+        counts.append(keep.count())
+    converged = len(counts) >= 2 and counts[-1] == counts[-2]
+    rows = [
+        (i + 1, n, converged) for i, n in enumerate(counts)
+    ]
+    return spark.createDataFrame(
+        rows, "round bigint, nodes_remaining bigint, converged boolean"
+    ).orderBy("round")
+
+
+@register(
+    "graph_local_clustering_coeff",
+    oracle=f"""
+    WITH {_STABLE_CO_SQL},
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w),
+    tri AS (
+        SELECT x.w, CAST(COUNT(*) AS BIGINT) AS t
+        FROM adj x JOIN adj y ON x.w = y.w AND x.nbr < y.nbr
+        JOIN co ON co.u = x.nbr AND co.v = y.nbr
+        GROUP BY x.w
+    )
+    SELECT deg.w AS node, deg.d AS degree,
+           COALESCE(tri.t, 0) AS triangles,
+           round(CAST(2 * COALESCE(tri.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1)), 6) AS clustering_coeff
+    FROM deg LEFT JOIN tri ON deg.w = tri.w
+    WHERE deg.d >= 2
+    ORDER BY node
+    """,
+    tags=("graph", "scale"),
+    doc=(
+        "Per-node local clustering coefficient (Watts-Strogatz 1998) "
+        "over the stable co-purchase graph: c(v) = 2*tri(v)/(d(v)*(d(v)"
+        "-1)) — how tightly each part's co-purchase neighborhood "
+        "closes into triangles (the node-grain companion to the global "
+        "graph_triangle_count).  Wedges enumerate per center as one "
+        "adjacency self-join (x.nbr < y.nbr halves the pairs), close "
+        "via ONE hash join against the u<v edge list, and reduce per "
+        "node — all shuffle-hash/broadcast joins on graph keys, no "
+        "per-node iteration.  The support-2 graph keeps median degree "
+        "~3, so wedge volume is Sum d(v)^2 with small d — the hub cap "
+        "the AA/Jaccard queries need is unnecessary here and exactness "
+        "is preserved.  The coefficient divides exact integers once "
+        "(identical doubles both engines)."
+    ),
+)
+def graph_local_clustering_coeff(spark, sf_dir):
+    co, adj = _stable_co_edges(spark, sf_dir)
+    adj = adj.localCheckpoint()
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    wedges = x.join(
+        y, (F.col("x.w") == F.col("y.w")) & (F.col("x.nbr") < F.col("y.nbr"))
+    ).select(F.col("x.w").alias("w"), F.col("x.nbr").alias("u"), F.col("y.nbr").alias("v"))
+    tri = (
+        wedges.join(co, ["u", "v"], "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "w", "left")
+        .select(
+            F.col("w").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )

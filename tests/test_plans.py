@@ -747,3 +747,16 @@ def test_fano_two_chained_aggs_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") // 2 == 1, plan
     assert plan.count("+- Window (") == 0, plan
     assert "Join" not in plan, plan
+
+
+def test_clustering_coeff_wedge_join_stays_hashed(spark, sf_dir):
+    """The wedge self-join and the triangle-closing semi-join must stay
+    hash joins on graph keys (the support-2 graph keeps degrees small so
+    no hub cap is needed); no cartesian fallback, and the checkpointed
+    edge list must serve every consumer (no parquet re-scan of lineitem
+    past the checkpoint)."""
+    plan = plan_of(spark, sf_dir, "graph_local_clustering_coeff")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
