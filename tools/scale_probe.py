@@ -100,6 +100,14 @@ PROBE_QUERIES = [
     "text_bpe_encode_heldout",
     # round-6: adaptive-bits kNN graph (fixed-bit form measured 18.8x)
     "ann_knn_graph_bucketed",
+    # round-6 fourteenth wave: iterative peel + wedge enumeration over
+    # the support-filtered co-purchase graph.  Fixture caveat (shared
+    # with triangle/BFS): lineitem replicas reuse part baskets, so 10x
+    # orders multiplies SUPPORT, not distinct pairs — every support-1
+    # pair crosses the >=2 bar, so edges grow by the support-1 share
+    # (~2x), not 10x.  Per-round/wedge cost is what the probe measures.
+    "graph_kcore_peel_profile",
+    "graph_local_clustering_coeff",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
