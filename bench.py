@@ -196,6 +196,11 @@ HEADLINE = [
     # clustering coefficient over the support-filtered co-purchase graph.
     "graph_kcore_peel_profile",
     "graph_local_clustering_coeff",
+    # round-6 fifteenth wave: ACF diagnostic, k-group rank ANOVA,
+    # interval-union coalescing.
+    "timeseries_acf",
+    "stats_kruskal_wallis",
+    "intervals_merge_overlaps",
 ]
 
 

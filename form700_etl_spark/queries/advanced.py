@@ -1975,3 +1975,138 @@ def skyline_pareto_frontier(spark, sf_dir):
         )
         .orderBy("p_size")
     )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH vt AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    vv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM vt GROUP BY v),
+    ranked AS (
+        SELECT v, t,
+               2 * (SUM(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+        FROM vv
+    ),
+    grp AS (
+        SELECT vt.event_type,
+               CAST(SUM(vt.c) AS BIGINT) AS n_g,
+               CAST(SUM(vt.c * ranked.r2) AS BIGINT) AS s2_g
+        FROM vt JOIN ranked ON vt.v = ranked.v
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               (SELECT CAST(SUM(t * t * t - t) AS BIGINT) FROM vv) AS tie3
+        FROM grp
+    ),
+    contrib AS (
+        -- h_g evaluates on identical doubles in both engines (exact
+        -- BIGINT inputs, one IEEE square + divide), then quantizes to
+        -- micro-units BEFORE the cross-group sum so summation order
+        -- can never flip a ulp.
+        SELECT CAST(round(1e6 *
+                 (3.0 * CAST((s2_g - n_g * (n + 1)) AS DOUBLE)
+                      * CAST((s2_g - n_g * (n + 1)) AS DOUBLE))
+                 / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * (n + 1))
+               ) AS BIGINT) AS h_e6
+        FROM grp, tot
+    )
+    SELECT n, k, CAST(k - 1 AS BIGINT) AS df,
+           round(CAST(SUM(h_e6) AS BIGINT) / 1e6, 4) AS h_stat,
+           round((CAST(SUM(h_e6) AS BIGINT) / 1e6)
+                 / (1 - CAST(tie3 AS DOUBLE)
+                        / (pow(CAST(n AS DOUBLE), 3) - CAST(n AS DOUBLE))), 4)
+             AS h_tie_corrected
+    FROM contrib, tot
+    GROUP BY n, k, tie3
+    """,
+    tags=("stats", "agg", "window"),
+    doc=(
+        "Kruskal-Wallis H (1952): the rank-based one-way ANOVA across "
+        "ALL event types at once — does at least one type's value "
+        "distribution differ?  Generalizes stats_mann_whitney_u's "
+        "doubled-rank machinery (r2 = 2*below + ties + 1 keeps average "
+        "ranks integer) from 2 groups to k: one scan to (value-cents, "
+        "type) grain, the rank window runs over the VALUE grain (a "
+        "bounded cents domain that saturates with SF — the MWU/Spearman "
+        "precedent), and H = 3/(N(N+1)) * sum_g (S2_g - n_g(N+1))^2 / "
+        "n_g from exact integer rank sums, with each group's term "
+        "quantized to micro-units before the k-term sum and the exact "
+        "tie correction 1 - sum(t^3-t)/(N^3-N) applied once."
+    ),
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    vt = (
+        e.groupBy(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # value-grain + rank window both re-consume
+    )
+    vv = vt.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = vv.select(
+        "v",
+        "t",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1).alias("r2"),
+    )
+    grp = (
+        vt.join(ranked, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("s2_g"),
+        )
+    )
+    tie3 = vv.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3")
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).crossJoin(F.broadcast(tie3))
+    diff = (F.col("s2_g") - F.col("n_g") * (F.col("n") + 1)).cast("double")
+    contrib = grp.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k",
+        "tie3",
+        F.round(
+            1e6
+            * (3.0 * diff * diff)
+            / (
+                F.col("n_g").cast("double")
+                * F.col("n").cast("double")
+                * (F.col("n") + 1)
+            )
+        )
+        .cast("long")
+        .alias("h_e6"),
+    )
+    h = (F.sum("h_e6").cast("long") / 1e6)
+    return contrib.groupBy("n", "k", "tie3").agg(
+        F.round(h, 4).alias("h_stat"),
+        F.round(
+            h
+            / (
+                1
+                - F.col("tie3").cast("double")
+                / (F.pow(F.col("n").cast("double"), 3) - F.col("n").cast("double"))
+            ),
+            4,
+        ).alias("h_tie_corrected"),
+    ).select(
+        "n",
+        "k",
+        (F.col("k") - 1).cast("long").alias("df"),
+        "h_stat",
+        "h_tie_corrected",
+    )

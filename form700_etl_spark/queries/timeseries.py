@@ -803,3 +803,222 @@ def timeseries_theil_sen_slope(spark, sf_dir):
             "sen_slope_dollars"
         ),
     )
+
+
+_ACF_MAX_LAG = 10
+
+
+@register(
+    "timeseries_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM daily),
+    spine AS (
+        SELECT CAST(d0.day AS BIGINT) - (SELECT lo FROM bounds) AS t,
+               COALESCE(d.x, 0) AS x
+        FROM (SELECT unnest(range((SELECT lo FROM bounds),
+                                  (SELECT hi FROM bounds) + 1)) AS day) d0
+        LEFT JOIN daily d ON d.t = d0.day
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s FROM spine),
+    centered AS (
+        SELECT t, CAST(n * x - s AS BIGINT) AS c FROM spine, tot
+    ),
+    den AS (
+        SELECT SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS d2
+        FROM centered
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    num AS (
+        SELECT l.lag,
+               SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM lags l
+        JOIN centered a ON TRUE
+        JOIN centered b ON b.t = a.t + CAST(l.lag AS BIGINT)
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           round(CAST(n2 AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS acf
+    FROM num, den ORDER BY lag
+    """,
+    tags=("timeseries", "stats"),
+    doc=(
+        "Autocorrelation function of daily order revenue at lags 1-10 "
+        "(Box-Jenkins model identification: the seasonality/memory "
+        "diagnostic): r_k = sum (x_t - mean)(x_t+k - mean) / sum "
+        "(x_t - mean)^2 over the zero-filled day spine — the GLOBAL-"
+        "mean, fixed-denominator estimator, distinct from the per-lag "
+        "Pearson of timeseries_cross_correlation_lag.  The fact "
+        "aggregates to day grain ONCE (the only scan that touches raw "
+        "rows at 100 TB); everything after runs on the checkpointed "
+        "calendar-bounded spine.  Exactness: centering is cleared of "
+        "division by multiplying through by n (c_t = n*x_t - S, an "
+        "exact BIGINT), products/sums ride decimal(38)/HUGEINT, and "
+        "each r_k is ONE division of identical integers-as-doubles."
+    ),
+)
+def timeseries_acf(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("x"))
+        # day grain; bounds + the spine join + totals all re-consume it,
+        # so the fact scans ONCE, not once per consumer
+        .localCheckpoint()
+    )
+    bounds = daily.agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")
+    )
+    spine = (
+        F.broadcast(bounds)
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"), "lo")
+        .join(daily, F.col("d") == F.col("t"), "left")
+        .select(
+            (F.col("d") - F.col("lo")).alias("t"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    tot = spine.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    centered = (
+        spine.crossJoin(F.broadcast(tot))
+        .select("t", (F.col("n") * F.col("x") - F.col("s")).alias("c"))
+        .localCheckpoint()  # den + both join sides re-consume it
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
+    den = centered.agg(
+        F.sum(dec("c") * dec("c")).alias("d2")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = centered.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = centered.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    num = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(dec("ca") * dec("cb")).alias("n2"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.col("n2").cast("double") / F.col("d2").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "intervals_merge_overlaps",
+    oracle="""
+    WITH iv AS (
+        SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS lo,
+               CAST(l_shipdate AS DATE) + 3 AS hi
+        FROM lineitem WHERE l_suppkey % 10 = 0
+    ),
+    flagged AS (
+        SELECT s, lo, hi,
+               CASE WHEN lo > MAX(hi) OVER (
+                        PARTITION BY s ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT s, lo, hi,
+               SUM(new_island) OVER (
+                   PARTITION BY s ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT CAST(s AS BIGINT) AS suppkey,
+           strftime(MIN(lo), '%Y-%m-%d') AS busy_from,
+           strftime(MAX(hi), '%Y-%m-%d') AS busy_until,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(date_diff('day', MIN(lo), MAX(hi)) + 1 AS BIGINT) AS span_days
+    FROM islands
+    GROUP BY s, island
+    ORDER BY suppkey, busy_from
+    """,
+    tags=("timeseries", "window", "interval"),
+    doc=(
+        "Overlapping-interval coalescing (gaps-and-islands): merge each "
+        "sampled supplier's 3-day shipment handling windows into "
+        "maximal disjoint intervals — the interval-union operator "
+        "Spark/SQL lack natively (calendar consolidation, downtime "
+        "merging, session stitching at day grain).  Islands via the "
+        "running-max trick: a row opens a new island iff its start "
+        "exceeds MAX(end) over all preceding rows in (start, end) "
+        "order; the island id is then a running sum of those flags and "
+        "one hash agg per (supplier, island) emits the merged spans.  "
+        "Both windows partition BY SUPPLIER — per-partition work is the "
+        "supplier's own shipment count, so the plan is a filter + two "
+        "partitioned windows + one agg, no self-join and nothing "
+        "global, at any corpus size.  Dates stay dates; span arithmetic "
+        "is exact integer days."
+    ),
+)
+def intervals_merge_overlaps(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 10 == 0)
+    iv = li.select(
+        F.col("l_suppkey").alias("s"),
+        F.to_date("l_shipdate").alias("lo"),
+        F.date_add(F.to_date("l_shipdate"), 3).alias("hi"),
+    )
+    order = W.partitionBy("s").orderBy("lo", "hi")
+    prev_max = F.max("hi").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "s",
+        "lo",
+        "hi",
+        F.when(F.col("lo") > prev_max, 1).otherwise(0).alias("new_island"),
+    )
+    islands = flagged.select(
+        "s",
+        "lo",
+        "hi",
+        F.sum("new_island")
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("s", "island")
+        .agg(
+            F.date_format(F.min("lo"), "yyyy-MM-dd").alias("busy_from"),
+            F.date_format(F.max("hi"), "yyyy-MM-dd").alias("busy_until"),
+            F.count(F.lit(1)).cast("long").alias("n_shipments"),
+            (F.datediff(F.max("hi"), F.min("lo")) + 1)
+            .cast("long")
+            .alias("span_days"),
+        )
+        .select(
+            F.col("s").cast("long").alias("suppkey"),
+            "busy_from",
+            "busy_until",
+            "n_shipments",
+            "span_days",
+        )
+        .orderBy("suppkey", "busy_from")
+    )

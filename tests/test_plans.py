@@ -760,3 +760,36 @@ def test_clustering_coeff_wedge_join_stays_hashed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_acf_runs_entirely_on_checkpointed_spine(spark, sf_dir):
+    """Past the two checkpoints (day-grain agg, centered spine) the ACF
+    plan never rescans parquet; the only nested-loop nodes are the
+    broadcast 1-row combines (lags x spine, denominator joinback)."""
+    plan = plan_of(spark, sf_dir, "timeseries_acf")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kruskal_wallis_single_scan_one_value_grain_window(spark, sf_dir):
+    """The rank window must run over the checkpointed (value, type)
+    grain — never raw events — and there is exactly ONE window in the
+    whole plan (the MWU/Spearman bounded-domain precedent)."""
+    plan = plan_of(spark, sf_dir, "stats_kruskal_wallis")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("+- Window (") == 1, plan
+
+
+def test_interval_merge_two_partitioned_windows_no_join(spark, sf_dir):
+    """Gaps-and-islands is one scan + two supplier-partitioned windows
+    + one agg: no self-join, no global (unpartitioned) window."""
+    plan = plan_of(spark, sf_dir, "intervals_merge_overlaps")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert plan.count("+- Window (") == 2, plan
+    assert "Join" not in plan, plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.lstrip().startswith("s#"), spec
