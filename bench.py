@@ -201,6 +201,8 @@ HEADLINE = [
     "timeseries_acf",
     "stats_kruskal_wallis",
     "intervals_merge_overlaps",
+    # round-6 fifteenth wave flagship: broadcast-centers Lloyd k-means.
+    "embedding_kmeans_lloyd",
 ]
 
 

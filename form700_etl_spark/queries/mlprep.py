@@ -386,3 +386,173 @@ def embedding_pca_project(spark, sf_dir):
     from ..operators.pca import pca_project
 
     return pca_project(table(spark, sf_dir, "embeddings"), k=2)
+
+
+# ------------------------------------------------- k-means (Lloyd)
+
+_KM_K = 8
+_KM_ITERS = 3  # assignment layers; updates run after the first two
+_KM_DIMS = 64
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as MATERIALIZED CTE layers (the
+    PageRank/k-core oracle pattern): each assignment layer scores every
+    point against the previous centroid set and keeps the row_number-1
+    row per point; each update layer re-aggregates per-dim sums."""
+    layers = []
+    prev = "c0"
+    for r in range(1, _KM_ITERS + 1):
+        layers.append(f"""
+    a{r} AS MATERIALIZED (
+        SELECT vec_id, j, dist FROM (
+            SELECT vec_id, j, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, j) AS rn
+            FROM (
+                SELECT q.vec_id, c.j,
+                       CAST(SUM((c.n * q.xq[CAST(d.i AS INT)]
+                                 - c.s[CAST(d.i AS INT)])
+                                * (c.n * q.xq[CAST(d.i AS INT)]
+                                   - c.s[CAST(d.i AS INT)])) AS DOUBLE)
+                         / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE))
+                         AS dist
+                FROM q CROSS JOIN {prev} c CROSS JOIN dims d
+                GROUP BY q.vec_id, c.j, c.n
+            )
+        ) WHERE rn = 1
+    )""")
+        if r < _KM_ITERS:
+            layers.append(f"""
+    cn{r} AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n
+              FROM a{r} GROUP BY j),
+    cu{r} AS (
+        SELECT a.j, d.i AS i,
+               CAST(SUM(q.xq[CAST(d.i AS INT)]) AS BIGINT) AS sd
+        FROM a{r} a JOIN q USING (vec_id) CROSS JOIN dims d
+        GROUP BY a.j, d.i
+    ),
+    c{r} AS MATERIALIZED (
+        SELECT p.j, COALESCE(u.n, p.n) AS n, COALESCE(u.s, p.s) AS s
+        FROM {prev} p LEFT JOIN (
+            SELECT cu.j, cn.n, list(cu.sd ORDER BY cu.i) AS s
+            FROM cu{r} cu JOIN cn{r} cn USING (j)
+            GROUP BY cu.j, cn.n
+        ) u ON p.j = u.j
+    )""")
+            prev = f"c{r}"
+    layers_sql = ",".join(layers)
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {_KM_DIMS + 1})) AS i),
+    c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j,
+               CAST(1 AS BIGINT) AS n, xq AS s
+        FROM (SELECT vec_id, xq FROM q ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {layers_sql}
+    SELECT CAST(j AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS size,
+           round(SUM(CAST(round(dist) AS BIGINT)) / 1e6, 6) AS inertia
+    FROM a{_KM_ITERS} GROUP BY j ORDER BY cluster
+    """
+
+
+@register(
+    "embedding_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    tags=("mlprep", "similarity", "iterative"),
+    doc=(
+        f"Distributed Lloyd k-means (k={_KM_K}, {_KM_ITERS} assignment "
+        "rounds, deterministic first-k-by-id init) over the embedding "
+        "corpus — the clustering primitive under SemDeDup-style "
+        "semantic dedup and domain-mixture curation (Abbas et al. "
+        "2023).  Spark-first shape: centroids are BOUNDED state (k x "
+        "(1+d) integers), so each round collects them to the driver "
+        "and embeds them as literals — assignment is then a pure "
+        "SCAN-SIDE expression (zip_with + aggregate over the quantized "
+        "vector), exactly MLlib's broadcast-centers pattern: zero "
+        "shuffle for assignment, ONE map-side-combined hash agg for "
+        "the update, per round.  Exactness: vectors quantize to e3 "
+        "integers; centroids stay exact rationals (sum-vector, count) "
+        "so distances compare as A_j/n_j^2 on identical doubles with "
+        "id tie-break — no float accumulation anywhere; empty clusters "
+        "deterministically carry the previous centroid.  Inertia "
+        "quantizes per point before the sum.  Oracle replays all "
+        "layers as unrolled MATERIALIZED CTEs."
+    ),
+)
+def embedding_kmeans_lloyd(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            ).alias("xq"),
+        )
+        # every assignment round + both update aggs re-consume it
+        .localCheckpoint()
+    )
+    init = q.orderBy("vec_id").limit(_KM_K).collect()
+    centroids = {
+        j: (1, list(r["xq"])) for j, r in enumerate(init)
+    }
+
+    def assign(cents):
+        choices = []
+        for j in sorted(cents):
+            n, s = cents[j]
+            s_arr = F.array(*[F.lit(int(v)) for v in s])
+            diff = F.zip_with(
+                "xq", s_arr, lambda x, sv: F.lit(n).cast("long") * x - sv
+            )
+            a_sq = F.aggregate(
+                diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            )
+            choices.append(
+                F.struct(
+                    (a_sq.cast("double") / float(n * n)).alias("dist"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+            )
+        m = F.array_min(F.array(*choices))
+        return q.select(
+            "vec_id", "xq", m["dist"].alias("dist"), m["j"].alias("j")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(_KM_ITERS - 1):
+        upd = (
+            assigned.groupBy("j")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[
+                    F.sum(F.element_at("xq", i + 1)).cast("long").alias(f"s{i}")
+                    for i in range(_KM_DIMS)
+                ],
+            )
+            .collect()
+        )
+        new = dict(centroids)  # empty clusters carry forward
+        for r in upd:
+            new[r["j"]] = (r["n"], [r[f"s{i}"] for i in range(_KM_DIMS)])
+        centroids = new
+        assigned = assign(centroids)
+    return (
+        assigned.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.round(F.sum(F.round("dist").cast("long")) / 1e6, 6).alias(
+                "inertia"
+            ),
+        )
+        .select(F.col("j").alias("cluster"), "size", "inertia")
+        .orderBy("cluster")
+    )

@@ -793,3 +793,15 @@ def test_interval_merge_two_partitioned_windows_no_join(spark, sf_dir):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.lstrip().startswith("s#"), spec
+
+
+def test_kmeans_assignment_is_scan_side(spark, sf_dir):
+    """Lloyd assignment must be a pure projection over the checkpointed
+    quantized vectors (broadcast-centers-as-literals): the final-round
+    plan has NO join and NO window — just the scan, the distance
+    expressions, and one hash agg."""
+    plan = plan_of(spark, sf_dir, "embedding_kmeans_lloyd")
+    assert "Join" not in plan, plan
+    assert plan.count("+- Window (") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan

@@ -108,6 +108,10 @@ PROBE_QUERIES = [
     # (~2x), not 10x.  Per-round/wedge cost is what the probe measures.
     "graph_kcore_peel_profile",
     "graph_local_clustering_coeff",
+    # round-6 fifteenth wave: Lloyd k-means (embeddings 10x; per-round
+    # cost is one scan-side assignment + one hash agg, so wall should
+    # track corpus size ~linearly)
+    "embedding_kmeans_lloyd",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
