@@ -203,6 +203,12 @@ HEADLINE = [
     "intervals_merge_overlaps",
     # round-6 fifteenth wave flagship: broadcast-centers Lloyd k-means.
     "embedding_kmeans_lloyd",
+    # round-6 sixteenth wave: nearest as-of, classifier agreement,
+    # variance homogeneity, Markov steady state.
+    "asof_nearest_purchase_per_event",
+    "stats_cohens_kappa_langid",
+    "stats_brown_forsythe",
+    "events_markov_stationary",
 ]
 
 

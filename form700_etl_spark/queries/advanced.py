@@ -2110,3 +2110,265 @@ def stats_kruskal_wallis(spark, sf_dir):
         "h_stat",
         "h_tie_corrected",
     )
+
+
+@register(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH vt AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM vt GROUP BY g),
+    cum AS (
+        SELECT vt.g, vt.v, vt.c, nt.n_g,
+               SUM(vt.c) OVER (PARTITION BY vt.g ORDER BY vt.v) AS cm
+        FROM vt JOIN nt ON vt.g = nt.g
+    ),
+    med AS (
+        -- doubled median (lo-middle + hi-middle) stays exact integer
+        SELECT g,
+               MIN(CASE WHEN cm >= (n_g + 1) // 2 THEN v END)
+               + MIN(CASE WHEN cm >= (n_g + 2) // 2 THEN v END) AS med2
+        FROM cum GROUP BY g
+    ),
+    z AS (
+        SELECT vt.g, abs(2 * vt.v - med.med2) AS z2, vt.c
+        FROM vt JOIN med ON vt.g = med.g
+    ),
+    grp AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+               CAST(SUM(c * z2) AS BIGINT) AS s_g,
+               CAST(SUM(CAST(c AS HUGEINT) * z2 * z2) AS HUGEINT) AS ss_g
+        FROM z GROUP BY g
+    ),
+    pieces AS (
+        -- b_g = S_g^2/n_g quantized to the integer grid BEFORE the
+        -- cross-group sum (identical doubles both engines; summation
+        -- order can never flip a ulp)
+        SELECT CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                          / CAST(n_g AS DOUBLE)) AS BIGINT) AS b_g,
+               CAST(ss_g AS BIGINT) AS ss_g, n_g, s_g
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(b_g) AS BIGINT) AS b1,
+               CAST(SUM(ss_g) AS BIGINT) AS ss
+        FROM pieces
+    )
+    SELECT n, k, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+           round(((CAST(b1 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - CAST(b1 AS DOUBLE)) / (n - k)),
+                 6) AS f_stat
+    FROM tot
+    """,
+    tags=("stats", "agg", "window"),
+    doc=(
+        "Brown-Forsythe test (1974; the robust median-based Levene): "
+        "homogeneity of variance across ALL event types — the "
+        "precondition check for the pooled-variance ANOVA.  Per-group "
+        "medians come from the value-grain cumulative window using the "
+        "DOUBLED median (lo-middle + hi-middle, exact integer — no "
+        "float interpolation); spreads z = |2v - med2| stay integers, "
+        "so the one-way ANOVA on spreads runs on exact integer "
+        "moments (HUGEINT/decimal squared sums), with each group's "
+        "S_g^2/n_g term quantized to the integer grid before the "
+        "k-term sum.  One scan to (type, cents) grain; every window "
+        "and join after it is bounded by the saturating value domain."
+    ),
+)
+def stats_brown_forsythe(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    vt = (
+        e.groupBy(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # median window + spread join both re-consume
+    )
+    nt = vt.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    wcum = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = vt.join(F.broadcast(nt), "g").select(
+        "g", "v", "c", "n_g", F.sum("c").over(wcum).alias("cm")
+    )
+    med = cum.groupBy("g").agg(
+        (
+            F.min(F.when(F.col("cm") >= F.expr("(n_g + 1) div 2"), F.col("v")))
+            + F.min(F.when(F.col("cm") >= F.expr("(n_g + 2) div 2"), F.col("v")))
+        ).alias("med2")
+    )
+    z = vt.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("med2")).alias("z2"), "c"
+    )
+    grp = z.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * F.col("z2")).cast("long").alias("s_g"),
+        F.sum(
+            (F.col("c") * F.col("z2") * F.col("z2")).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("ss_g"),
+    )
+    pieces = grp.select(
+        F.round(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        .cast("long")
+        .alias("b_g"),
+        "ss_g",
+        "n_g",
+        "s_g",
+    )
+    tot = pieces.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("b_g").cast("long").alias("b1"),
+        F.sum("ss_g").cast("long").alias("ss"),
+    )
+    between = (
+        F.col("b1").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("k") - 1)
+    within = (F.col("ss").cast("double") - F.col("b1").cast("double")) / (
+        F.col("n") - F.col("k")
+    )
+    return tot.select(
+        "n",
+        "k",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(between / within, 6).alias("f_stat"),
+    )
+
+
+_MARKOV_ROUNDS = 6
+
+
+def _markov_oracle() -> str:
+    layers = []
+    prev = "pi0"
+    for r in range(1, _MARKOV_ROUNDS + 1):
+        layers.append(f"""
+    pi{r} AS MATERIALIZED (
+        SELECT t.next_type AS event_type,
+               CAST(SUM(CAST(round(CAST(p.p_e9 AS DOUBLE) * t.n
+                                   / z.n_from) AS BIGINT)) AS BIGINT) AS p_e9
+        FROM trans t
+        JOIN totals z ON t.event_type = z.event_type
+        JOIN {prev} p ON t.event_type = p.event_type
+        GROUP BY t.next_type
+    )""")
+        prev = f"pi{r}"
+    layers_sql = ",".join(layers)
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS MATERIALIZED (
+        SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    totals AS MATERIALIZED (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM trans GROUP BY event_type
+    ),
+    pi0 AS MATERIALIZED (
+        SELECT event_type,
+               CAST(1000000000 // (SELECT COUNT(*) FROM totals) AS BIGINT)
+                 AS p_e9
+        FROM totals
+    ),
+    {layers_sql}
+    SELECT event_type,
+           round(CAST(p_e9 AS DOUBLE)
+                 / (SELECT CAST(SUM(p_e9) AS DOUBLE) FROM {prev}), 6)
+             AS pi_stationary
+    FROM {prev} ORDER BY event_type
+    """
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    tags=("events", "stats", "iterative"),
+    doc=(
+        f"Stationary distribution of the user event-type Markov chain "
+        f"by {_MARKOV_ROUNDS} power-iteration rounds over the "
+        "transition matrix of events_type_transition_matrix — where "
+        "does a long random session spend its time, the steady-state "
+        "companion to the one-step matrix.  The chain state is k "
+        "values and the matrix k^2 rows (k = event types), so after "
+        "ONE corpus-scale lead() window + hash agg builds the counts, "
+        "every iteration is a k^2-row join — the PageRank shape with a "
+        "bounded graph.  Determinism: probabilities live as e9 fixed-"
+        "point integers, each term pi_i * n_ij / n_from_i quantizes "
+        "BEFORE the per-state sum (exact BIGINT accumulation), and the "
+        "final normalization divides once.  Oracle replays all rounds "
+        "as unrolled MATERIALIZED CTEs."
+    ),
+)
+def events_markov_stationary(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # every power-iteration round re-consumes it
+    )
+    totals = trans.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    tz = trans.join(F.broadcast(totals), "event_type").localCheckpoint()
+    k = tz.select("event_type").distinct().count()
+    pi = tz.select("event_type").distinct().select(
+        "event_type", F.lit(1000000000 // k).cast("long").alias("p_e9")
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        pi = (
+            tz.join(F.broadcast(pi), "event_type")
+            .select(
+                F.col("next_type").alias("event_type"),
+                F.round(
+                    F.col("p_e9").cast("double")
+                    * F.col("n")
+                    / F.col("n_from")
+                )
+                .cast("long")
+                .alias("term"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("term").cast("long").alias("p_e9"))
+            .localCheckpoint()
+        )
+    tot = pi.agg(F.sum("p_e9").cast("double").alias("z"))
+    return (
+        pi.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.round(F.col("p_e9").cast("double") / F.col("z"), 6).alias(
+                "pi_stationary"
+            ),
+        )
+        .orderBy("event_type")
+    )

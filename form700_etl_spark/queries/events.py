@@ -795,3 +795,104 @@ def events_burstiness_fano(spark, sf_dir):
         F.round(sd / nd, 6).alias("mean_per_user"),
         F.round(var / (sd / nd), 6).alias("fano_factor"),
     ).orderBy("event_type")
+
+
+@register(
+    "asof_nearest_purchase_per_event",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    back AS (
+        SELECT e.event_id, MAX(p.ts) AS b_ts
+        FROM events e JOIN purchases p
+          ON e.user_id = p.user_id AND p.ts <= e.ts
+        GROUP BY e.event_id
+    ),
+    fwd AS (
+        SELECT e.event_id, MIN(p.ts) AS f_ts
+        FROM events e JOIN purchases p
+          ON e.user_id = p.user_id AND p.ts >= e.ts
+        GROUP BY e.event_id
+    ),
+    pick AS (
+        SELECT e.event_id, e.user_id, e.event_type, e.ts,
+               CASE
+                 WHEN b.b_ts IS NULL THEN f.f_ts
+                 WHEN f.f_ts IS NULL THEN b.b_ts
+                 WHEN date_diff('second', b.b_ts, e.ts)
+                      <= date_diff('second', e.ts, f.f_ts) THEN b.b_ts
+                 ELSE f.f_ts
+               END AS p_ts
+        FROM events e
+        LEFT JOIN back b ON e.event_id = b.event_id
+        LEFT JOIN fwd f ON e.event_id = f.event_id
+    )
+    SELECT k.event_id, k.user_id, k.event_type,
+           CAST(p.purchase_id AS BIGINT) AS nearest_purchase_id,
+           CAST(date_diff('second', p.ts, k.ts) AS BIGINT) AS secs_offset
+    FROM pick k
+    LEFT JOIN purchases p ON p.user_id = k.user_id AND p.ts = k.p_ts
+    """,
+    tags=("asof", "join", "window"),
+    doc=(
+        "Nearest-direction as-of join (pandas merge_asof direction="
+        "'nearest'): each event matches its temporally CLOSEST purchase "
+        "by the same user, before OR after, ties to the backward side.  "
+        "Spark-first plan: still NO join — one shuffle by user_id and "
+        "two ordered windows (backward last(ignoreNulls) + forward "
+        "first(ignoreNulls) over the purchase markers pre-spread across "
+        "(user, ts) peers), then a scan-side nearest pick.  The "
+        "backward-only sibling is asof_last_purchase_per_event; this "
+        "variant is the semantics Spark lacks natively in either "
+        "direction.  The oracle replays it as bounded min/max "
+        "candidate joins."
+    ),
+)
+def asof_nearest_purchase_per_event(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    purchase_id_here = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    ).over(W.partitionBy("user_id", "ts"))
+    marked = e.withColumn("p_here", purchase_id_here)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    p_ts_col = F.when(F.col("p_here").isNotNull(), F.col("ts"))
+    cand = marked.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last("p_here", ignorenulls=True).over(wb).alias("b_id"),
+        F.last(p_ts_col, ignorenulls=True).over(wb).alias("b_ts"),
+        F.first("p_here", ignorenulls=True).over(wf).alias("f_id"),
+        F.first(p_ts_col, ignorenulls=True).over(wf).alias("f_ts"),
+    )
+    back_gap = F.col("ts").cast("long") - F.col("b_ts").cast("long")
+    fwd_gap = F.col("f_ts").cast("long") - F.col("ts").cast("long")
+    take_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return cand.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(take_back, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .cast("long")
+        .alias("nearest_purchase_id"),
+        F.when(take_back, back_gap)
+        .otherwise(-fwd_gap)
+        .cast("long")
+        .alias("secs_offset"),
+    )

@@ -2643,3 +2643,106 @@ def stats_zipf_slope(spark, sf_dir):
             (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "stats_cohens_kappa_langid",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr
+        FROM documents
+    ),
+    conf AS (
+        SELECT lang AS labeled_lang,
+               CASE greatest(s_en, s_es, s_de, s_fr)
+                    WHEN 0 THEN 'und'
+                    WHEN s_en THEN 'en'
+                    WHEN s_es THEN 'es'
+                    WHEN s_de THEN 'de'
+                    ELSE 'fr' END AS predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM scores GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT labeled_lang AS cls, CAST(SUM(c) AS BIGINT) AS r
+               FROM conf GROUP BY 1),
+    cols_m AS (SELECT predicted_lang AS cls, CAST(SUM(c) AS BIGINT) AS k
+               FROM conf GROUP BY 1),
+    tot AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM conf) AS n,
+               (SELECT CAST(COALESCE(SUM(CASE WHEN labeled_lang = predicted_lang
+                                              THEN c END), 0) AS BIGINT)
+                FROM conf) AS agree,
+               (SELECT CAST(SUM(rows_m.r * cols_m.k) AS BIGINT)
+                FROM rows_m JOIN cols_m ON rows_m.cls = cols_m.cls) AS pe_num
+    )
+    SELECT n, agree,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round(CAST(n * agree - pe_num AS DOUBLE)
+                 / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+    FROM tot
+    """,
+    tags=("stats", "text", "evaluation"),
+    doc=(
+        "Cohen's kappa (1960) for the language-ID heuristic against "
+        "the gold labels: chance-corrected agreement kappa = (N*agree "
+        "- sum_c row_c*col_c) / (N^2 - sum_c row_c*col_c) — the "
+        "classifier-evaluation scalar that the raw confusion matrix "
+        "(text_langid_confusion) doesn't give you, and the numerator/"
+        "denominator stay EXACT integers (one division at the end, "
+        "identical doubles both engines).  The confusion matrix is "
+        "class-grain (bounded), so everything after the one corpus "
+        "scan is dimension-sized; marginal products inner-join on the "
+        "class label (a class absent from either marginal contributes "
+        "zero)."
+    ),
+)
+def stats_cohens_kappa_langid(spark, sf_dir):
+    conf = (
+        text_langid_confusion(spark, sf_dir)
+        .select(
+            "labeled_lang", "predicted_lang", F.col("n").cast("long").alias("c")
+        )
+        .localCheckpoint()  # class-grain; 4 downstream consumers
+    )
+    rows_m = conf.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.sum("c").cast("long").alias("r")
+    )
+    cols_m = conf.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.sum("c").cast("long").alias("k")
+    )
+    pe = rows_m.join(cols_m, "cls").agg(
+        F.sum(F.col("r") * F.col("k")).cast("long").alias("pe_num")
+    )
+    tot = conf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("predicted_lang"), F.col("c")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        F.round(F.col("agree").cast("double") / F.col("n"), 6).alias("po"),
+        F.round(
+            F.col("pe_num").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("pe"),
+        F.round(
+            (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -805,3 +805,36 @@ def test_kmeans_assignment_is_scan_side(spark, sf_dir):
     assert plan.count("+- Window (") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_asof_nearest_has_no_join(spark, sf_dir):
+    """Nearest-direction as-of = one scan, one user-clustered exchange,
+    three windows (peer spread + backward + forward) — never a join."""
+    plan = plan_of(spark, sf_dir, "asof_nearest_purchase_per_event")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") // 2 == 1, plan
+
+
+def test_cohens_kappa_runs_on_checkpointed_confusion(spark, sf_dir):
+    """All four kappa consumers (marginals x2, totals, pe join) must
+    read the class-grain checkpoint, not re-scan documents."""
+    plan = plan_of(spark, sf_dir, "stats_cohens_kappa_langid")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_brown_forsythe_single_scan_one_group_window(spark, sf_dir):
+    """Median + spread passes re-consume the checkpointed (type, cents)
+    grain; exactly one (group-partitioned) cumulative window."""
+    plan = plan_of(spark, sf_dir, "stats_brown_forsythe")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("+- Window (") == 1, plan
+
+
+def test_markov_power_iteration_joins_stay_broadcast(spark, sf_dir):
+    """Each power-iteration round joins the k^2-row checkpointed matrix
+    with the k-row state — broadcast-only, no shuffle join, no parquet
+    rescans past the checkpoint."""
+    plan = plan_of(spark, sf_dir, "events_markov_stationary")
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
