@@ -209,6 +209,9 @@ HEADLINE = [
     "stats_cohens_kappa_langid",
     "stats_brown_forsythe",
     "events_markov_stationary",
+    # round-6 seventeenth wave: survival analysis + retention streaks.
+    "events_kaplan_meier_conversion",
+    "events_longest_daily_streak",
 ]
 
 

@@ -896,3 +896,225 @@ def asof_nearest_purchase_per_event(spark, sf_dir):
         .cast("long")
         .alias("secs_offset"),
     )
+
+
+@register(
+    "events_kaplan_meier_conversion",
+    oracle="""
+    WITH obs_end AS (SELECT MAX(ts) AS t_end FROM events),
+    users AS (
+        SELECT user_id, MIN(ts) AS t_entry,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+        FROM events GROUP BY user_id
+    ),
+    durations AS (
+        SELECT CASE WHEN t_purch IS NOT NULL
+                    THEN date_diff('day', t_entry, t_purch)
+                    ELSE date_diff('day', t_entry, (SELECT t_end FROM obs_end))
+               END AS t,
+               CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM users
+    ),
+    grain AS (
+        SELECT CAST(t AS BIGINT) AS t,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM durations GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d, c,
+               (SELECT CAST(SUM(d + c) AS BIGINT) FROM grain)
+                 - (SUM(d + c) OVER (ORDER BY t) - (d + c)) AS n_risk
+        FROM grain
+    ),
+    terms AS (
+        -- ln on identical doubles, quantized to nano-units BEFORE the
+        -- cumulative sum (the MI/Adamic-Adar determinism idiom); a
+        -- d = n_risk step drives survival to exactly 0 afterwards.
+        SELECT t, d, c, n_risk,
+               CASE WHEN d = 0 THEN 0
+                    WHEN d < n_risk
+                    THEN CAST(round(1e9 * ln(1 - CAST(d AS DOUBLE) / n_risk))
+                              AS BIGINT)
+                    ELSE 0 END AS lns_e9,
+               CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dies_out,
+               CAST(round(1e9 * (CAST(d AS DOUBLE) / n_risk)) AS BIGINT)
+                 AS haz_e9
+        FROM risk
+    )
+    SELECT t, n_risk, d AS d_events, c AS c_censored,
+           round(CASE WHEN MAX(dies_out) OVER w = 1 THEN 0.0
+                      ELSE exp(CAST(SUM(lns_e9) OVER w AS DOUBLE) / 1e9)
+                 END, 6) AS survival,
+           round(CAST(SUM(haz_e9) OVER w AS DOUBLE) / 1e9, 6)
+             AS cum_hazard
+    FROM terms
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t
+    """,
+    tags=("events", "stats", "window"),
+    doc=(
+        "Kaplan-Meier time-to-conversion curve + Nelson-Aalen "
+        "cumulative hazard (Kaplan & Meier 1958; Aalen 1978): per user, "
+        "duration = days from first event to first purchase, censored "
+        "at the corpus observation end for never-purchasers; S(t) = "
+        "prod(1 - d_s/n_s), H(t) = sum d_s/n_s over event times <= t.  "
+        "The survival-analysis primitive product analytics builds "
+        "churn/conversion reporting on.  One user-grain hash agg is "
+        "the only corpus-scale pass; the KM product runs over the "
+        "DURATION grain (bounded by the calendar) as exp(cumsum(ln)) "
+        "with per-term nano-quantization so cross-row float order "
+        "can't flip a ulp, and a d = n_risk absorbing step pins "
+        "survival to exact 0."
+    ),
+)
+def events_kaplan_meier_conversion(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    obs_end = e.agg(F.max("ts").alias("t_end"))
+    users = e.groupBy("user_id").agg(
+        F.min("ts").alias("t_entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purch"),
+    )
+    durations = users.crossJoin(F.broadcast(obs_end)).select(
+        F.when(
+            F.col("t_purch").isNotNull(),
+            F.datediff(F.to_date("t_purch"), F.to_date("t_entry")),
+        )
+        .otherwise(F.datediff(F.to_date("t_end"), F.to_date("t_entry")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("t_purch").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grain = (
+        durations.groupBy("t")
+        .agg(
+            F.sum("ev").cast("long").alias("d"),
+            F.sum(1 - F.col("ev")).cast("long").alias("c"),
+        )
+        .localCheckpoint()  # totals + the ordered window re-consume it
+    )
+    total = grain.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("tot"))
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = grain.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("tot")
+            - (F.sum(F.col("d") + F.col("c")).over(wcum) - (F.col("d") + F.col("c")))
+        ).alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    terms = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(1e9 * F.log(1 - frac)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("lns_e9"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("dies_out"),
+        F.round(1e9 * frac).cast("long").alias("haz_e9"),
+    )
+    return terms.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.round(
+            F.when(F.max("dies_out").over(wcum) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("lns_e9").over(wcum).cast("double") / 1e9)
+            ),
+            6,
+        ).alias("survival"),
+        F.round(F.sum("haz_e9").over(wcum).cast("double") / 1e9, 6).alias(
+            "cum_hazard"
+        ),
+    ).orderBy("t")
+
+
+@register(
+    "events_longest_daily_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(d) AS s_start
+        FROM islands GROUP BY user_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           MAX(len) AS longest_streak_days,
+           strftime(MIN(CASE WHEN len = best THEN s_start END), '%Y-%m-%d')
+             AS streak_start,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS best FROM streaks)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "window", "analytics"),
+    doc=(
+        "Longest consecutive-active-day streak per user (the retention "
+        "'islands' metric): dedup to (user, day) grain, then the "
+        "classic date-minus-row_number constant identifies each run of "
+        "consecutive days, one agg per (user, run) and one per user.  "
+        "Earliest start breaks ties between equal-length streaks.  "
+        "Everything partitions by user_id — a single user-clustered "
+        "exchange serves the row_number, the tie-break window, and "
+        "both aggs at any corpus size."
+    ),
+)
+def events_longest_daily_streak(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            "d",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("d"))
+            .cast("int"),
+        ).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("s_start"),
+    )
+    best = streaks.withColumn(
+        "best", F.max("len").over(W.partitionBy("user_id"))
+    )
+    return (
+        best.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak_days"),
+            F.date_format(
+                F.min(F.when(F.col("len") == F.col("best"), F.col("s_start"))),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "longest_streak_days",
+            "streak_start",
+            "n_streaks",
+            "active_days",
+        )
+        .orderBy("user_id")
+    )

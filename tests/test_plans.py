@@ -838,3 +838,26 @@ def test_markov_power_iteration_joins_stay_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_markov_stationary")
     assert "Scan parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kaplan_meier_windows_run_on_duration_grain(spark, sf_dir):
+    """The KM/NA cumulative windows must consume the checkpointed
+    duration grain (calendar-bounded), never user- or event-grain rows;
+    only broadcast 1-row combines allowed."""
+    plan = plan_of(spark, sf_dir, "events_kaplan_meier_conversion")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_streaks_all_windows_partition_by_user(spark, sf_dir):
+    """Every window in the streak plan partitions by user_id — no
+    global sort anywhere."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "events_longest_daily_streak")
+    assert "Join" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert spec.lstrip().startswith("user_id#"), spec
