@@ -212,6 +212,8 @@ HEADLINE = [
     # round-6 seventeenth wave: survival analysis + retention streaks.
     "events_kaplan_meier_conversion",
     "events_longest_daily_streak",
+    # round-6 eighteenth wave: Gram-free distributed power iteration.
+    "embedding_power_iteration_top_pc",
 ]
 
 

@@ -556,3 +556,166 @@ def embedding_kmeans_lloyd(spark, sf_dir):
         .select(F.col("j").alias("cluster"), "size", "inertia")
         .orderBy("cluster")
     )
+
+
+# ------------------------------------- distributed power iteration
+
+_PI_ROUNDS = 12
+_PI_DIMS = 64
+
+
+def _power_iter_oracle() -> str:
+    """Unrolled power-iteration layers over the centered second-moment
+    operator: each round computes Yv row-wise, z = Y^T(Yv) per dim,
+    then renormalizes through the max-scaled e6 grid."""
+    layers = []
+    prev = "v0"
+    for r in range(1, _PI_ROUNDS + 1):
+        layers.append(f"""
+    yv{r} AS MATERIALIZED (
+        SELECT y.vec_id,
+               CAST(SUM(y.yd * v.val) AS BIGINT) AS s
+        FROM y JOIN {prev} v ON y.i = v.i
+        GROUP BY y.vec_id
+    ),
+    z{r} AS MATERIALIZED (
+        SELECT y.i,
+               CAST(SUM(CAST(y.yd AS HUGEINT) * yv{r}.s) AS HUGEINT) AS z
+        FROM y JOIN yv{r} ON y.vec_id = yv{r}.vec_id
+        GROUP BY y.i
+    ),
+    m{r} AS (SELECT MAX(abs(z)) AS m FROM z{r}),
+    sc{r} AS MATERIALIZED (
+        SELECT i, CAST(round(1e6 * CAST(z AS DOUBLE)
+                             / (SELECT CAST(m AS DOUBLE) FROM m{r}))
+                       AS BIGINT) AS s
+        FROM z{r}
+    ),
+    n{r} AS (SELECT sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM sc{r}),
+    v{r} AS MATERIALIZED (
+        SELECT i, CAST(round(1e6 * CAST(s AS DOUBLE)
+                             / (SELECT nrm FROM n{r})) AS BIGINT) AS val
+        FROM sc{r}
+    )""")
+        prev = f"v{r}"
+    layers_sql = ",".join(layers)
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                 AS xq
+        FROM embeddings
+    ),
+    dims AS (SELECT CAST(unnest(range(1, {_PI_DIMS + 1})) AS INT) AS i),
+    stats AS MATERIALIZED (
+        SELECT d.i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q.xq[d.i]) AS BIGINT) AS sd
+        FROM q CROSS JOIN dims d GROUP BY d.i
+    ),
+    y AS MATERIALIZED (
+        -- centering cleared of division: yd = n*x - S_d, exact BIGINT
+        SELECT q.vec_id, st.i, CAST(st.n * q.xq[st.i] - st.sd AS BIGINT) AS yd
+        FROM q CROSS JOIN stats st
+    ),
+    v0 AS MATERIALIZED (
+        SELECT i, CAST(round(1000000.0 / sqrt({_PI_DIMS})) AS BIGINT) AS val
+        FROM dims
+    ),
+    {layers_sql}
+    SELECT CAST(i AS BIGINT) AS dim,
+           round(CAST(val AS DOUBLE) / 1e6, 6) AS loading
+    FROM {prev} ORDER BY dim
+    """
+
+
+@register(
+    "embedding_power_iteration_top_pc",
+    oracle=_power_iter_oracle(),
+    tags=("mlprep", "similarity", "iterative"),
+    doc=(
+        f"Top principal direction by {_PI_ROUNDS} distributed power-"
+        "iteration rounds (von Mises iteration) over the CENTERED "
+        "second-moment operator — the fully-distributed complement to "
+        "embedding_pca_covariance's Gram-partials + driver-eigh path: "
+        "the covariance matrix is never materialized; each round is "
+        "two corpus passes (row-wise Yv, then per-dim Y^T(Yv)) that "
+        "are plain map-side-combined hash aggs, so the method scales "
+        "to widths where the d x d Gram no longer fits anywhere.  "
+        "Exactness: centering multiplies through by n (yd = n*x_q - "
+        "S_d, exact BIGINT — the ACF trick), per-dim accumulations "
+        "ride HUGEINT/decimal(38), and each renormalization quantizes "
+        "through a max-scaled e6 grid so every division happens once "
+        "on identical doubles.  The d-vector state stays in "
+        "DataFrames end-to-end (no driver collect).  Validated "
+        "against the eigh path by a cosine-agreement law test."
+    ),
+)
+def embedding_power_iteration_top_pc(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("xq"),
+    )
+    exploded = q.select("vec_id", F.posexplode("xq").alias("i0", "x"))
+    stats = exploded.groupBy("i0").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sd"),
+    )
+    y = (
+        exploded.join(F.broadcast(stats), "i0")
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).cast("int").alias("i"),
+            (F.col("n") * F.col("x") - F.col("sd")).cast("long").alias("yd"),
+        )
+        .localCheckpoint()  # both per-round passes re-consume it
+    )
+    v = (
+        y.select("i")
+        .distinct()
+        .select(
+            "i",
+            F.lit(round(1e6 / (_PI_DIMS ** 0.5))).cast("long").alias("val"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    for _ in range(_PI_ROUNDS):
+        yv = (
+            y.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("yd") * F.col("val")).cast("long").alias("s"))
+        )
+        z = (
+            y.join(yv, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(dec("yd") * dec("s")).alias("z"))
+        )
+        m = z.agg(F.max(F.abs(F.col("z"))).alias("m"))
+        sc = z.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.round(
+                1e6 * F.col("z").cast("double") / F.col("m").cast("double")
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        nrm = sc.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("nrm")
+        )
+        v = (
+            sc.crossJoin(F.broadcast(nrm))
+            .select(
+                "i",
+                F.round(1e6 * F.col("s").cast("double") / F.col("nrm"))
+                .cast("long")
+                .alias("val"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("i").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") / 1e6, 6).alias("loading"),
+    ).orderBy("dim")

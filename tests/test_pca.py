@@ -76,3 +76,37 @@ def test_projection_deterministic_across_partitionings(spark, sf_dir):
     )
     assert np.allclose(a["pc1"], b["pc1"], atol=1e-8)
     assert np.allclose(a["pc2"], b["pc2"], atol=1e-8)
+
+
+def test_power_iteration_captures_top_eigenvalue(spark, sf_dir):
+    """The distributed power-iteration direction must capture >= 92% of
+    the top eigenvalue's variance (Rayleigh quotient vs eigh lambda_max).
+    The fixture spectrum is near-degenerate, so cosine-to-one-eigenvector
+    is ill-posed — RQ capture is the well-posed convergence law."""
+    import numpy as np
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.registry import all_queries
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    xq = np.round(X * 1000)
+    n = len(xq)
+    Y = n * xq - xq.sum(0)
+    C = Y.T @ Y
+    lam_max = np.linalg.eigvalsh(C)[-1]
+    rows = (
+        all_queries()["embedding_power_iteration_top_pc"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    v = v / np.linalg.norm(v)
+    assert v @ C @ v >= 0.92 * lam_max, (v @ C @ v) / lam_max

@@ -112,6 +112,9 @@ PROBE_QUERIES = [
     # cost is one scan-side assignment + one hash agg, so wall should
     # track corpus size ~linearly)
     "embedding_kmeans_lloyd",
+    # round-6 eighteenth wave: power iteration (embeddings 10x; per
+    # round two linear passes over the checkpointed N x d table)
+    "embedding_power_iteration_top_pc",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
