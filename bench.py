@@ -212,8 +212,10 @@ HEADLINE = [
     # round-6 seventeenth wave: survival analysis + retention streaks.
     "events_kaplan_meier_conversion",
     "events_longest_daily_streak",
-    # round-6 eighteenth wave: Gram-free distributed power iteration.
+    # round-6 eighteenth wave: Gram-free distributed power iteration
+    # and Kneser-Ney continuation-smoothed LM scoring.
     "embedding_power_iteration_top_pc",
+    "text_kneser_ney_nll",
 ]
 
 

@@ -2746,3 +2746,130 @@ def stats_cohens_kappa_langid(spark, sf_dir):
             6,
         ).alias("kappa"),
     )
+
+
+# Shared KN probability -> quantized micro-nat expression (valid in both
+# dialects; evaluated on identical doubles).  D = 0.75 (Kneser-Ney's
+# standard absolute discount); 1e-12 floors the never-seen-continuation
+# case.
+_KN_D = "0.75"
+_KN_NLL_SQL = (
+    "CAST(round(1000000 * -ln(greatest(CASE WHEN c_ctx IS NULL THEN "
+    "CAST(COALESCE(pc_num, 0) AS DOUBLE) / n_types "
+    "ELSE greatest(CAST(COALESCE(c_bg, 0) AS DOUBLE) - " + _KN_D + ", 0.0)"
+    " / CAST(c_ctx AS DOUBLE) + (" + _KN_D + " * CAST(n1p AS DOUBLE)"
+    " / CAST(c_ctx AS DOUBLE))"
+    " * (CAST(COALESCE(pc_num, 0) AS DOUBLE) / n_types) END, 1e-12)))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "text_kneser_ney_nll",
+    oracle=f"""
+    WITH split_docs AS (
+        SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, lang, split, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, lang, split, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM split_docs WHERE len(toks) >= 2
+        )
+    ),
+    lm AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg
+        FROM big WHERE split = 'train' GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx,
+               CAST(COUNT(*) AS BIGINT) AS n1p
+        FROM lm GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS pc_num FROM lm GROUP BY w2
+    ),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM lm),
+    scored AS (
+        SELECT b.doc_id, b.lang, {_KN_NLL_SQL} AS nll_micro
+        FROM big b
+        LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        LEFT JOIN ctx ON b.w1 = ctx.w1
+        LEFT JOIN cont ON b.w2 = cont.w2
+        CROSS JOIN types
+        WHERE b.split <> 'train'
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000, 6)
+             AS avg_nll
+    FROM scored GROUP BY doc_id, lang
+    """,
+    tags=("text", "pipeline", "evaluation"),
+    doc=(
+        "Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; "
+        "Chen & Goodman 1999), D = 0.75: P(w2|w1) = max(c12-D,0)/c1 + "
+        "(D*N1+(w1.)/c1) * N1+(.w2)/N1+(..) — the continuation-count "
+        "smoothing that CCNet-style add-one (text_bigram_lm_nll) "
+        "cannot express: a word seen often but only after one context "
+        "gets LOW continuation probability.  Same model-as-table "
+        "discipline: bigram/context/continuation counts are tables "
+        "built from ONE train pass (context and continuation re-"
+        "aggregate the bigram table, never the corpus), applied to "
+        "held-out bigrams with shuffle joins; per-bigram NLL evaluates "
+        "one shared expression on identical doubles and quantizes to "
+        "micro-nats before the per-doc sum."
+    ),
+)
+def text_kneser_ney_nll(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        _split_col("doc_id").alias("split"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    big = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "split", "bg.w1", "bg.w2")
+    )
+    lm = (
+        big.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+        .localCheckpoint()  # ctx, cont, types, and the apply join re-consume
+    )
+    ctx = lm.groupBy("w1").agg(
+        F.sum("c_bg").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = lm.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("pc_num"))
+    types = lm.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    scored = (
+        big.filter(F.col("split") != "train")
+        .join(lm, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", "lang", F.expr(_KN_NLL_SQL).alias("nll_micro"))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / 1000000, 6
+        ).alias("avg_nll"),
+    )

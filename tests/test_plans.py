@@ -861,3 +861,13 @@ def test_streaks_all_windows_partition_by_user(spark, sf_dir):
     assert specs, plan
     for spec in specs:
         assert spec.lstrip().startswith("user_id#"), spec
+
+
+def test_kneser_ney_model_tables_reaggregate_checkpoint(spark, sf_dir):
+    """Context/continuation/type counts must re-aggregate the
+    checkpointed bigram table — exactly ONE documents scan survives in
+    the plan (the eval-side bigram explode)."""
+    plan = plan_of(spark, sf_dir, "text_kneser_ney_nll")
+    assert plan.count("Scan parquet") // 2 == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
