@@ -216,6 +216,9 @@ HEADLINE = [
     # and Kneser-Ney continuation-smoothed LM scoring.
     "embedding_power_iteration_top_pc",
     "text_kneser_ney_nll",
+    # round-6 nineteenth wave: sketch set algebra + blocked interval join.
+    "sketch_kmv_set_ops",
+    "intervals_overlap_join",
 ]
 
 

@@ -12,6 +12,7 @@ carries the exact value alongside for sanity bounds, covered by tests.
 from __future__ import annotations
 
 import pandas as pd  # module scope: pandas_udf type hints resolve via module globals
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_sql
@@ -658,3 +659,214 @@ def sketch_kmv_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH du AS MATERIALIZED (
+        SELECT DISTINCT event_type AS t, user_id AS u FROM events
+    ),
+    hh AS (
+        SELECT DISTINCT t, {_kmv_hash48_sql("CAST(u AS VARCHAR)")} AS h
+        FROM du
+    ),
+    ranked AS (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+        FROM hh
+    ),
+    sk AS MATERIALIZED (SELECT t, h FROM ranked WHERE rk <= 64),
+    theta AS (SELECT t, MAX(h) AS u_k FROM sk GROUP BY t),
+    types AS (SELECT DISTINCT t FROM du),
+    pairs AS (SELECT a.t AS ta, b.t AS tb
+              FROM types a JOIN types b ON a.t < b.t),
+    common AS (
+        SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pairs p
+        JOIN sk x ON x.t = p.ta
+        JOIN sk y ON y.t = p.tb AND y.h = x.h
+        JOIN theta za ON za.t = p.ta
+        JOIN theta zb ON zb.t = p.tb
+        WHERE x.h <= LEAST(za.u_k, zb.u_k)
+        GROUP BY p.ta, p.tb
+    ),
+    unionk AS (
+        SELECT ta, tb, h,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+        FROM (SELECT DISTINCT p.ta, p.tb, s.h
+              FROM pairs p JOIN sk s ON s.t IN (p.ta, p.tb))
+    ),
+    uk AS (
+        SELECT ta, tb, MAX(CASE WHEN rk <= 64 THEN h END) AS u64,
+               CAST(COUNT(*) AS BIGINT) AS union_sz
+        FROM unionk GROUP BY ta, tb
+    ),
+    jac AS (
+        SELECT u.ta, u.tb, CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM unionk u
+        JOIN sk x ON x.t = u.ta AND x.h = u.h
+        JOIN sk y ON y.t = u.tb AND y.h = u.h
+        WHERE u.rk <= 64
+        GROUP BY u.ta, u.tb
+    ),
+    exact AS (
+        SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM pairs p
+        JOIN du a ON a.t = p.ta
+        JOIN du b ON b.t = p.tb AND b.u = a.u
+        GROUP BY p.ta, p.tb
+    ),
+    exsz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY t)
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           COALESCE(c.n_common, 0) AS k_common,
+           CAST(round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                      * 281474976710656.0
+                      / LEAST(za.u_k, zb.u_k)) AS BIGINT)
+             AS est_intersection,
+           CASE WHEN uk.union_sz < 64 THEN uk.union_sz
+                ELSE CAST(round(63.0 / (CAST(uk.u64 AS DOUBLE)
+                                        / 281474976710656.0)) AS BIGINT)
+           END AS est_union,
+           round(CAST(COALESCE(j.n_both, 0) AS DOUBLE)
+                 / LEAST(64, uk.union_sz), 6) AS est_jaccard,
+           COALESCE(e.exact_inter, 0) AS exact_intersection,
+           round(CAST(COALESCE(e.exact_inter, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(e.exact_inter, 0)), 6)
+             AS exact_jaccard
+    FROM pairs p
+    JOIN theta za ON za.t = p.ta
+    JOIN theta zb ON zb.t = p.tb
+    JOIN uk ON uk.ta = p.ta AND uk.tb = p.tb
+    LEFT JOIN common c ON c.ta = p.ta AND c.tb = p.tb
+    LEFT JOIN jac j ON j.ta = p.ta AND j.tb = p.tb
+    LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
+    JOIN exsz sa ON sa.t = p.ta
+    JOIN exsz sb ON sb.t = p.tb
+    ORDER BY type_a, type_b
+    """,
+    tags=("approx", "sketch", "scale"),
+    doc=(
+        "Theta-sketch-style SET OPERATIONS over KMV sketches (Beyer et "
+        "al. 2007; Dasgupta et al. 2016): for every event-type pair, "
+        "estimate |A intersect B| (common sketch hashes below theta = "
+        "min(u_k^A, u_k^B), scaled by 2^48/theta), |A union B| ((k-1)/"
+        "u_k of the merged k-min set), and Jaccard (k-min resemblance) "
+        "— the audience-overlap questions COUNT(DISTINCT) can't answer "
+        "compositionally.  Exact columns ride along as the fixture-"
+        "scale self-eval (the sketch_kmv_distinct precedent).  At "
+        "100 TB: ONE user-grain pass builds the per-segment sketches; "
+        "every pairwise estimate reads only k-row sketches — segment "
+        "algebra without rescanning raw data, which is the entire "
+        "point of sketch composability.  Hashes are md5-derived 48-bit "
+        "integers, so sketch contents AND estimates replay cell-exact."
+    ),
+)
+def sketch_kmv_set_ops(spark, sf_dir):
+    from ..operators.sketches import kmv_hash
+
+    e = table(spark, sf_dir, "events")
+    du = (
+        e.select(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        .distinct()
+        .localCheckpoint()  # sketch build + exact self-eval both consume
+    )
+    hh = du.select("t", kmv_hash(F.col("u")).alias("h")).distinct()
+    wk = W.partitionBy("t").orderBy("h")
+    sk = (
+        hh.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 64)
+        .select("t", "h")
+        .localCheckpoint()  # consumed by theta/common/unionk/jac
+    )
+    theta = sk.groupBy("t").agg(F.max("h").alias("u_k"))
+    types = du.select("t").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .localCheckpoint()
+    )
+    # (pair, member-type) mapping keeps the sketch join a HASH join
+    # (the SQL `IN (ta, tb)` form would go nested-loop in Spark)
+    pm = pairs.select(
+        "ta", "tb", F.explode(F.array("ta", "tb")).alias("t")
+    )
+    common = (
+        pairs.join(sk.select(F.col("t").alias("ta"), "h"), "ta")
+        .join(sk.select(F.col("t").alias("tb"), "h"), ["tb", "h"])
+        .join(F.broadcast(theta.select(F.col("t").alias("ta"), F.col("u_k").alias("uka"))), "ta")
+        .join(F.broadcast(theta.select(F.col("t").alias("tb"), F.col("u_k").alias("ukb"))), "tb")
+        .filter(F.col("h") <= F.least("uka", "ukb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    unionk = (
+        pm.join(sk, "t")
+        .select("ta", "tb", "h")
+        .distinct()
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("ta", "tb").orderBy("h"))
+        )
+        .localCheckpoint()
+    )
+    uk = unionk.groupBy("ta", "tb").agg(
+        F.max(F.when(F.col("rk") <= 64, F.col("h"))).alias("u64"),
+        F.count(F.lit(1)).cast("long").alias("union_sz"),
+    )
+    jac = (
+        unionk.filter(F.col("rk") <= 64)
+        .join(sk.select(F.col("t").alias("ta"), "h"), ["ta", "h"])
+        .join(sk.select(F.col("t").alias("tb"), "h"), ["tb", "h"])
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    exact = (
+        pairs.join(du.select(F.col("t").alias("ta"), "u"), "ta")
+        .join(du.select(F.col("t").alias("tb"), "u"), ["tb", "u"])
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    exsz = du.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        pairs.join(F.broadcast(theta.select(F.col("t").alias("ta"), F.col("u_k").alias("uka"))), "ta")
+        .join(F.broadcast(theta.select(F.col("t").alias("tb"), F.col("u_k").alias("ukb"))), "tb")
+        .join(uk, ["ta", "tb"])
+        .join(common, ["ta", "tb"], "left")
+        .join(jac, ["ta", "tb"], "left")
+        .join(exact, ["ta", "tb"], "left")
+        .join(F.broadcast(exsz.select(F.col("t").alias("ta"), F.col("n").alias("na"))), "ta")
+        .join(F.broadcast(exsz.select(F.col("t").alias("tb"), F.col("n").alias("nb"))), "tb")
+    )
+    n_common = F.coalesce("n_common", F.lit(0))
+    exact_inter = F.coalesce("exact_inter", F.lit(0))
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        n_common.cast("long").alias("k_common"),
+        F.round(
+            n_common.cast("double")
+            * 281474976710656.0
+            / F.least("uka", "ukb").cast("double")
+        )
+        .cast("long")
+        .alias("est_intersection"),
+        F.when(F.col("union_sz") < 64, F.col("union_sz"))
+        .otherwise(
+            F.round(
+                63.0 / (F.col("u64").cast("double") / 281474976710656.0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("est_union"),
+        F.round(
+            F.coalesce("n_both", F.lit(0)).cast("double")
+            / F.least(F.lit(64), F.col("union_sz")),
+            6,
+        ).alias("est_jaccard"),
+        exact_inter.cast("long").alias("exact_intersection"),
+        F.round(
+            exact_inter.cast("double")
+            / (F.col("na") + F.col("nb") - exact_inter),
+            6,
+        ).alias("exact_jaccard"),
+    ).orderBy("type_a", "type_b")

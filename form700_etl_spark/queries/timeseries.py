@@ -1022,3 +1022,87 @@ def intervals_merge_overlaps(spark, sf_dir):
         )
         .orderBy("suppkey", "busy_from")
     )
+
+
+@register(
+    "intervals_overlap_join",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+               CAST(o_orderdate AS DATE) + 6 AS hi
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    b AS (
+        SELECT l_orderkey * 10 + l_linenumber AS b_id, l_suppkey,
+               CAST(l_shipdate AS DATE) AS lo,
+               CAST(l_shipdate AS DATE) + 3 AS hi
+        FROM lineitem WHERE l_suppkey % 25 = 0
+    )
+    SELECT a.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping,
+           CAST(COUNT(DISTINCT b.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(MIN(b.b_id) AS BIGINT) AS first_b_id
+    FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+    GROUP BY a.o_orderkey
+    ORDER BY a.o_orderkey
+    """,
+    tags=("join", "interval", "scale"),
+    doc=(
+        "Interval OVERLAP join (the general two-set companion to "
+        "range_join/band_join/asof): every sampled order week is "
+        "matched with every supplier handling window it overlaps.  "
+        "Spark-first: both sides explode to the 7-day grid buckets "
+        "they COVER (a week-long interval touches <= 2 buckets, a "
+        "4-day one <= 2), the candidate join is a plain EQUI hash "
+        "join on the bucket key, duplicates from multi-bucket "
+        "intervals collapse with one distinct, and the exact overlap "
+        "predicate re-verifies each candidate — the standard interval "
+        "blocking that turns an O(|A|x|B|) theta join into O(|A| x "
+        "local density), the same grid discipline as geo_knn_grid_"
+        "join.  The oracle runs the naive theta join (fixture-scale) "
+        "over identical date arithmetic."
+    ),
+)
+def intervals_overlap_join(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 25 == 0)
+    epoch = F.lit("1992-01-01")
+    a = o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("a_lo"),
+        F.date_add(F.to_date("o_orderdate"), 6).alias("a_hi"),
+    )
+    b = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("b_id"),
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("b_lo"),
+        F.date_add(F.to_date("l_shipdate"), 3).alias("b_hi"),
+    )
+
+    def with_buckets(df, lo, hi):
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.datediff(lo, epoch) / 7).cast("long"),
+                    (F.datediff(hi, epoch) / 7).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    cand = (
+        with_buckets(a, F.col("a_lo"), F.col("a_hi"))
+        .join(with_buckets(b, F.col("b_lo"), F.col("b_hi")), "bucket")
+        .filter((F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi")))
+        .select("o_orderkey", "b_id", "l_suppkey")
+        .distinct()
+    )
+    return (
+        cand.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlapping"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.min("b_id").cast("long").alias("first_b_id"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -871,3 +871,24 @@ def test_kneser_ney_model_tables_reaggregate_checkpoint(spark, sf_dir):
     assert plan.count("Scan parquet") // 2 == 1, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_overlap_join_is_bucket_equi_join(spark, sf_dir):
+    """The candidate join must be an equi join on the week-bucket key —
+    never a nested-loop theta join over raw intervals."""
+    plan = plan_of(spark, sf_dir, "intervals_overlap_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_kmv_set_ops_joins_stay_hashed(spark, sf_dir):
+    """Sketch-algebra joins run on sketch/pair grain with hash joins
+    (the pair-member mapping avoids the IN-list nested loop); the only
+    corpus-scale work is the checkpointed user-grain distinct."""
+    plan = plan_of(spark, sf_dir, "sketch_kmv_set_ops")
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
