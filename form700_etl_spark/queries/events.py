@@ -923,8 +923,9 @@ def asof_nearest_purchase_per_event(spark, sf_dir):
     ),
     risk AS (
         SELECT t, d, c,
-               (SELECT CAST(SUM(d + c) AS BIGINT) FROM grain)
-                 - (SUM(d + c) OVER (ORDER BY t) - (d + c)) AS n_risk
+               CAST((SELECT CAST(SUM(d + c) AS BIGINT) FROM grain)
+                    - (SUM(d + c) OVER (ORDER BY t) - (d + c)) AS BIGINT)
+                 AS n_risk
         FROM grain
     ),
     terms AS (
