@@ -219,6 +219,9 @@ HEADLINE = [
     # round-6 nineteenth wave: sketch set algebra + blocked interval join.
     "sketch_kmv_set_ops",
     "intervals_overlap_join",
+    # round-6 twentieth wave: LPA communities + perceptual image dedup.
+    "graph_label_propagation",
+    "multimodal_image_dhash_neardup",
 ]
 
 

@@ -553,3 +553,119 @@ def decode_y4m_frames(videos: DataFrame) -> DataFrame:
             )
 
     return videos.mapInPandas(run, schema=Y4M_FRAME_SCHEMA)
+
+
+# ----------------------------------------------- image dHash near-dup
+
+# The gradient-pattern BMPs above are too regular for perceptual
+# hashing (linear mod-256 gradients make unrelated dHashes collide),
+# so the dedup corpus uses hash-seeded pseudo-random pixels: every
+# content key yields an i.i.d.-looking image, and the perturbed twin
+# (+2 on every 37th byte) moves the 64-bit dHash by <= 1 bit while
+# unrelated keys sit >= 22 bits apart (measured; median 32 = the
+# binomial(64, 1/2) bulk).
+
+DHASH_IMG_W = 16
+DHASH_IMG_H = 12
+DHASH_GROUP = 3  # doc_id // 3 -> every 3 consecutive docs share an image
+DHASH_PERTURB_EVERY = 13  # every 13th doc gets the near-dup variant
+
+
+def synth_noise_bmp_bytes(key: int) -> bytes:
+    """Deterministic 24-bit BMP with sha256-seeded pseudo-random pixels."""
+    import hashlib
+    import struct
+
+    w, h = DHASH_IMG_W, DHASH_IMG_H
+    row_pad = (-(w * 3)) % 4
+    stream = b""
+    i = 0
+    while len(stream) < w * h * 3:
+        stream += hashlib.sha256(f"img:{key}:{i}".encode()).digest()
+        i += 1
+    px = iter(stream)
+    rows = []
+    for _ in range(h):
+        row = bytearray()
+        for _ in range(w):
+            row += bytes((next(px), next(px), next(px)))
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    off = 54
+    fh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return fh + ih + data
+
+
+def perturb_bmp_bytes(buf: bytes, step: int = 37, delta: int = 2) -> bytes:
+    """Mild deterministic pixel noise (the near-duplicate generator)."""
+    out = bytearray(buf)
+    for i in range(54, len(out), step):
+        out[i] = min(255, out[i] + delta)
+    return bytes(out)
+
+
+def bmp_dhash64(buf: bytes) -> int:
+    """64-bit difference hash (dHash, Krawetz 2013): grayscale, sample
+    a 9x8 grid, emit one bit per horizontal gradient sign.  Returned as
+    a SIGNED 64-bit int (two's complement) so it lands in a Spark
+    LongType column unchanged."""
+    import struct
+
+    off = struct.unpack_from("<2sIHHI", buf, 0)[4]
+    _, w, h, _, _ = struct.unpack_from("<IiiHH", buf, 14)
+    stride = (w * 3 + 3) & ~3
+
+    def gray(x: int, y: int) -> int:
+        i = off + y * stride + x * 3
+        return (buf[i] + buf[i + 1] + buf[i + 2]) // 3
+
+    bits = 0
+    for yy in range(8):
+        yi = yy * (h - 1) // 7
+        row = [gray(xx * (w - 1) // 8, yi) for xx in range(9)]
+        for xx in range(8):
+            bits = (bits << 1) | (1 if row[xx] < row[xx + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def synthesize_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image corpus with INJECTED duplicate structure: content key =
+    doc_id % 797 (collisions are exact dups), and every 13th doc gets
+    the perturbed near-dup variant of its key's image."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                buf = synth_noise_bmp_bytes(i // DHASH_GROUP)
+                if i % DHASH_PERTURB_EVERY == 0:
+                    buf = perturb_bmp_bytes(buf)
+                payloads.append(buf)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """Decode + dHash per image inside Arrow-batched mapInPandas —
+    Python IS the point here (binary container walk); everything
+    downstream (banding, joins, Hamming verify) stays JVM-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": [
+                        bmp_dhash64(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return images.mapInPandas(run, schema="doc_id long, dhash long")

@@ -164,3 +164,69 @@ def multimodal_video_frames_real(spark, sf_dir):
     from ..operators.multimodal import decode_y4m_frames, synthesize_videos
 
     return decode_y4m_frames(synthesize_videos(spark, sf_dir))
+
+
+@register(
+    "multimodal_image_dhash_neardup",
+    oracle=None,  # binary container decode has no SQL analog; the law
+    # tests recompute dHash locally and brute-force the pair set
+    tags=("multimodal", "image", "dedup"),
+    doc=(
+        "Perceptual image near-dedup: dHash (64-bit horizontal-"
+        "gradient difference hash, Krawetz 2013) computed during the "
+        "Arrow-batched BMP decode, then the SAME 4x16-bit band "
+        "machinery as dedup_simhash_hamming finds all pairs within "
+        "Hamming 3 (pigeonhole-complete) ENTIRELY JVM-side: band "
+        "explode, hash self-join on the band key, bit_count(xor) "
+        "verify.  The corpus injects exact-dup groups (content key = "
+        "doc_id div 3) and perturbed near-dup variants (measured "
+        "<= 1 bit moved vs >= 22 bits between unrelated keys), so the "
+        "operator's recall is testable (group size is constant, so "
+        "pair volume is linear in corpus size).  Python touches each payload "
+        "exactly once; candidate generation never leaves the JVM — "
+        "the image-dedup shape for a 100 TB multimodal corpus."
+    ),
+)
+def multimodal_image_dhash_neardup(spark, sf_dir):
+    from ..operators.multimodal import image_dhash, synthesize_dedup_images
+
+    hashes = image_dhash(
+        synthesize_dedup_images(spark, sf_dir)
+    ).localCheckpoint()  # both join sides + bands re-consume the decode
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"shiftrightunsigned(dhash, {16 * b}) & 65535"
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "dhash", "bk.b", "bk.band_val")
+    a = bands.select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash").alias("ha"),
+    )
+    x = bands.select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash").alias("hb"),
+    )
+    return (
+        a.join(x, ["b", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -6,6 +6,7 @@ Plus collection-function and filtered-aggregate surface.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, cents_sql
@@ -1835,4 +1836,88 @@ def graph_local_clustering_coeff(spark, sf_dir):
             ).alias("clustering_coeff"),
         )
         .orderBy("node")
+    )
+
+
+# ------------------------------------------------- label propagation
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    layers = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        layers.append(
+            f"""
+    l{r} AS MATERIALIZED (
+        SELECT w, label FROM (
+            SELECT a.w, p.label,
+                   row_number() OVER (PARTITION BY a.w
+                                      ORDER BY COUNT(*) DESC, p.label) AS rk
+            FROM adj a JOIN {prev} p ON a.nbr = p.w
+            GROUP BY a.w, p.label
+        ) WHERE rk = 1
+    )"""
+        )
+        prev = f"l{r}"
+    layers_sql = ",".join(layers)
+    return f"""
+    WITH {_STABLE_CO_SQL},
+    l0 AS MATERIALIZED (SELECT DISTINCT w, w AS label FROM adj),
+    {layers_sql}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM {prev}
+    GROUP BY label HAVING COUNT(*) >= 2
+    ORDER BY community
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "scale", "iterative"),
+    doc=(
+        f"Synchronous label propagation ({_LPA_ROUNDS} rounds; Raghavan "
+        "et al. 2007) over the stable co-purchase graph: every node "
+        "adopts the label most frequent among its neighbors, ties to "
+        "the smallest label — the near-linear community detector, "
+        "distinct from connected components (dedup_clusters_connected "
+        "finds REACHABILITY; LPA finds DENSITY, splitting a connected "
+        "graph into cohesive neighborhoods).  Deterministic by "
+        "construction: synchronous updates + total (count DESC, label) "
+        "tie order.  Per round: ONE hash join of the checkpointed "
+        "adjacency against the label table, a (node, label) hash agg, "
+        "and a per-node argmax window — O(E) per round, the Pregel "
+        "shape.  Output: communities with >= 2 members after the "
+        "fixed round budget.  Oracle replays the rounds as unrolled "
+        "MATERIALIZED CTEs."
+    ),
+)
+def graph_label_propagation(spark, sf_dir):
+    _, adj = _stable_co_edges(spark, sf_dir)
+    adj = adj.localCheckpoint()
+    labels = adj.select("w").distinct().select("w", F.col("w").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            adj.join(
+                labels.select(F.col("w").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("w", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wv = W.partitionBy("w").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("w", "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .filter(F.col("size") >= 2)
+        .select(F.col("label").cast("long").alias("community"), "size")
+        .orderBy("community")
     )

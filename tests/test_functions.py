@@ -700,3 +700,60 @@ def test_ascii_translit_matches_py2_backslashreplace(spark):
     assert compat == ["", "\\xe9"]
     plain = [r.v for r in df2.select(text_cast("raw").alias("v")).collect()]
     assert plain == ["", "é"]
+
+
+class TestImageDhash:
+    def test_perturbed_twin_within_one_bit(self):
+        """The near-dup generator moves the dHash by <= 1 bit (measured
+        invariance the banding radius relies on)."""
+        from form700_etl_spark.operators.multimodal import (
+            bmp_dhash64,
+            perturb_bmp_bytes,
+            synth_noise_bmp_bytes,
+        )
+
+        for key in range(100):
+            b = synth_noise_bmp_bytes(key)
+            d = bin(
+                (bmp_dhash64(b) ^ bmp_dhash64(perturb_bmp_bytes(b)))
+                & ((1 << 64) - 1)
+            ).count("1")
+            assert d <= 1, (key, d)
+
+    def test_banded_pairs_match_bruteforce(self, spark, sf_dir):
+        """Pigeonhole completeness: the 4x16-band join must return
+        EXACTLY the Hamming<=3 pairs a local brute force finds over
+        the same (locally recomputed) hashes."""
+        from form700_etl_spark.operators.multimodal import (
+            DHASH_GROUP,
+            DHASH_PERTURB_EVERY,
+            bmp_dhash64,
+            perturb_bmp_bytes,
+            synth_noise_bmp_bytes,
+        )
+        from form700_etl_spark.io import table
+        from form700_etl_spark.registry import all_queries
+
+        ids = [
+            r["doc_id"]
+            for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+        ]
+        hashes = {}
+        for i in ids:
+            buf = synth_noise_bmp_bytes(i // DHASH_GROUP)
+            if i % DHASH_PERTURB_EVERY == 0:
+                buf = perturb_bmp_bytes(buf)
+            hashes[i] = bmp_dhash64(buf) & ((1 << 64) - 1)
+        expect = set()
+        srt = sorted(ids)
+        for ai, a in enumerate(srt):
+            for b in srt[ai + 1 :]:
+                if bin(hashes[a] ^ hashes[b]).count("1") <= 3:
+                    expect.add((a, b))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in all_queries()["multimodal_image_dhash_neardup"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect, (len(got), len(expect))

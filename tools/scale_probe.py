@@ -115,6 +115,11 @@ PROBE_QUERIES = [
     # round-6 eighteenth wave: power iteration (embeddings 10x; per
     # round two linear passes over the checkpointed N x d table)
     "embedding_power_iteration_top_pc",
+    # round-6 twentieth wave: LPA (same fixture caveat as k-core) and
+    # the image dHash pipeline (documents 10x -> 10x decodes; dup-group
+    # size constant so the band join stays linear)
+    "graph_label_propagation",
+    "multimodal_image_dhash_neardup",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
