@@ -116,7 +116,10 @@ register(
 )(stream_stream_click_purchase)
 
 
-from ..streaming.events_stream import stream_static_enrich  # noqa: E402
+from ..streaming.events_stream import (  # noqa: E402
+    stream_kmv_distinct,
+    stream_static_enrich,
+)
 
 register(
     "stream_static_enrich_segments",
@@ -237,3 +240,37 @@ register(
         "surface."
     ),
 )(stream_stream_left_outer_conversions)
+
+
+register(
+    "stream_kmv_distinct",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hashed
+    )
+    SELECT event_type, CAST(COUNT(*) AS INT) AS sketch_size,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(round(63.0 / (CAST(MAX(h) AS DOUBLE)
+                                        / 281474976710656.0)) AS BIGINT)
+           END AS kmv_estimate
+    FROM ranked WHERE rk <= 64
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "stateful", "sketch"),
+    doc=(
+        "Streaming KMV distinct sketch (applyInPandasWithState): the "
+        "k-min hash set merges monotonically in GroupState, so the "
+        "final state is bit-identical to the batch sketch under ANY "
+        "micro-batching — the estimate is oracle-checkable cell-exact, "
+        "which implementation-defined HLL registers can never be."
+    ),
+)(stream_kmv_distinct)

@@ -590,3 +590,69 @@ def stream_stream_left_outer_conversions(spark: SparkSession, sf_dir: str) -> Da
             F.when(F.col("purchase_id").isNull(), F.col("click_id"))
         ).alias("n_unconverted"),
     )
+
+
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch via ``applyInPandasWithState``:
+    per event type, the k=64 smallest md5-derived 48-bit user hashes
+    live in GroupState and merge monotonically across micro-batches —
+    the streaming twin of sketch_kmv_distinct's batch sketch.
+
+    Because the KMV merge is deterministic and order-insensitive
+    (union, distinct, keep k smallest), the FINAL streaming state is
+    bit-identical to the batch sketch no matter how the stream is
+    micro-batched — so the estimate itself is DuckDB-oracle-checkable,
+    which HLL-style sketches can never offer.  At scale: state is k
+    longs per key in the state store; arrivals only ever shrink-or-keep
+    the k-min set."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    K = 64
+    events = read_events_stream(spark, sf_dir)
+
+    def kmv48(val: str) -> int:
+        # EXACT twin of operators.sketches.kmv_hash (md5 hex prefix)
+        return int(hashlib.md5(val.encode()).hexdigest()[:12], 16)
+
+    def update(key, pdfs, state: GroupState):
+        hashes = list(state.get[0]) if state.exists else []
+        s = set(hashes)
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                s.add(kmv48(str(int(u))))
+        hashes = sorted(s)[:K]
+        state.update((hashes,))
+        est = (
+            len(hashes)
+            if len(hashes) < K
+            else round((K - 1) / (hashes[-1] / 281474976710656.0))
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "sketch_size": [len(hashes)],
+                "kmv_estimate": [int(est)],
+            }
+        )
+
+    out = events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, sketch_size int, kmv_estimate bigint",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    latest = run_to_completion(out, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("sketch_size").desc())
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("event_type", "sketch_size", "kmv_estimate")
+        .orderBy("event_type")
+    )
