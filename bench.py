@@ -222,6 +222,11 @@ HEADLINE = [
     # round-6 twentieth wave: LPA communities + perceptual image dedup.
     "graph_label_propagation",
     "multimodal_image_dhash_neardup",
+    # round-6 twenty-first wave: streaming KMV, association rules,
+    # observe-API audit.
+    "stream_kmv_distinct",
+    "basket_association_rules",
+    "audit_observe_single_pass",
 ]
 
 

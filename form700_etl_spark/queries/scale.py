@@ -1921,3 +1921,190 @@ def graph_label_propagation(spark, sf_dir):
         .select(F.col("label").cast("long").alias("community"), "size")
         .orderBy("community")
     )
+
+
+# ------------------------------------------------- observe-API audit
+
+@register(
+    "audit_observe_single_pass",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_priorities,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nonpositive_totals,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS BIGINT) AS n_urgent
+    FROM orders
+    """,
+    tags=("audit", "scale", "observability"),
+    doc=(
+        "Single-pass audit metrics via Spark's Observation API "
+        "(df.observe): row count, exact cents total, null/nonpositive "
+        "violation counts and a segment count are collected AS THE "
+        "SCAN FLOWS — the A1/A2-style reconciliation numbers without a "
+        "second pass over the table, which at 100 TB is the difference "
+        "between free telemetry and a duplicated job.  The observe "
+        "node rides the existing action; metrics arrive on the driver "
+        "as a bounded struct (no rows collected).  The returned "
+        "1-row DataFrame is the observed struct itself; the oracle "
+        "recomputes the same aggregates relationally."
+    ),
+)
+def audit_observe_single_pass(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents("o_totalprice")).cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_priorities"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_totals"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+        .cast("long")
+        .alias("n_urgent"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["total_cents"],
+                m["null_priorities"],
+                m["nonpositive_totals"],
+                m["n_urgent"],
+            )
+        ],
+        "n_rows bigint, total_cents bigint, null_priorities bigint,"
+        " nonpositive_totals bigint, n_urgent bigint",
+    )
+
+
+# --------------------------------------------- association rules
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_b AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    item AS MATERIALIZED (
+        SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+        SELECT r.ante, r.cons, r.c AS support,
+               CAST(round(1e6 * CAST(r.c AS DOUBLE) / ia.c) AS BIGINT)
+                 AS conf_e6,
+               CAST(round(1e6 * CAST(r.c AS DOUBLE) * n_b.n
+                          / (CAST(ia.c AS DOUBLE) * ic.c)) AS BIGINT)
+                 AS lift_e6
+        FROM (
+            SELECT u AS ante, v AS cons, c FROM pair
+            UNION ALL
+            SELECT v, u, c FROM pair
+        ) r
+        JOIN item ia ON ia.p = r.ante
+        JOIN item ic ON ic.p = r.cons
+        CROSS JOIN n_b
+    )
+    SELECT CAST(ante AS BIGINT) AS antecedent,
+           CAST(cons AS BIGINT) AS consequent,
+           support,
+           round(conf_e6 / 1e6, 6) AS confidence,
+           round(lift_e6 / 1e6, 6) AS lift
+    FROM rules
+    ORDER BY lift_e6 DESC, antecedent, consequent
+    LIMIT 100
+    """,
+    tags=("agg", "scale", "analytics"),
+    doc=(
+        "Association-rule mining (Agrawal-Srikant market-basket): top-"
+        "100 part->part rules by LIFT with support >= 2, confidence = "
+        "supp(ab)/supp(a), lift = supp(ab)*N/(supp(a)*supp(b)).  The "
+        "pair enumeration is the LINEAR per-basket sorted-set explode "
+        "(basket size is bounded — TPC-H orders cap at 7 lines — so "
+        "pair volume is O(orders), never an item-grain self-join); "
+        "item supports and the basket total re-aggregate the same "
+        "distinct (order, part) grain.  Both ratios quantize to e6 "
+        "integers for the deterministic (lift, ante, cons) ranking "
+        "before the TakeOrdered top-100."
+    ),
+)
+def basket_association_rules(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct().localCheckpoint()  # basket total + items + pairs
+    n_b = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pair = (
+        op.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i+2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    rules = pair.select(
+        F.col("u").alias("ante"), F.col("v").alias("cons"), "c"
+    ).unionAll(
+        pair.select(F.col("v").alias("ante"), F.col("u").alias("cons"), "c")
+    )
+    out = (
+        rules.join(item.select(F.col("p").alias("ante"), F.col("c").alias("ca")), "ante")
+        .join(item.select(F.col("p").alias("cons"), F.col("c").alias("cc")), "cons")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "ante",
+            "cons",
+            F.col("c").alias("support"),
+            F.round(1e6 * F.col("c").cast("double") / F.col("ca"))
+            .cast("long")
+            .alias("conf_e6"),
+            F.round(
+                1e6
+                * F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cc"))
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )
+    return (
+        out.orderBy(F.col("lift_e6").desc(), "ante", "cons")
+        .limit(100)
+        .select(
+            F.col("ante").cast("long").alias("antecedent"),
+            F.col("cons").cast("long").alias("consequent"),
+            "support",
+            F.round(F.col("conf_e6") / 1e6, 6).alias("confidence"),
+            F.round(F.col("lift_e6") / 1e6, 6).alias("lift"),
+        )
+    )

@@ -892,3 +892,21 @@ def test_kmv_set_ops_joins_stay_hashed(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_association_rules_pairs_from_basket_explode(spark, sf_dir):
+    """Pair enumeration must be the per-basket sorted-set explode over
+    the checkpointed (order, part) grain — no item-grain self-join of
+    the fact; the rules joins stay hashed."""
+    plan = plan_of(spark, sf_dir, "basket_association_rules")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_observe_audit_returns_bounded_local_result(spark, sf_dir):
+    """The observe query's returned frame is the driver-side metrics
+    struct (bounded) — a LocalTableScan, no distributed plan."""
+    plan = plan_of(spark, sf_dir, "audit_observe_single_pass")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
