@@ -227,6 +227,7 @@ HEADLINE = [
     "stream_kmv_distinct",
     "basket_association_rules",
     "audit_observe_single_pass",
+    "clean_quantile_normalize_groups",
 ]
 
 

@@ -2372,3 +2372,150 @@ def events_markov_stationary(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "clean_quantile_normalize_groups",
+    oracle="""
+    WITH vt AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM vt GROUP BY g),
+    n_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vt),
+    grp AS (
+        -- doubled midrank: r2 = 2*cum - c (exact integer)
+        SELECT vt.g, vt.v, vt.c, nt.n_g,
+               2 * SUM(vt.c) OVER (PARTITION BY vt.g ORDER BY vt.v) - vt.c
+                 AS r2
+        FROM vt JOIN nt ON vt.g = nt.g
+    ),
+    pooled AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+        FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM vt GROUP BY v)
+    ),
+    merged AS (
+        -- group rows at scaled position r2*N; pooled rows at 2*cum*n_g.
+        -- The first pooled value at-or-after a group row's position is
+        -- its normalized value (cross-multiplied integer compare — no
+        -- rational arithmetic).  Pooled rows order AFTER group rows at
+        -- equal position so the forward window still sees them.
+        SELECT g, v, c, pos, is_pooled, v_p FROM (
+            SELECT grp.g, grp.v, grp.c,
+                   grp.r2 * n_tot.n AS pos, 0 AS is_pooled,
+                   CAST(NULL AS BIGINT) AS v_p
+            FROM grp CROSS JOIN n_tot
+            UNION ALL
+            SELECT nt.g, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   2 * pooled.cum * nt.n_g, 1, pooled.v
+            FROM pooled CROSS JOIN nt
+        )
+    ),
+    mapped AS (
+        SELECT g, v, c, is_pooled,
+               -- min_by over the forward frame = first pooled value
+               -- at-or-after this position
+               MIN(v_p) OVER (PARTITION BY g ORDER BY pos, is_pooled
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS v_norm
+        FROM merged
+    )
+    SELECT g AS event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           round(CAST(SUM(c * v) AS DOUBLE) / SUM(c) / 100, 6)
+             AS mean_raw,
+           round(CAST(SUM(c * v_norm) AS DOUBLE) / SUM(c) / 100, 6)
+             AS mean_normalized
+    FROM mapped WHERE is_pooled = 0
+    GROUP BY g ORDER BY event_type
+    """,
+    tags=("stats", "window", "mlprep"),
+    doc=(
+        "Exact quantile normalization across groups (Bolstad et al. "
+        "2003's batch-effect correction, the array-normalization "
+        "classic): every group's value distribution maps onto the "
+        "POOLED empirical distribution — each value goes to the first "
+        "pooled value whose cumulative fraction reaches its within-"
+        "group midrank quantile.  Everything runs at VALUE grain "
+        "(bounded, saturating cents domain): per-group doubled "
+        "midranks and the pooled CDF come from cumulative windows, "
+        "and the quantile lookup avoids rational arithmetic entirely "
+        "by CROSS-MULTIPLYING (group position r2*N vs pooled key "
+        "2*cum*n_g — exact BIGINTs) inside one merged forward-looking "
+        "window per group, the sorted-union as-of trick.  Output "
+        "means per group verify the defining property: normalized "
+        "means equalize while raw means differ."
+    ),
+)
+def clean_quantile_normalize_groups(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    vt = (
+        e.groupBy(
+            F.col("event_type").alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # group ranks, pooled CDF, totals all re-consume
+    )
+    nt = vt.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    n_tot = vt.agg(F.sum("c").cast("long").alias("n"))
+    wg = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    grp = vt.join(F.broadcast(nt), "g").select(
+        "g",
+        "v",
+        "c",
+        (2 * F.sum("c").over(wg) - F.col("c")).alias("r2"),
+    )
+    pooled_grain = vt.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    pooled = pooled_grain.select(
+        "v",
+        F.sum("c")
+        .over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    g_rows = grp.crossJoin(F.broadcast(n_tot)).select(
+        "g",
+        "v",
+        "c",
+        (F.col("r2") * F.col("n")).alias("pos"),
+        F.lit(0).alias("is_pooled"),
+        F.lit(None).cast("long").alias("v_p"),
+    )
+    p_rows = pooled.crossJoin(F.broadcast(nt)).select(
+        "g",
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("long").alias("c"),
+        (2 * F.col("cum") * F.col("n_g")).alias("pos"),
+        F.lit(1).alias("is_pooled"),
+        F.col("v").alias("v_p"),
+    )
+    wfwd = W.partitionBy("g").orderBy("pos", "is_pooled").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    mapped = g_rows.unionByName(p_rows).select(
+        "g", "v", "c", "is_pooled", F.min("v_p").over(wfwd).alias("v_norm")
+    )
+    return (
+        mapped.filter(F.col("is_pooled") == 0)
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("c") * F.col("v")).cast("double")
+                / F.sum("c")
+                / 100,
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.col("c") * F.col("v_norm")).cast("double")
+                / F.sum("c")
+                / 100,
+                6,
+            ).alias("mean_normalized"),
+        )
+        .select(F.col("g").alias("event_type"), "n", "mean_raw", "mean_normalized")
+        .orderBy("event_type")
+    )

@@ -910,3 +910,14 @@ def test_observe_audit_returns_bounded_local_result(spark, sf_dir):
     struct (bounded) — a LocalTableScan, no distributed plan."""
     plan = plan_of(spark, sf_dir, "audit_observe_single_pass")
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_quantile_normalize_runs_on_value_grain(spark, sf_dir):
+    """All three windows (group midranks, pooled CDF, forward as-of
+    merge) must consume the checkpointed value grain — never raw rows;
+    joins are broadcast-only."""
+    plan = plan_of(spark, sf_dir, "clean_quantile_normalize_groups")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("+- Window (") == 3, plan
