@@ -228,6 +228,7 @@ HEADLINE = [
     "basket_association_rules",
     "audit_observe_single_pass",
     "clean_quantile_normalize_groups",
+    "stats_ks_exponential_interarrival",
 ]
 
 

@@ -2519,3 +2519,103 @@ def clean_quantile_normalize_groups(spark, sf_dir):
         .select(F.col("g").alias("event_type"), "n", "mean_raw", "mean_normalized")
         .orderBy("event_type")
     )
+
+
+@register(
+    "stats_ks_exponential_interarrival",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ),
+    gaps AS (
+        SELECT CAST(gap_us AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE gap_us IS NOT NULL AND gap_us > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * x) AS BIGINT) AS s FROM gaps),
+    cum AS (
+        SELECT x, c, SUM(c) OVER (ORDER BY x) AS cm FROM gaps
+    ),
+    d AS (
+        SELECT MAX(greatest(
+                   abs(CAST(cm AS DOUBLE) / n
+                       - (1 - exp(-(CAST(n AS DOUBLE) / s) * x))),
+                   abs(CAST(cm - c AS DOUBLE) / n
+                       - (1 - exp(-(CAST(n AS DOUBLE) / s) * x)))
+               )) AS d_stat
+        FROM cum CROSS JOIN tot
+    )
+    SELECT n,
+           round(3600000000.0 * n / s, 6) AS lambda_per_hour,
+           round(d_stat, 6) AS d_stat,
+           round(sqrt(CAST(n AS DOUBLE)) * d_stat, 4) AS sqrt_n_d
+    FROM d CROSS JOIN tot
+    """,
+    tags=("stats", "window", "events"),
+    doc=(
+        "One-sample Kolmogorov-Smirnov goodness-of-fit of per-user "
+        "inter-arrival gaps against the fitted exponential (lambda = "
+        "MLE n/sum): is arrival behavior Poisson, or bursty?  The "
+        "one-sample companion to stats_ks_two_sample and the "
+        "distributional sibling of events_burstiness_fano.  One "
+        "user-clustered lag window produces gaps, a hash agg reduces "
+        "them to gap-value grain, and D = sup|F_n - F_exp| evaluates "
+        "both CDF step edges per distinct gap — exp() on identical "
+        "doubles and a MAX (order-insensitive, unlike sums — no "
+        "quantization needed) finish the statistic."
+    ),
+)
+def stats_ks_exponential_interarrival(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        (
+            F.col("ts").cast("double") * 1000000
+            - F.lag(F.col("ts").cast("double") * 1000000).over(wl)
+        ).alias("gap_us")
+    )
+    gaps = (
+        seq.filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .groupBy(F.col("gap_us").cast("long").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # totals + the CDF window both re-consume
+    )
+    tot = gaps.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("x")).cast("long").alias("s"),
+    )
+    cum = gaps.select(
+        "x",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cm"),
+    )
+    f_exp = 1 - F.exp(
+        -(F.col("n").cast("double") / F.col("s")) * F.col("x")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("cm").cast("double") / F.col("n") - f_exp),
+                F.abs(
+                    (F.col("cm") - F.col("c")).cast("double") / F.col("n")
+                    - f_exp
+                ),
+            )
+        ).alias("d_stat")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(3600000000.0 * F.col("n") / F.col("s"), 6).alias(
+            "lambda_per_hour"
+        ),
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(
+            F.sqrt(F.col("n").cast("double")) * F.col("d_stat"), 4
+        ).alias("sqrt_n_d"),
+    )
