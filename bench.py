@@ -229,6 +229,7 @@ HEADLINE = [
     "audit_observe_single_pass",
     "clean_quantile_normalize_groups",
     "stats_ks_exponential_interarrival",
+    "ann_hybrid_rrf_fusion",
 ]
 
 

@@ -636,3 +636,143 @@ def dedup_semantic_clusters(spark, sf_dir):
         F.count(F.lit(1)).over(W.partitionBy("cluster_id")).cast("bigint").alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+@register(
+    "ann_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_VEC_DOUBLE_SQL} AS vec FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cosine,
+               round(list_dot_product(a.vec, a.vec)
+                     + list_dot_product(b.vec, b.vec)
+                     - 2 * list_dot_product(a.vec, b.vec), 6) AS l2sq
+        FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+    ),
+    cosr AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs
+    ),
+    l2r AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY l2sq ASC, neighbor_id) AS rk
+        FROM pairs
+    ),
+    contrib AS (
+        SELECT query_id, neighbor_id, 'cos' AS src, rk
+        FROM cosr WHERE rk <= 50
+        UNION ALL
+        SELECT query_id, neighbor_id, 'l2', rk FROM l2r WHERE rk <= 50
+    ),
+    fused AS (
+        SELECT query_id, neighbor_id,
+               CAST(SUM(CAST(round(1e9 / (60 + rk)) AS BIGINT)) AS BIGINT)
+                 AS rrf_e9,
+               MAX(CASE WHEN src = 'cos' THEN rk END) AS cos_rk,
+               MAX(CASE WHEN src = 'l2' THEN rk END) AS l2_rk
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rrf_rank AS INT) AS rrf_rank, neighbor_id,
+           round(rrf_e9 / 1e9, 9) AS rrf_score,
+           CAST(cos_rk AS INT) AS cos_rk, CAST(l2_rk AS INT) AS l2_rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e9 DESC, neighbor_id)
+                    AS rrf_rank
+        FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+    tags=("similarity", "topk", "fusion"),
+    doc=(
+        "Reciprocal-rank fusion (Cormack et al. 2009, the hybrid-"
+        "search combiner): per probe, the cosine top-50 and the "
+        "squared-L2 top-50 (genuinely different orders on these non-"
+        "normalized vectors) fuse by RRF(n) = sum 1/(60+rk) — the "
+        "rank-only aggregation hybrid retrieval stacks use because it "
+        "needs NO score calibration between lists.  The pair metrics "
+        "come from ONE checkpointed probe x corpus pass (both metrics "
+        "share the same three dot products); each 1/(60+rk) term "
+        "quantizes to e9 integers so the fusion sum and final ranking "
+        "are exact.  At scale each ranking is the broadcast-probe "
+        "partial-top-k plan; fusion itself touches only Q x 50 rows "
+        "per list."
+    ),
+)
+def ann_hybrid_rrf_fusion(spark, sf_dir):
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+    )
+    a, b = F.col("qvec"), F.col("nvec")
+    pairs = (
+        F.broadcast(q)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(a, b).alias("cosine"),
+            F.round(
+                _dot(a, a) + _dot(b, b) - 2 * _dot(a, b), 6
+            ).alias("l2sq"),
+        )
+        .localCheckpoint()  # both rankings re-consume the metric pass
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    wl = W.partitionBy("query_id").orderBy(F.col("l2sq").asc(), "neighbor_id")
+    cosr = (
+        pairs.select(
+            "query_id", "neighbor_id", F.row_number().over(wc).alias("rk")
+        )
+        .filter(F.col("rk") <= 50)
+        .withColumn("src", F.lit("cos"))
+    )
+    l2r = (
+        pairs.select(
+            "query_id", "neighbor_id", F.row_number().over(wl).alias("rk")
+        )
+        .filter(F.col("rk") <= 50)
+        .withColumn("src", F.lit("l2"))
+    )
+    fused = (
+        cosr.unionByName(l2r)
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.round(1e9 / (60 + F.col("rk"))).cast("long"))
+            .cast("long")
+            .alias("rrf_e9"),
+            F.max(F.when(F.col("src") == "cos", F.col("rk")))
+            .cast("int")
+            .alias("cos_rk"),
+            F.max(F.when(F.col("src") == "l2", F.col("rk")))
+            .cast("int")
+            .alias("l2_rk"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("rrf_e9").desc(), "neighbor_id"
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rrf_rank") <= 10)
+        .select(
+            "query_id",
+            "rrf_rank",
+            "neighbor_id",
+            F.round(F.col("rrf_e9") / 1e9, 9).alias("rrf_score"),
+            "cos_rk",
+            "l2_rk",
+        )
+    )
