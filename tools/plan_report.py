@@ -60,6 +60,14 @@ REPORT_QUERIES = [
     ("stats_bootstrap_ci_poisson", "32-replicate explode; point estimate re-aggregates replicate partials"),
     ("skyline_pareto_frontier", "dominance as one running-min window over the size grain"),
     ("text_pmi_cooccurrence", "windowed pair generation off the checkpointed token arrays"),
+    # round-6 families: scan-side k-means assignment, iterative peel,
+    # value-grain rank tests, bucket-blocked interval join, fusion.
+    ("embedding_kmeans_lloyd", "broadcast-centers assignment: no join, no window, one hash agg"),
+    ("graph_kcore_peel_profile", "per-round semi-joins + degree agg over the checkpointed survivor set"),
+    ("stats_kruskal_wallis", "one value-grain rank window, micro-quantized k-term combine"),
+    ("intervals_overlap_join", "week-bucket equi join + distinct + exact overlap verify"),
+    ("ann_hybrid_rrf_fusion", "one metric pass checkpointed; two rankings + exact RRF combine"),
+    ("clean_quantile_normalize_groups", "sorted-union forward as-of window at value grain"),
 ]
 
 
