@@ -298,21 +298,25 @@ def test_registry_wide_no_accidental_python_or_cartesian(spark, sf_dir):
     CartesianProduct anywhere (1-row combine crossJoins lower to
     broadcast nested loop, which is fine; a true cartesian is always a
     bug).  One sweep, cheap (analysis only, no execution)."""
-    skipped = []
+    streaming_skips, other_skips = [], []
     for name in sorted(QUERIES):
         if "stream" in QUERIES[name].tags or name.startswith("stream_"):
-            skipped.append(name)  # streaming queries EXECUTE on build
+            streaming_skips.append(name)  # streaming queries EXECUTE on build
             continue
         try:
             plan = plan_of(spark, sf_dir, name)
         except Exception:  # noqa: BLE001 — queries needing extra setup
-            skipped.append(name)
+            other_skips.append(name)
             continue
         if name not in _PYTHON_OK:
             assert "EvalPython" not in plan, f"{name}: unexpected Python node"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    # the screen must actually cover the registry, not silently skip it
-    assert len(skipped) <= 8, skipped
+    # the screen must actually cover the registry, not silently skip it:
+    # streaming queries are structurally excluded (they execute on
+    # build), anything else skipping is capped and named.
+    assert all(
+        "stream" in n for n in streaming_skips
+    ) and len(other_skips) <= 2, (streaming_skips, other_skips)
 
 
 def test_skew_profile_scan_reads_only_key_column(spark, sf_dir):
