@@ -2048,16 +2048,22 @@ def audit_observe_single_pass(spark, sf_dir):
 )
 def basket_association_rules(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct().localCheckpoint()  # basket total + items + pairs
-    n_b = op.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n")
+    # ONE basket-grain intermediate (a row per order, sorted distinct
+    # parts) serves all three consumers — strictly smaller than the
+    # (order, part) grain, and the only corpus-scale shuffle
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint()
     )
-    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    n_b = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     pair = (
-        op.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        baskets
         .select(
             F.explode(
                 F.expr(
