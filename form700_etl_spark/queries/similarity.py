@@ -694,8 +694,10 @@ def dedup_semantic_clusters(spark, sf_dir):
         "normalized vectors) fuse by RRF(n) = sum 1/(60+rk) — the "
         "rank-only aggregation hybrid retrieval stacks use because it "
         "needs NO score calibration between lists.  The pair metrics "
-        "come from ONE checkpointed probe x corpus pass (both metrics "
-        "share the same three dot products); each 1/(60+rk) term "
+        "are streamed — never materialized: each ranking's top-50 "
+        "filter lowers to a per-partition WindowGroupLimit, so the "
+        "plan is two brute-force partial-top-k passes; each 1/(60+rk) "
+        "term "
         "quantizes to e9 integers so the fusion sum and final ranking "
         "are exact.  At scale each ranking is the broadcast-probe "
         "partial-top-k plan; fusion itself touches only Q x 50 rows "
@@ -707,24 +709,34 @@ def ann_hybrid_rrf_fusion(spark, sf_dir):
         "vec_id", _vec_double().alias("vec")
     )
     q = v.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        _dot(F.col("vec"), F.col("vec")).alias("qn2"),  # norm hoisted
     )
     cand = v.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        _dot(F.col("vec"), F.col("vec")).alias("nn2"),  # norm hoisted
     )
-    a, b = F.col("qvec"), F.col("nvec")
+    # small-file corpus scan would pin the O(Q x N x d) fold onto one
+    # task (the topk_neighbors precedent) — fan it out first
+    sc = spark.sparkContext
+    if cand.rdd.getNumPartitions() < sc.defaultParallelism:
+        cand = cand.repartition(sc.defaultParallelism)
+    d = _dot(F.col("qvec"), F.col("nvec"))
     pairs = (
         F.broadcast(q)
         .join(cand, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(a, b).alias("cosine"),
-            F.round(
-                _dot(a, a) + _dot(b, b) - 2 * _dot(a, b), 6
-            ).alias("l2sq"),
+            # ONE fold per pair: both metrics reuse the hoisted norms
+            F.round(d / F.sqrt("qn2") / F.sqrt("nn2"), 6).alias("cosine"),
+            F.round(F.col("qn2") + F.col("nn2") - 2 * d, 6).alias("l2sq"),
         )
-        .localCheckpoint()  # both rankings re-consume the metric pass
+        # deliberately NOT checkpointed: each ranking's rk<=50 filter
+        # lowers to a per-partition WindowGroupLimit, so streaming the
+        # pair subplan twice beats materializing Q x N rows
     )
     from pyspark.sql import Window as W
 

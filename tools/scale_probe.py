@@ -120,6 +120,15 @@ PROBE_QUERIES = [
     # size constant so the band join stays linear)
     "graph_label_propagation",
     "multimodal_image_dhash_neardup",
+    # round-6 twenty-first+ waves: interval join (candidates track
+    # |A| x bucket density — both grow with orders, so expect ~x100
+    # candidate volume; the semantics are output-proportional), basket
+    # rules (linear basket explode), KN scoring (model-as-table joins,
+    # documents 10x), RRF fusion (brute-force family: Q x N pairs).
+    "intervals_overlap_join",
+    "basket_association_rules",
+    "text_kneser_ney_nll",
+    "ann_hybrid_rrf_fusion",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
