@@ -230,6 +230,7 @@ HEADLINE = [
     "clean_quantile_normalize_groups",
     "stats_ks_exponential_interarrival",
     "ann_hybrid_rrf_fusion",
+    "events_cohort_ltv_curve",
 ]
 
 

@@ -1119,3 +1119,98 @@ def events_longest_daily_streak(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id,
+               CAST(MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        // 7) AS BIGINT) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM cohorts GROUP BY cohort_week
+    ),
+    rev AS (
+        SELECT c.cohort_week,
+               CAST(datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE))
+                    // 7 AS BIGINT) - c.cohort_week AS week_offset,
+               CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events e JOIN cohorts c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT r.cohort_week, r.week_offset, s.n_cohort,
+               CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.week_offset) AS BIGINT)
+                 AS cum_cents
+        FROM rev r JOIN sizes s ON s.cohort_week = r.cohort_week
+    )
+    SELECT cohort_week, week_offset, n_cohort,
+           round(CAST(cum_cents AS DOUBLE) / n_cohort / 100, 6)
+             AS cum_ltv_per_user
+    FROM curve ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "analytics", "window"),
+    doc=(
+        "Cumulative lifetime-value curves per signup cohort: users "
+        "cohorted by first-activity week (the retention-cohort "
+        "convention — integer days-div-7, engine-neutral), purchase "
+        "revenue accumulated per (cohort, week offset), normalized to "
+        "cum LTV per cohort member — the unit-economics companion to "
+        "events_retention_cohorts.  One user-grain cohort agg + one "
+        "(cohort, offset)-grain revenue agg, then the running sum "
+        "windows over the bounded (cohort x offset) grid.  Exact "
+        "integer cents throughout; one division at output."
+    ),
+)
+def events_cohort_ltv_curve(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    week = (
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+        )
+    ).cast("long")
+    cohorts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wcum = W.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            F.sum("cents").over(wcum).cast("long").alias("cum_cents"),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("n_cohort") / 100, 6
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
