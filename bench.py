@@ -271,12 +271,14 @@ def _r4_fresh_jvm(sf_dir: str) -> dict | None:
     import sys
 
     try:
+        env = os.environ.copy()
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir  # honor the caller's dir
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--subset", "r4"],
             capture_output=True,
             text=True,
             timeout=600,
-            env=os.environ.copy(),
+            env=env,
         )
         if proc.returncode != 0:
             return None

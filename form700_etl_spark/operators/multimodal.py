@@ -634,8 +634,9 @@ def bmp_dhash64(buf: bytes) -> int:
 
 def synthesize_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image corpus with INJECTED duplicate structure: content key =
-    doc_id % 797 (collisions are exact dups), and every 13th doc gets
-    the perturbed near-dup variant of its key's image."""
+    doc_id // 3 (every 3 consecutive docs share an image, so dup-group
+    size is CONSTANT at every SF and pair volume stays linear), and
+    every 13th doc gets the perturbed near-dup variant."""
     d = table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2213,7 +2213,9 @@ def stats_brown_forsythe(spark, sf_dir):
         F.sum("c").cast("long").alias("n_g"),
         F.sum(F.col("c") * F.col("z2")).cast("long").alias("s_g"),
         F.sum(
-            (F.col("c") * F.col("z2") * F.col("z2")).cast("decimal(38,0)")
+            F.col("c").cast("decimal(12,0)")
+            * F.col("z2").cast("decimal(12,0)")
+            * F.col("z2").cast("decimal(12,0)")
         )
         .cast("long")
         .alias("ss_g"),
@@ -2403,12 +2405,12 @@ def events_markov_stationary(spark, sf_dir):
         -- equal position so the forward window still sees them.
         SELECT g, v, c, pos, is_pooled, v_p FROM (
             SELECT grp.g, grp.v, grp.c,
-                   grp.r2 * n_tot.n AS pos, 0 AS is_pooled,
+                   CAST(grp.r2 AS HUGEINT) * n_tot.n AS pos, 0 AS is_pooled,
                    CAST(NULL AS BIGINT) AS v_p
             FROM grp CROSS JOIN n_tot
             UNION ALL
             SELECT nt.g, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   2 * pooled.cum * nt.n_g, 1, pooled.v
+                   2 * CAST(pooled.cum AS HUGEINT) * nt.n_g, 1, pooled.v
             FROM pooled CROSS JOIN nt
         )
     ),
@@ -2442,7 +2444,8 @@ def events_markov_stationary(spark, sf_dir):
         "midranks and the pooled CDF come from cumulative windows, "
         "and the quantile lookup avoids rational arithmetic entirely "
         "by CROSS-MULTIPLYING (group position r2*N vs pooled key "
-        "2*cum*n_g — exact BIGINTs) inside one merged forward-looking "
+        "2*cum*n_g — exact 128-bit decimals, safe past the ~2e9-row "
+        "BIGINT ceiling) inside one merged forward-looking "
         "window per group, the sorted-union as-of trick.  Output "
         "means per group verify the defining property: normalized "
         "means equalize while raw means differ."
@@ -2480,7 +2483,9 @@ def clean_quantile_normalize_groups(spark, sf_dir):
         "g",
         "v",
         "c",
-        (F.col("r2") * F.col("n")).alias("pos"),
+        # decimal(38): pos ~ 2*N^2 overflows BIGINT past N ~ 2.1e9
+        (F.col("r2").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)"))
+        .alias("pos"),
         F.lit(0).alias("is_pooled"),
         F.lit(None).cast("long").alias("v_p"),
     )
@@ -2488,7 +2493,10 @@ def clean_quantile_normalize_groups(spark, sf_dir):
         "g",
         F.lit(None).cast("long").alias("v"),
         F.lit(None).cast("long").alias("c"),
-        (2 * F.col("cum") * F.col("n_g")).alias("pos"),
+        (
+            2 * F.col("cum").cast("decimal(19,0)")
+            * F.col("n_g").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("pos"),
         F.lit(1).alias("is_pooled"),
         F.col("v").alias("v_p"),
     )
@@ -2572,12 +2580,9 @@ def clean_quantile_normalize_groups(spark, sf_dir):
 def stats_ks_exponential_interarrival(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     wl = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        (
-            F.col("ts").cast("double") * 1000000
-            - F.lag(F.col("ts").cast("double") * 1000000).over(wl)
-        ).alias("gap_us")
-    )
+    us = F.expr("unix_micros(ts)")  # exact integer microseconds —
+    # never a double round-trip (ulp at epoch scale is ~0.5 us)
+    seq = e.select((us - F.lag(us).over(wl)).alias("gap_us"))
     gaps = (
         seq.filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
         .groupBy(F.col("gap_us").cast("long").alias("x"))

@@ -592,7 +592,9 @@ def stream_stream_left_outer_conversions(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
-def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_kmv_distinct(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Streaming KMV distinct sketch via ``applyInPandasWithState``:
     per event type, the k=64 smallest md5-derived 48-bit user hashes
     live in GroupState and merge monotonically across micro-batches —
@@ -611,48 +613,60 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     K = 64
-    events = read_events_stream(spark, sf_dir)
+    if events is None:
+        events = read_events_stream(spark, sf_dir)
 
     def kmv48(val: str) -> int:
         # EXACT twin of operators.sketches.kmv_hash (md5 hex prefix)
         return int(hashlib.md5(val.encode()).hexdigest()[:12], 16)
 
     def update(key, pdfs, state: GroupState):
-        hashes = list(state.get[0]) if state.exists else []
+        hashes, n_seen = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
         s = set(hashes)
         for pdf in pdfs:
+            n_seen += len(pdf)
             for u in pdf["user_id"]:
                 s.add(kmv48(str(int(u))))
         hashes = sorted(s)[:K]
-        state.update((hashes,))
+        state.update((hashes, n_seen))
         est = (
             len(hashes)
             if len(hashes) < K
             else round((K - 1) / (hashes[-1] / 281474976710656.0))
         )
+        # n_seen is the LATEST-ROW marker: sketch_size saturates at k,
+        # so only a strictly-increasing rows-processed count makes the
+        # final-state pick deterministic under multi-batch delivery
         yield pd.DataFrame(
             {
                 "event_type": [key[0]],
                 "sketch_size": [len(hashes)],
                 "kmv_estimate": [int(est)],
+                "n_seen": [n_seen],
             }
         )
 
     out = events.groupBy("event_type").applyInPandasWithState(
         update,
-        outputStructType="event_type string, sketch_size int, kmv_estimate bigint",
-        stateStructType="hashes array<bigint>",
+        outputStructType=(
+            "event_type string, sketch_size int, kmv_estimate bigint,"
+            " n_seen long"
+        ),
+        stateStructType="hashes array<bigint>, n_seen long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     latest = run_to_completion(out, "update")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy(F.col("sketch_size").desc())
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
     return (
         latest.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
         .select("event_type", "sketch_size", "kmv_estimate")
         .orderBy("event_type")
     )

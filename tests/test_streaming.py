@@ -289,3 +289,36 @@ def test_stream_incremental_kmv_sketch_maintenance(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert merged == whole
+
+
+def test_stream_kmv_distinct_deterministic_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """The documented contract: the final KMV state (and estimate) is
+    bit-identical under ANY micro-batching.  Feed the same events in 4
+    micro-batches (maxFilesPerTrigger=1) and in 1, and require equal
+    results — this is exactly the case a sketch_size tie-break would
+    break, since sketch_size saturates at k."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.streaming.events_stream import stream_kmv_distinct
+
+    feed = str(tmp_path / "feed")
+    table(spark, sf_dir, "events").repartition(4).write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+
+    def run(max_files):
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", str(max_files))
+            .load(feed)
+            .withWatermark("ts", "10 seconds")
+        )
+        return {
+            r["event_type"]: (r["sketch_size"], r["kmv_estimate"])
+            for r in stream_kmv_distinct(spark, sf_dir, events=stream).collect()
+        }
+
+    assert run(1) == run(4)
