@@ -719,3 +719,166 @@ def embedding_power_iteration_top_pc(spark, sf_dir):
         F.col("i").cast("long").alias("dim"),
         F.round(F.col("val").cast("double") / 1e6, 6).alias("loading"),
     ).orderBy("dim")
+
+
+# --------------------------------------- logistic regression (GD)
+
+_LR_ROUNDS = 3
+
+# shared per-row scoring pieces (identical doubles both engines)
+_LR_MARGIN = "(w0 + w1 * (x1q / 1e6) + w2 * (x2q / 1e6))"
+_LR_P = f"(1.0 / (1.0 + exp(-{_LR_MARGIN})))"
+
+
+def _lr_oracle() -> str:
+    layers = ["w0_t AS (SELECT CAST(0 AS BIGINT) AS w0_e9,"
+              " CAST(0 AS BIGINT) AS w1_e9, CAST(0 AS BIGINT) AS w2_e9)"]
+    prev = "w0_t"
+    for r in range(1, _LR_ROUNDS + 1):
+        layers.append(f"""
+    g{r} AS (
+        SELECT
+          CAST(SUM(CAST(round(1e9 * ({_LR_P} - y)) AS BIGINT)) AS BIGINT)
+            AS g0,
+          CAST(SUM(CAST(round(1e9 * ({_LR_P} - y) * (x1q / 1e6))
+                   AS BIGINT)) AS BIGINT) AS g1,
+          CAST(SUM(CAST(round(1e9 * ({_LR_P} - y) * (x2q / 1e6))
+                   AS BIGINT)) AS BIGINT) AS g2,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT b.*, p.w0_e9 / 1e9 AS w0, p.w1_e9 / 1e9 AS w1,
+                     p.w2_e9 / 1e9 AS w2
+              FROM base b CROSS JOIN {prev} p)
+    ),
+    w{r}_t AS (
+        SELECT p.w0_e9 - CAST(round(CAST(g.g0 AS DOUBLE) / g.n) AS BIGINT)
+                 AS w0_e9,
+               p.w1_e9 - CAST(round(CAST(g.g1 AS DOUBLE) / g.n) AS BIGINT)
+                 AS w1_e9,
+               p.w2_e9 - CAST(round(CAST(g.g2 AS DOUBLE) / g.n) AS BIGINT)
+                 AS w2_e9
+        FROM {prev} p CROSS JOIN g{r} g
+    )""")
+        prev = f"w{r}_t"
+    layers_sql = ",".join(layers)
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+               CAST(round(1e6 * o_totalprice / 600000.0) AS BIGINT) AS x1q,
+               CAST(round(1e6 * date_diff('day', DATE '1992-01-01',
+                                          CAST(o_orderdate AS DATE))
+                          / 2500.0) AS BIGINT) AS x2q
+        FROM orders
+    ),
+    {layers_sql},
+    final AS (
+        SELECT b.y, {_LR_P} AS p
+        FROM (SELECT b0.*, w.w0_e9 / 1e9 AS w0, w.w1_e9 / 1e9 AS w1,
+                     w.w2_e9 / 1e9 AS w2
+              FROM base b0 CROSS JOIN {prev} w) b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n,
+           round((SELECT w0_e9 FROM {prev}) / 1e9, 6) AS w0,
+           round((SELECT w1_e9 FROM {prev}) / 1e9, 6) AS w1,
+           round((SELECT w2_e9 FROM {prev}) / 1e9, 6) AS w2,
+           round(CAST(SUM(CAST(round(1e9 * -(y * ln(greatest(p, 1e-12))
+                     + (1 - y) * ln(greatest(1 - p, 1e-12)))) AS BIGINT))
+                 AS DOUBLE) / COUNT(*) / 1e9, 6) AS logloss
+    FROM final
+    """
+
+
+@register(
+    "mlprep_logistic_regression_gd",
+    oracle=_lr_oracle(),
+    tags=("mlprep", "stats", "iterative"),
+    doc=(
+        f"Logistic regression by {_LR_ROUNDS} full-batch gradient-"
+        "descent rounds (predicting URGENT priority from scaled price "
+        "+ order age), eta = 1: THE distributed linear-model training "
+        "shape — each round is ONE map-side-combined hash agg "
+        "producing the 3-component gradient (bounded state), exactly "
+        "how large-scale GLM training reduces over a 100 TB fact; the "
+        "weight vector stays e9 fixed-point.  Exactness: features "
+        "quantize to e6 on scan, per-row gradient terms quantize to "
+        "nano-units BEFORE the sum (exact BIGINT accumulation — "
+        "order/partition independent, the bane of naive float GD), "
+        "weight updates divide once on identical doubles.  Output: "
+        "fitted weights + floored log-loss.  Oracle replays every "
+        "round as unrolled CTEs."
+    ),
+)
+def mlprep_logistic_regression_gd(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.round(1e6 * F.col("o_totalprice") / 600000.0)
+        .cast("long")
+        .alias("x1q"),
+        F.round(
+            1e6
+            * F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            / 2500.0
+        )
+        .cast("long")
+        .alias("x2q"),
+    ).localCheckpoint()  # every GD round + the loss pass re-consume it
+    w = (0, 0, 0)  # e9 fixed-point (bounded driver state, like k-means)
+    n = None
+    for _ in range(_LR_ROUNDS):
+        scored = base.select(
+            "*",
+            F.lit(w[0] / 1e9).alias("w0"),
+            F.lit(w[1] / 1e9).alias("w1"),
+            F.lit(w[2] / 1e9).alias("w2"),
+        )
+        g = scored.agg(
+            F.sum(F.expr(f"CAST(round(1e9 * ({_LR_P} - y)) AS BIGINT)"))
+            .cast("long")
+            .alias("g0"),
+            F.sum(
+                F.expr(
+                    f"CAST(round(1e9 * ({_LR_P} - y) * (x1q / 1e6)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("g1"),
+            F.sum(
+                F.expr(
+                    f"CAST(round(1e9 * ({_LR_P} - y) * (x2q / 1e6)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("g2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ).collect()[0]
+        n = g["n"]
+        w = tuple(
+            w[j] - int(round(float(g[f"g{j}"]) / n)) for j in range(3)
+        )
+    final = base.select(
+        "y",
+        "x1q",
+        "x2q",
+        F.lit(w[0] / 1e9).alias("w0"),
+        F.lit(w[1] / 1e9).alias("w1"),
+        F.lit(w[2] / 1e9).alias("w2"),
+    ).select("y", F.expr(_LR_P).alias("p"))
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.lit(w[0] / 1e9), 6).alias("w0"),
+        F.round(F.lit(w[1] / 1e9), 6).alias("w1"),
+        F.round(F.lit(w[2] / 1e9), 6).alias("w2"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(round(1e9 * -(y * ln(greatest(p, 1e-12))"
+                    " + (1 - y) * ln(greatest(1 - p, 1e-12)))) AS BIGINT)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("logloss"),
+    )

@@ -2873,3 +2873,159 @@ def text_kneser_ney_nll(spark, sf_dir):
             F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / 1000000, 6
         ).alias("avg_nll"),
     )
+
+
+# Shared NB scoring expression: log-prior + sum of token log-likelihoods,
+# each term quantized to nano-nats BEFORE the per-doc sum.
+_NB_TERM_SQL = (
+    "CAST(round(1000000000 * ln((CAST(COALESCE(c_tok, 0) AS DOUBLE) + 1.0)"
+    " / (c_lang + v_size))) AS BIGINT)"
+)
+
+
+@register(
+    "text_naive_bayes_langid",
+    oracle=f"""
+    WITH split_docs AS (
+        SELECT doc_id, lang, {_SPLIT_CASE} AS split,
+               string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    train_tok AS (
+        SELECT lang, unnest(toks) AS token
+        FROM split_docs WHERE split = 'train'
+    ),
+    likel AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c_tok
+        FROM train_tok GROUP BY 1, 2
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(SUM(c_tok) AS BIGINT) AS c_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_unused
+        FROM likel GROUP BY lang
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v_size FROM likel
+    ),
+    prior AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM split_docs WHERE split = 'train' GROUP BY lang
+    ),
+    n_train AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM prior),
+    eval_tok AS (
+        SELECT doc_id, lang AS gold, unnest(toks) AS token
+        FROM split_docs WHERE split <> 'train'
+    ),
+    scored AS (
+        SELECT e.doc_id, e.gold, lt.lang,
+               CAST(SUM({_NB_TERM_SQL}) AS BIGINT) AS ll_e9
+        FROM eval_tok e
+        CROSS JOIN (SELECT lang, c_lang FROM lang_tot) lt
+        LEFT JOIN likel ON likel.lang = lt.lang AND likel.token = e.token
+        CROSS JOIN vocab
+        GROUP BY 1, 2, 3
+    ),
+    posterior AS (
+        SELECT s.doc_id, s.gold, s.lang,
+               s.ll_e9 + CAST(round(1000000000
+                   * ln(CAST(p.n_docs AS DOUBLE) / n_train.n)) AS BIGINT)
+                 AS post_e9
+        FROM scored s JOIN prior p ON p.lang = s.lang CROSS JOIN n_train
+    ),
+    pred AS (
+        SELECT doc_id, gold, lang AS predicted FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY post_e9 DESC, lang) AS rk
+            FROM posterior
+        ) WHERE rk = 1
+    )
+    SELECT gold, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY gold, predicted
+    ORDER BY gold, predicted
+    """,
+    tags=("text", "evaluation", "mlprep"),
+    doc=(
+        "Multinomial Naive Bayes language classifier, TRAINED then "
+        "APPLIED (the generative counterpart of the discriminative "
+        "token-vote model): add-one-smoothed token likelihoods "
+        "P(token|lang) and document priors fit on the train split, "
+        "held-out docs scored by log-prior + sum log-likelihood and "
+        "argmax'd, reported as a confusion matrix.  Model-as-table "
+        "discipline throughout — likelihoods/priors/vocab are tables "
+        "from ONE train pass; scoring joins the eval tokens against "
+        "the likelihood table (unseen tokens fall to the smoothing "
+        "floor via LEFT JOIN + COALESCE inside the shared expression); "
+        "every ln term quantizes to nano-nats before per-doc sums so "
+        "the argmax is exact in both engines (deterministic lang "
+        "tie-break)."
+    ),
+)
+def text_naive_bayes_langid(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        _split_col("doc_id").alias("split"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    train_tok = docs.filter(F.col("split") == "train").select(
+        "lang", F.explode("toks").alias("token")
+    )
+    likel = (
+        train_tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tok"))
+        .localCheckpoint()  # totals, vocab, and the apply join re-consume
+    )
+    lang_tot = likel.groupBy("lang").agg(
+        F.sum("c_tok").cast("long").alias("c_lang")
+    )
+    vocab = likel.agg(
+        F.countDistinct("token").cast("long").alias("v_size")
+    )
+    prior = (
+        docs.filter(F.col("split") == "train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    n_train = prior.agg(F.sum("n_docs").cast("long").alias("n"))
+    eval_tok = docs.filter(F.col("split") != "train").select(
+        "doc_id", F.col("lang").alias("gold"), F.explode("toks").alias("token")
+    )
+    scored = (
+        eval_tok.crossJoin(
+            F.broadcast(lang_tot.select(F.col("lang"), F.col("c_lang")))
+        )
+        .join(likel, ["lang", "token"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "gold", "lang")
+        .agg(F.sum(F.expr(_NB_TERM_SQL)).cast("long").alias("ll_e9"))
+    )
+    posterior = (
+        scored.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            "gold",
+            "lang",
+            (
+                F.col("ll_e9")
+                + F.round(
+                    1000000000
+                    * F.log(
+                        F.col("n_docs").cast("double") / F.col("n")
+                    )
+                ).cast("long")
+            ).alias("post_e9"),
+        )
+    )
+    wp = W.partitionBy("doc_id").orderBy(F.col("post_e9").desc(), "lang")
+    pred = (
+        posterior.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("gold", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.groupBy("gold", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("gold", "predicted")
+    )
