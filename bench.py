@@ -231,6 +231,9 @@ HEADLINE = [
     "stats_ks_exponential_interarrival",
     "ann_hybrid_rrf_fusion",
     "events_cohort_ltv_curve",
+    # round-6 twenty-fifth wave: generative classifier + GLM training.
+    "text_naive_bayes_langid",
+    "mlprep_logistic_regression_gd",
 ]
 
 

@@ -2986,6 +2986,7 @@ def text_naive_bayes_langid(spark, sf_dir):
         docs.filter(F.col("split") == "train")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()  # k rows; the prior join + n_train re-consume
     )
     n_train = prior.agg(F.sum("n_docs").cast("long").alias("n"))
     eval_tok = docs.filter(F.col("split") != "train").select(

@@ -925,3 +925,23 @@ def test_quantile_normalize_runs_on_value_grain(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("+- Window (") == 3, plan
+
+
+def test_logistic_gd_gradient_is_single_agg_over_checkpoint(spark, sf_dir):
+    """Each GD round must be one hash agg over the checkpointed feature
+    table — the final-round plan has no join, no window, no parquet."""
+    plan = plan_of(spark, sf_dir, "mlprep_logistic_regression_gd")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("+- Window (") == 0, plan
+
+
+def test_naive_bayes_scoring_reuses_checkpointed_likelihoods(spark, sf_dir):
+    """Likelihood/total/vocab/prior tables must re-aggregate the
+    checkpointed train counts; only the eval-side token explode re-scans
+    documents (plus the tiny prior pass)."""
+    plan = plan_of(spark, sf_dir, "text_naive_bayes_langid")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") // 2 <= 2, plan
+    assert "CartesianProduct" not in plan, plan
