@@ -234,6 +234,7 @@ HEADLINE = [
     # round-6 twenty-fifth wave: generative classifier + GLM training.
     "text_naive_bayes_langid",
     "mlprep_logistic_regression_gd",
+    "stats_permutation_test_means",
 ]
 
 

@@ -2624,3 +2624,141 @@ def stats_ks_exponential_interarrival(spark, sf_dir):
             F.sqrt(F.col("n").cast("double")) * F.col("d_stat"), 4
         ).alias("sqrt_n_d"),
     )
+
+
+_PERM_B = 64
+
+
+@register(
+    "stats_permutation_test_means",
+    oracle=f"""
+    WITH pool AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT) AS s2
+        FROM pool
+    ),
+    fan AS (
+        SELECT p.v, b.b,
+               CASE WHEN ('0x' || substr(md5(concat(
+                        CAST(p.event_id AS VARCHAR), '-',
+                        CAST(b.b AS VARCHAR))), 1, 8))::BIGINT % 2 = 1
+                    THEN 1 ELSE 0 END AS rg
+        FROM pool p
+        CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_B - 1})) AS b) b
+    ),
+    reps AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN rg = 1 THEN v ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN rg = 1 THEN 1 ELSE 0 END)
+               - CAST(SUM(CASE WHEN rg = 0 THEN v ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN rg = 0 THEN 1 ELSE 0 END) AS rep_diff
+        FROM fan GROUP BY b
+    )
+    SELECT obs.n1, obs.n2,
+           round((CAST(obs.s1 AS DOUBLE) / obs.n1
+                  - CAST(obs.s2 AS DOUBLE) / obs.n2) / 100, 6) AS diff_obs,
+           round(CAST(1 + (SELECT COUNT(*) FROM reps, obs
+                           WHERE abs(rep_diff)
+                                 >= abs(CAST(obs.s1 AS DOUBLE) / obs.n1
+                                        - CAST(obs.s2 AS DOUBLE) / obs.n2))
+                      AS DOUBLE) / ({_PERM_B} + 1), 6) AS p_value
+    FROM obs
+    """,
+    tags=("stats", "agg", "sample"),
+    doc=(
+        f"Randomization (permutation) test for the purchase-vs-view "
+        f"mean difference, B = {_PERM_B} reassignments: each replicate "
+        "relabels every row by an md5(event_id, b) coin flip (the "
+        "Chamandy distributed-resampling idiom — balanced Bernoulli "
+        "randomization, the scalable variant of the exact fixed-size "
+        "permutation; groups here are ~equal so the null law matches), "
+        "and p = (1 + #{{|diff_b| >= |diff_obs|}})/(B+1).  ONE scan "
+        "fans out B replicate labels map-side; every replicate "
+        "difference reduces from exact integer sums and the "
+        "comparisons run on identical doubles — both engines draw "
+        "IDENTICAL reassignments, so even the p-value is cell-exact."
+    ),
+)
+def stats_permutation_test_means(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pool = e.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    ).localCheckpoint()  # observed stats + the B-way fan both re-consume
+    obs = pool.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    fan = pool.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "v",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("rg"),
+    )
+    reps = fan.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("rg") == 1, F.col("v")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("rg") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("rg") == 0, F.col("v")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("rg") == 0, 1).otherwise(0))
+        ).alias("rep_diff")
+    )
+    diff_obs = F.col("s1").cast("double") / F.col("n1") - F.col(
+        "s2"
+    ).cast("double") / F.col("n2")
+    exceed = (
+        reps.crossJoin(F.broadcast(obs))
+        .filter(F.abs(F.col("rep_diff")) >= F.abs(diff_obs))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(exceed))
+        .select(
+            "n1",
+            "n2",
+            F.round(diff_obs / 100, 6).alias("diff_obs"),
+            F.round(
+                (1 + F.col("k")).cast("double") / (_PERM_B + 1), 6
+            ).alias("p_value"),
+        )
+    )
