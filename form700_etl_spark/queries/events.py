@@ -1125,9 +1125,13 @@ def events_longest_daily_streak(spark, sf_dir):
     "events_cohort_ltv_curve",
     oracle="""
     WITH cohorts AS (
+        -- floor(x/7.0), NOT the // operator: DuckDB // truncates
+        -- toward zero for negatives while Spark floor()s, so a
+        -- pre-anchor date would shift cohorts between engines
         SELECT user_id,
-               CAST(MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                        // 7) AS BIGINT) AS cohort_week
+               CAST(MIN(CAST(floor(datediff('day', DATE '2024-01-01',
+                                            CAST(ts AS DATE)) / 7.0)
+                             AS BIGINT)) AS BIGINT) AS cohort_week
         FROM events GROUP BY user_id
     ),
     sizes AS (
@@ -1136,8 +1140,9 @@ def events_longest_daily_streak(spark, sf_dir):
     ),
     rev AS (
         SELECT c.cohort_week,
-               CAST(datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE))
-                    // 7 AS BIGINT) - c.cohort_week AS week_offset,
+               CAST(floor(datediff('day', DATE '2024-01-01',
+                                   CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+                 - c.cohort_week AS week_offset,
                CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
                  AS cents
         FROM events e JOIN cohorts c ON c.user_id = e.user_id

@@ -854,8 +854,15 @@ def mlprep_logistic_regression_gd(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n"),
         ).collect()[0]
         n = g["n"]
+        # round half AWAY from zero (SQL round in both engines) — the
+        # Python builtin is banker's rounding and would diverge on ties
+        def _sql_round(x: float) -> int:
+            import math
+
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
         w = tuple(
-            w[j] - int(round(float(g[f"g{j}"]) / n)) for j in range(3)
+            w[j] - _sql_round(float(g[f"g{j}"]) / n) for j in range(3)
         )
     final = base.select(
         "y",

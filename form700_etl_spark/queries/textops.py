@@ -2900,8 +2900,7 @@ _NB_TERM_SQL = (
         FROM train_tok GROUP BY 1, 2
     ),
     lang_tot AS (
-        SELECT lang, CAST(SUM(c_tok) AS BIGINT) AS c_lang,
-               CAST(COUNT(*) AS BIGINT) AS n_docs_unused
+        SELECT lang, CAST(SUM(c_tok) AS BIGINT) AS c_lang
         FROM likel GROUP BY lang
     ),
     vocab AS (

@@ -608,6 +608,7 @@ def stream_kmv_distinct(
     longs per key in the state store; arrivals only ever shrink-or-keep
     the k-min set."""
     import hashlib
+    import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -633,11 +634,12 @@ def stream_kmv_distinct(
                 s.add(kmv48(str(int(u))))
         hashes = sorted(s)[:K]
         state.update((hashes, n_seen))
-        est = (
-            len(hashes)
-            if len(hashes) < K
-            else round((K - 1) / (hashes[-1] / 281474976710656.0))
-        )
+        if len(hashes) < K:
+            est = len(hashes)
+        else:
+            # SQL-round (half away from zero), not Python banker's
+            q = (K - 1) / (hashes[-1] / 281474976710656.0)
+            est = int(math.floor(q + 0.5))
         # n_seen is the LATEST-ROW marker: sketch_size saturates at k,
         # so only a strictly-increasing rows-processed count makes the
         # final-state pick deterministic under multi-batch delivery

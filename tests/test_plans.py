@@ -943,5 +943,5 @@ def test_naive_bayes_scoring_reuses_checkpointed_likelihoods(spark, sf_dir):
     documents (plus the tiny prior pass)."""
     plan = plan_of(spark, sf_dir, "text_naive_bayes_langid")
     assert "Scan ExistingRDD" in plan, plan
-    assert plan.count("Scan parquet") // 2 <= 2, plan
+    assert plan.count("Scan parquet") // 2 <= 1, plan
     assert "CartesianProduct" not in plan, plan

@@ -299,8 +299,6 @@ def test_stream_kmv_distinct_deterministic_across_micro_batches(
     micro-batches (maxFilesPerTrigger=1) and in 1, and require equal
     results — this is exactly the case a sketch_size tie-break would
     break, since sketch_size saturates at k."""
-    from pyspark.sql import functions as F
-
     from form700_etl_spark.io import table
     from form700_etl_spark.streaming.events_stream import stream_kmv_distinct
 

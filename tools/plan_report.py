@@ -66,7 +66,7 @@ REPORT_QUERIES = [
     ("graph_kcore_peel_profile", "per-round semi-joins + degree agg over the checkpointed survivor set"),
     ("stats_kruskal_wallis", "one value-grain rank window, micro-quantized k-term combine"),
     ("intervals_overlap_join", "week-bucket equi join + distinct + exact overlap verify"),
-    ("ann_hybrid_rrf_fusion", "one metric pass checkpointed; two rankings + exact RRF combine"),
+    ("ann_hybrid_rrf_fusion", "two streamed WindowGroupLimit rankings (hoisted norms) + exact RRF combine"),
     ("clean_quantile_normalize_groups", "sorted-union forward as-of window at value grain"),
 ]
 
