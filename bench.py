@@ -235,6 +235,8 @@ HEADLINE = [
     "text_naive_bayes_langid",
     "mlprep_logistic_regression_gd",
     "stats_permutation_test_means",
+    "stats_wilcoxon_signed_rank",
+    "text_js_divergence_sources",
 ]
 
 

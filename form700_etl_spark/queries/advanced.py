@@ -2762,3 +2762,129 @@ def stats_permutation_test_means(spark, sf_dir):
             ).alias("p_value"),
         )
     )
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS s_p,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_p,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100) AS BIGINT) END)
+                    AS BIGINT) AS s_v,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS BIGINT) AS n_v
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY user_id
+    ),
+    diffs AS (
+        -- paired difference of MEANS, cleared of division: d2 =
+        -- s_p*n_v - s_v*n_p keeps the sign and |d| exact integers
+        SELECT s_p * n_v - s_v * n_p AS d2
+        FROM per_user WHERE n_p IS NOT NULL AND n_v IS NOT NULL
+    ),
+    nz AS (SELECT d2 FROM diffs WHERE d2 <> 0),
+    vt AS (
+        SELECT abs(d2) AS a, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN d2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_pos
+        FROM nz GROUP BY 1
+    ),
+    ranked AS (
+        SELECT a, c, c_pos,
+               2 * (SUM(c) OVER (ORDER BY a) - c) + c + 1 AS r2
+        FROM vt
+    ),
+    m AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c_pos * r2) AS BIGINT) AS w_plus_x2,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+        FROM ranked
+    )
+    SELECT n,
+           CAST(w_plus_x2 AS BIGINT) AS w_plus_x2,
+           round((CAST(w_plus_x2 AS DOUBLE) / 2
+                  - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                        - CAST(tie3 AS DOUBLE) / 48), 6) AS z_stat
+    FROM m
+    """,
+    tags=("stats", "agg", "window"),
+    doc=(
+        "Wilcoxon signed-rank test (1945): the PAIRED complement of "
+        "stats_mann_whitney_u — does each user's purchase mean exceed "
+        "their own view mean?  Pairing is per user (one hash agg), the "
+        "difference of means is cleared of division (d2 = s_p*n_v - "
+        "s_v*n_p — exact sign and magnitude), zeros drop per the "
+        "classic procedure, and |d|-grain doubled midranks (the MWU "
+        "trick) make W+ an exact integer (reported doubled).  The "
+        "normal approximation applies the standard tie correction "
+        "sum(t^3-t)/48.  One corpus scan; everything after runs at "
+        "user then |d|-value grain."
+    ),
+)
+def stats_wilcoxon_signed_rank(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", vc))
+        .cast("long")
+        .alias("s_p"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("n_p"),
+        F.sum(F.when(F.col("event_type") == "view", vc))
+        .cast("long")
+        .alias("s_v"),
+        F.sum(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("n_v"),
+    )
+    diffs = per_user.filter(
+        F.col("n_p").isNotNull() & F.col("n_v").isNotNull()
+    ).select(
+        (F.col("s_p") * F.col("n_v") - F.col("s_v") * F.col("n_p")).alias("d2")
+    )
+    vt = (
+        diffs.filter(F.col("d2") != 0)
+        .groupBy(F.abs("d2").alias("a"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.when(F.col("d2") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_pos"),
+        )
+    )
+    wr = W.orderBy("a").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = vt.select(
+        "c",
+        "c_pos",
+        (2 * (F.sum("c").over(wr) - F.col("c")) + F.col("c") + 1).alias("r2"),
+    )
+    m = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c_pos") * F.col("r2")).cast("long").alias("w_plus_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.col("w_plus_x2").cast("long").alias("w_plus_x2"),
+        F.round(
+            (F.col("w_plus_x2").cast("double") / 2 - nd * (F.col("n") + 1) / 4)
+            / F.sqrt(
+                nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+                - F.col("tie3").cast("double") / 48
+            ),
+            6,
+        ).alias("z_stat"),
+    )

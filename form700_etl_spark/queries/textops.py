@@ -3029,3 +3029,112 @@ def text_naive_bayes_langid(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("gold", "predicted")
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    s_tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+              FROM st GROUP BY source),
+    corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cc FROM st
+               GROUP BY token),
+    c_tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n_c FROM corpus),
+    terms AS (
+        -- for each (source, token): p = source prob, q = corpus prob,
+        -- m = (p+q)/2; JS contribution from BOTH directions, each ln
+        -- term quantized to nano-nats BEFORE the per-source sum.  A
+        -- token absent from the source contributes only on the q side.
+        SELECT s.source,
+               CAST(round(1e9 * 0.5 * (CAST(st.c AS DOUBLE) / s.n_s)
+                    * ln((CAST(st.c AS DOUBLE) / s.n_s)
+                         / ((CAST(st.c AS DOUBLE) / s.n_s
+                             + CAST(co.cc AS DOUBLE) / ct.n_c) / 2)))
+                    AS BIGINT) AS kl_p_e9,
+               CAST(round(1e9 * 0.5 * (CAST(co.cc AS DOUBLE) / ct.n_c)
+                    * ln((CAST(co.cc AS DOUBLE) / ct.n_c)
+                         / ((COALESCE(CAST(st2.c AS DOUBLE), 0.0) / s.n_s
+                             + CAST(co.cc AS DOUBLE) / ct.n_c) / 2)))
+                    AS BIGINT) AS kl_q_e9
+        FROM s_tot s
+        CROSS JOIN c_tot ct
+        JOIN corpus co ON TRUE
+        LEFT JOIN st ON st.source = s.source AND st.token = co.token
+        LEFT JOIN st st2 ON st2.source = s.source AND st2.token = co.token
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(COALESCE(kl_p_e9, 0)) AS BIGINT) AS p_side,
+               CAST(SUM(kl_q_e9) AS BIGINT) AS q_side
+        FROM terms GROUP BY source
+    )
+    SELECT source,
+           round((p_side + q_side) / 1e9, 6) AS js_divergence
+    FROM agg ORDER BY source
+    """,
+    tags=("text", "stats", "pipeline"),
+    doc=(
+        "Jensen-Shannon divergence of EACH source's token distribution "
+        "from the corpus mixture (Lin 1991): the domain-shift "
+        "diagnostic a data-mixing pipeline reads before reweighting — "
+        "JS is symmetric, bounded by ln 2, and defined even where a "
+        "source misses tokens (the q-side term survives via the "
+        "mixture).  One tokenize pass to (source, token) grain; the "
+        "corpus marginal re-aggregates it; each of the two KL "
+        "integrands evaluates on identical doubles and quantizes to "
+        "nano-nats BEFORE the per-source sums.  Token-grain joins "
+        "only — nothing quadratic, vocabulary-bounded state."
+    ),
+)
+def text_js_divergence_sources(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # marginals + both KL sides re-consume it
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    corpus = st.groupBy("token").agg(F.sum("c").cast("long").alias("cc"))
+    c_tot = corpus.agg(F.sum("cc").cast("long").alias("n_c"))
+    base = (
+        F.broadcast(s_tot)
+        .crossJoin(F.broadcast(c_tot))
+        .join(corpus, F.lit(True))
+        .join(st, ["source", "token"], "left")
+    )
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("cc").cast("double") / F.col("n_c")
+    p0 = F.coalesce(F.col("c").cast("double"), F.lit(0.0)) / F.col("n_s")
+    terms = base.select(
+        "source",
+        F.when(
+            F.col("c").isNotNull(),
+            F.round(1e9 * 0.5 * p * F.log(p / ((p + q) / 2))).cast("long"),
+        ).alias("kl_p_e9"),
+        F.round(1e9 * 0.5 * q * F.log(q / ((p0 + q) / 2)))
+        .cast("long")
+        .alias("kl_q_e9"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("kl_p_e9"), F.lit(0)))
+                + F.sum("kl_q_e9")
+            ).alias("tot_e9")
+        )
+        .select(
+            "source", F.round(F.col("tot_e9") / 1e9, 6).alias("js_divergence")
+        )
+        .orderBy("source")
+    )
