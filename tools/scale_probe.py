@@ -129,6 +129,8 @@ PROBE_QUERIES = [
     "basket_association_rules",
     "text_kneser_ney_nll",
     "ann_hybrid_rrf_fusion",
+    # round-6: token-grain divergence (documents 10x, Heaps vocab)
+    "text_js_divergence_sources",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
