@@ -237,6 +237,7 @@ HEADLINE = [
     "stats_permutation_test_means",
     "stats_wilcoxon_signed_rank",
     "text_js_divergence_sources",
+    "stats_benjamini_hochberg_fdr",
 ]
 
 

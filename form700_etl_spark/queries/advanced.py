@@ -2888,3 +2888,194 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
             6,
         ).alias("z_stat"),
     )
+
+
+_BH_B = 32
+
+
+@register(
+    "stats_benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH pool AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS g
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        FROM pool GROUP BY event_type
+    ),
+    fan AS (
+        SELECT p.event_type, p.v, b.b,
+               CASE WHEN ('0x' || substr(md5(concat(
+                        CAST(p.event_id AS VARCHAR), '-',
+                        CAST(b.b AS VARCHAR))), 1, 8))::BIGINT % 2 = 1
+                    THEN 1 ELSE 0 END AS rg
+        FROM pool p
+        CROSS JOIN (SELECT unnest(generate_series(0, {_BH_B - 1})) AS b) b
+    ),
+    reps AS (
+        SELECT event_type, b,
+               CAST(SUM(CASE WHEN rg = 1 THEN v ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN rg = 1 THEN 1 ELSE 0 END)
+               - CAST(SUM(CASE WHEN rg = 0 THEN v ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN rg = 0 THEN 1 ELSE 0 END) AS rep_diff
+        FROM fan GROUP BY event_type, b
+    ),
+    pvals AS (
+        SELECT o.event_type,
+               CAST(1 + COUNT(CASE WHEN abs(r.rep_diff) >=
+                       abs(CAST(o.s1 AS DOUBLE) / o.n1
+                           - CAST(o.s0 AS DOUBLE) / o.n0) THEN 1 END)
+                    AS BIGINT) AS k1
+        FROM obs o JOIN reps r ON r.event_type = o.event_type
+        GROUP BY o.event_type
+    ),
+    ranked AS (
+        SELECT event_type, k1,
+               CAST(k1 AS DOUBLE) / ({_BH_B} + 1) AS p_raw,
+               row_number() OVER (ORDER BY k1, event_type) AS i,
+               (SELECT COUNT(*) FROM pvals) AS m
+        FROM pvals
+    ),
+    adj AS (
+        SELECT event_type, p_raw,
+               MIN(least(p_raw * m / i, 1.0)) OVER (
+                   ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS p_bh
+        FROM ranked
+    )
+    SELECT event_type, round(p_raw, 6) AS p_raw, round(p_bh, 6) AS p_bh,
+           p_bh <= 0.10 AS rejected_at_10pct
+    FROM adj ORDER BY event_type
+    """,
+    tags=("stats", "agg", "sample"),
+    doc=(
+        f"Benjamini-Hochberg FDR correction (1995) over a FAMILY of "
+        f"per-type randomization tests (weekend-vs-weekday value "
+        f"shift, B = {_BH_B} md5-keyed reassignments each): the "
+        "multiple-testing discipline a metrics platform needs when it "
+        "screens every segment at once.  Raw p-values are EXACT "
+        "fractions (k+1)/(B+1) from integer exceedance counts — both "
+        "engines draw identical reassignments — and the BH step-up "
+        "adjustment is the reverse running min of p*m/i over the "
+        "bounded family, so even the adjusted p-values replay cell-"
+        "exact.  One corpus scan fans out all types' replicates; "
+        "everything after is family-sized."
+    ),
+)
+def stats_benjamini_hochberg_fdr(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    pool = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.dayofweek(F.to_date("ts")).isin(1, 7), 1)
+        .otherwise(0)
+        .alias("g"),
+    ).localCheckpoint()
+    obs = pool.groupBy("event_type").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    fan = pool.select(
+        "event_type",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BH_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "v",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("rg"),
+    )
+    reps = fan.groupBy("event_type", "b").agg(
+        (
+            F.sum(F.when(F.col("rg") == 1, F.col("v")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("rg") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("rg") == 0, F.col("v")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("rg") == 0, 1).otherwise(0))
+        ).alias("rep_diff")
+    )
+    diff_obs = F.abs(
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    )
+    pvals = (
+        obs.join(reps, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                1
+                + F.count(
+                    F.when(F.abs(F.col("rep_diff")) >= diff_obs, 1)
+                )
+            )
+            .cast("long")
+            .alias("k1")
+        )
+    )
+    m_tot = pvals.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = (
+        pvals.crossJoin(F.broadcast(m_tot))
+        .select(
+            "event_type",
+            (F.col("k1").cast("double") / (_BH_B + 1)).alias("p_raw"),
+            F.row_number()
+            .over(W.orderBy("k1", "event_type"))
+            .alias("i"),
+            "m",
+        )
+    )
+    wrev = W.orderBy(F.col("i").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    adj = ranked.select(
+        "event_type",
+        "p_raw",
+        F.min(
+            F.least(F.col("p_raw") * F.col("m") / F.col("i"), F.lit(1.0))
+        )
+        .over(wrev)
+        .alias("p_bh"),
+    )
+    return adj.select(
+        "event_type",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round("p_bh", 6).alias("p_bh"),
+        (F.col("p_bh") <= 0.10).alias("rejected_at_10pct"),
+    ).orderBy("event_type")
