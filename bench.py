@@ -238,6 +238,8 @@ HEADLINE = [
     "stats_wilcoxon_signed_rank",
     "text_js_divergence_sources",
     "stats_benjamini_hochberg_fdr",
+    "events_dau_wau_mau_stickiness",
+    "abc_pareto_parts_classification",
 ]
 
 

@@ -1219,3 +1219,86 @@ def events_cohort_ltv_curve(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_dau_wau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+    ),
+    wau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days JOIN du
+          ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+    ),
+    mau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+        FROM days JOIN du
+          ON du.d BETWEEN days.d - INTERVAL 27 DAY AND days.d
+        GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    ORDER BY day
+    """,
+    tags=("events", "analytics", "distinct"),
+    doc=(
+        "DAU / trailing-7d WAU / trailing-28d MAU and the DAU/MAU "
+        "stickiness ratio per day — the product-health dashboard "
+        "primitive.  COUNT(DISTINCT) OVER RANGE is unsupported in "
+        "Spark, so both trailing windows use the contribution-explode "
+        "rewrite (each (day, user) observation fans out to the days it "
+        "serves — 7x and 28x — then hash aggs count distincts), the "
+        "window_rolling_7d_distinct_users pattern generalized to two "
+        "horizons off ONE deduped (day, user) projection."
+    ),
+)
+def events_dau_wau_mau_stickiness(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    du = (
+        e.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint()  # dau + both fan-outs re-consume it
+    )
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing_distinct(n_days, name):
+        contrib = du.select(
+            F.explode(
+                F.sequence(
+                    "d", F.date_add("d", n_days - 1), F.expr("interval 1 day")
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        return (
+            contrib.join(days.select(F.col("d").alias("day")), "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long").alias(name))
+        )
+
+    wau = trailing_distinct(7, "wau")
+    mau = trailing_distinct(28, "mau")
+    return (
+        dau.join(wau, dau.d == wau.day)
+        .drop("day")
+        .join(mau, dau.d == mau.day)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

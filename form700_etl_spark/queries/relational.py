@@ -14,9 +14,10 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 from pyspark.sql import Window
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.money import cents, cents_sql
+from ..functions.money import cents, cents_sql, money, money_sql
 from ..io import maybe_broadcast, table
 from ..registry import register
 
@@ -1463,4 +1464,77 @@ def q21_sole_late_supplier(spark, sf_dir):
         .join(maybe_broadcast(s), F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "abc_pareto_parts_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS p,
+               CAST(SUM({cents_sql('l_extendedprice')}) AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    ranked AS (
+        SELECT p, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, p) AS cum
+        FROM rev
+    ),
+    classed AS (
+        -- cross-multiplied class boundaries: cum/t <= 0.8 etc. become
+        -- exact integer comparisons (no rational arithmetic)
+        SELECT CASE WHEN cum * 10 <= t * 8 THEN 'A'
+                    WHEN cum * 100 <= t * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {money_sql('CAST(SUM(cents) AS BIGINT)')} AS revenue,
+           round(CAST(SUM(cents) AS DOUBLE)
+                 / (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("agg", "window", "analytics"),
+    doc=(
+        "ABC / Pareto inventory classification: parts ranked by "
+        "revenue, class A = the head covering 80% of cumulative "
+        "revenue, B to 95%, C the tail — the 80/15/5 discipline "
+        "purchasing runs on.  One part-grain hash agg, one cumulative "
+        "window over the part grain (dimension-sized, saturating), and "
+        "the class boundaries CROSS-MULTIPLY (cum*10 <= t*8) so "
+        "classification is exact integer arithmetic — no rational "
+        "thresholds, no ulp at the boundaries."
+    ),
+)
+def abc_pareto_parts_classification(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(cents("l_extendedprice")).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    wcum = W.orderBy(F.col("cents").desc(), "p").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.select("p", "cents", F.sum("cents").over(wcum).alias("cum"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 10 <= F.col("t") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "t",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            money(F.sum("cents").cast("long")).alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
     )
