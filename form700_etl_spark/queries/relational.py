@@ -1538,3 +1538,44 @@ def abc_pareto_parts_classification(spark, sf_dir):
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "agg_mode_per_priority",
+    oracle="""
+    WITH grain AS (
+        SELECT o_orderpriority AS priority,
+               CAST(round(o_totalprice / 10000) AS BIGINT) AS price_band,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, price_band AS modal_band, c AS n_orders
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY priority
+                                     ORDER BY c DESC, price_band) AS rk
+        FROM grain
+    ) WHERE rk = 1
+    ORDER BY priority
+    """,
+    tags=("agg", "window"),
+    doc=(
+        "Exact per-group MODE (most frequent $100-band of order value "
+        "per priority, smallest-band tie-break): the grain agg + "
+        "argmax-window rewrite of MODE()/any_value-approximations — "
+        "exact at any scale because the window runs over the bounded "
+        "(group, band) grain, never raw rows."
+    ),
+)
+def agg_mode_per_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    grain = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") / 10000).cast("long").alias("price_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = W.partitionBy("priority").orderBy(F.col("c").desc(), "price_band")
+    return (
+        grain.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("priority", F.col("price_band").alias("modal_band"), F.col("c").alias("n_orders"))
+        .orderBy("priority")
+    )
