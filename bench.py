@@ -240,6 +240,8 @@ HEADLINE = [
     "stats_benjamini_hochberg_fdr",
     "events_dau_wau_mau_stickiness",
     "abc_pareto_parts_classification",
+    "intervals_concurrency_profile",
+    "multimodal_audio_fp_neardup",
 ]
 
 

@@ -670,3 +670,114 @@ def image_dhash(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(run, schema="doc_id long, dhash long")
+
+
+# --------------------------------------------- audio fingerprint dedup
+
+# Same corpus discipline as the image dHash: sine fixtures are too
+# regular for energy fingerprints (flat windowed energy), so the dedup
+# corpus uses sha256-seeded noise PCM; content key = doc_id // 3 and
+# every 13th doc is a volume-scaled (49/50) variant — energy ORDER is
+# volume-invariant, so variants measured Hamming 0 while unrelated
+# keys sit >= 16 bits apart (median 32).
+
+AFP_N_SAMPLES = 2080  # 65 windows x 32 samples
+AFP_WINDOW = 32
+
+
+def synth_noise_wav_bytes(key: int) -> bytes:
+    """Deterministic mono PCM16 WAV of sha256-seeded noise."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    stream = b""
+    i = 0
+    while len(stream) < AFP_N_SAMPLES * 2:
+        stream += hashlib.sha256(f"wav:{key}:{i}".encode()).digest()
+        i += 1
+    vals = struct.unpack(f"<{AFP_N_SAMPLES}h", stream[: AFP_N_SAMPLES * 2])
+    samples = [int(v / 4) for v in vals]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(struct.pack(f"<{AFP_N_SAMPLES}h", *samples))
+    return buf.getvalue()
+
+
+def volume_scale_wav_bytes(buf: bytes, num: int = 49, den: int = 50) -> bytes:
+    """Deterministic volume change (the near-duplicate generator)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as r:
+        n = r.getnframes()
+        rate = r.getframerate()
+        frames = r.readframes(n)
+    vals = struct.unpack(f"<{n}h", frames)
+    scaled = [v * num // den for v in vals]
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *scaled))
+    return out.getvalue()
+
+
+def wav_energy_fp64(buf: bytes) -> int:
+    """64-bit energy-difference fingerprint: 65 window energies (exact
+    integer sums of squares over decoded PCM), one bit per adjacent
+    comparison — the 1-D dHash; invariant to uniform volume scaling
+    because only the energy ORDER matters.  Signed 64-bit return."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as r:
+        n = r.getnframes()
+        vals = struct.unpack(f"<{n}h", r.readframes(n))
+    es = [
+        sum(v * v for v in vals[w * AFP_WINDOW : (w + 1) * AFP_WINDOW])
+        for w in range(65)
+    ]
+    bits = 0
+    for i in range(64):
+        bits = (bits << 1) | (1 if es[i] < es[i + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def synthesize_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio corpus with injected duplicate structure (groups of 3
+    consecutive doc_ids; every 13th doc volume-scaled)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                buf = synth_noise_wav_bytes(i // DHASH_GROUP)
+                if i % DHASH_PERTURB_EVERY == 0:
+                    buf = volume_scale_wav_bytes(buf)
+                payloads.append(buf)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def audio_fingerprints(audio: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": [wav_energy_fp64(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return audio.mapInPandas(run, schema="doc_id long, afp long")

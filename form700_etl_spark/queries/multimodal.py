@@ -230,3 +230,60 @@ def multimodal_image_dhash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "multimodal_audio_fp_neardup",
+    oracle=None,  # binary container decode; brute-force-equality law test
+    tags=("multimodal", "audio", "dedup"),
+    doc=(
+        "Perceptual audio near-dedup: a 64-bit energy-difference "
+        "fingerprint (the 1-D dHash — 65 exact integer window energies "
+        "from the decoded PCM, one bit per adjacent comparison, "
+        "volume-scale invariant because only the energy ORDER matters) "
+        "computed during the Arrow-batched WAV decode, then the same "
+        "4x16-bit band machinery as the image/text paths finds all "
+        "pairs within Hamming 3 JVM-side.  Completes the near-dup "
+        "family across modalities: text (MinHash/SimHash), image "
+        "(dHash), audio (energy fp) — one banding discipline, three "
+        "codecs.  Injected dup groups (doc_id div 3) + volume-scaled "
+        "variants (measured Hamming 0) make recall testable."
+    ),
+)
+def multimodal_audio_fp_neardup(spark, sf_dir):
+    from ..operators.multimodal import audio_fingerprints, synthesize_dedup_audio
+
+    hashes = audio_fingerprints(
+        synthesize_dedup_audio(spark, sf_dir)
+    ).localCheckpoint()
+    bands = hashes.select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"shiftrightunsigned(afp, {16 * b}) & 65535"
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "afp", "bk.b", "bk.band_val")
+    a = bands.select(
+        "b", "band_val", F.col("doc_id").alias("doc_a"), F.col("afp").alias("ha")
+    )
+    x = bands.select(
+        "b", "band_val", F.col("doc_id").alias("doc_b"), F.col("afp").alias("hb")
+    )
+    return (
+        a.join(x, ["b", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

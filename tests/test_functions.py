@@ -757,3 +757,54 @@ class TestImageDhash:
             .collect()
         }
         assert got == expect, (len(got), len(expect))
+
+
+class TestAudioFingerprint:
+    def test_volume_invariance(self):
+        from form700_etl_spark.operators.multimodal import (
+            synth_noise_wav_bytes,
+            volume_scale_wav_bytes,
+            wav_energy_fp64,
+        )
+
+        for key in range(100):
+            b = synth_noise_wav_bytes(key)
+            assert wav_energy_fp64(b) == wav_energy_fp64(
+                volume_scale_wav_bytes(b)
+            ), key
+
+    def test_banded_pairs_match_bruteforce(self, spark, sf_dir):
+        from form700_etl_spark.io import table
+        from form700_etl_spark.operators.multimodal import (
+            DHASH_GROUP,
+            DHASH_PERTURB_EVERY,
+            synth_noise_wav_bytes,
+            volume_scale_wav_bytes,
+            wav_energy_fp64,
+        )
+        from form700_etl_spark.registry import all_queries
+
+        ids = [
+            r["doc_id"]
+            for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+        ]
+        hs = {}
+        for i in ids:
+            buf = synth_noise_wav_bytes(i // DHASH_GROUP)
+            if i % DHASH_PERTURB_EVERY == 0:
+                buf = volume_scale_wav_bytes(buf)
+            hs[i] = wav_energy_fp64(buf) & ((1 << 64) - 1)
+        srt = sorted(ids)
+        expect = {
+            (a, b)
+            for ai, a in enumerate(srt)
+            for b in srt[ai + 1 :]
+            if bin(hs[a] ^ hs[b]).count("1") <= 3
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in all_queries()["multimodal_audio_fp_neardup"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect, (len(got), len(expect))
