@@ -242,6 +242,8 @@ HEADLINE = [
     "abc_pareto_parts_classification",
     "intervals_concurrency_profile",
     "multimodal_audio_fp_neardup",
+    "stats_cohens_d_effect_sizes",
+    "text_heaps_vocab_growth",
 ]
 
 

@@ -3079,3 +3079,80 @@ def stats_benjamini_hochberg_fdr(spark, sf_dir):
         F.round("p_bh", 6).alias("p_bh"),
         (F.col("p_bh") <= 0.10).alias("rejected_at_10pct"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_cohens_d_effect_sizes",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                        * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT)
+                 AS ss
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 / 100, 6) AS mean_diff,
+           round(((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                  / sqrt((
+                      (CAST(a.ss AS DOUBLE)
+                       - CAST(a.s AS DOUBLE) * a.s / a.n)
+                      + (CAST(b.ss AS DOUBLE)
+                         - CAST(b.s AS DOUBLE) * b.s / b.n)
+                    ) / (a.n + b.n - 2))), 6) AS cohens_d
+    FROM m a JOIN m b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Cohen's d standardized effect size for EVERY event-type pair "
+        "(pooled-SD denominator): the magnitude companion to the "
+        "t/z/MWU significance battery — at 100 TB almost everything is "
+        "'significant', so effect size is the decision-grade number.  "
+        "One hash agg to exact integer moments per type (HUGEINT/"
+        "decimal squared sums), then the k^2/2 pair grid evaluates on "
+        "identical doubles — corpus touched once."
+    ),
+)
+def stats_cohens_d_effect_sizes(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vc).cast("long").alias("s"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("ss"),
+    ).localCheckpoint()  # both pair-grid sides re-consume it
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("na")
+    mean_b = F.col("sb").cast("double") / F.col("nb")
+    ssd_a = F.col("ssa").cast("double") - F.col("sa").cast("double") * F.col(
+        "sa"
+    ) / F.col("na")
+    ssd_b = F.col("ssb").cast("double") - F.col("sb").cast("double") * F.col(
+        "sb"
+    ) / F.col("nb")
+    pooled = F.sqrt((ssd_a + ssd_b) / (F.col("na") + F.col("nb") - 2))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round((mean_a - mean_b) / 100, 6).alias("mean_diff"),
+            F.round((mean_a - mean_b) / pooled, 6).alias("cohens_d"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -3138,3 +3138,152 @@ def text_js_divergence_sources(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_heaps_vocab_growth",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT token, CAST(MIN(doc_id) AS BIGINT) AS d0 FROM tok
+        GROUP BY token
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(CASE WHEN f.d0 = t.doc_id THEN 1 END) AS BIGINT)
+                 AS n_new
+        FROM tok t JOIN first_seen f ON f.token = t.token
+        GROUP BY t.doc_id
+    ),
+    cum AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) AS rk,
+               SUM(n_tok) OVER (ORDER BY doc_id) AS cum_tokens,
+               SUM(n_new) OVER (ORDER BY doc_id) AS cum_types
+        FROM per_doc
+    ),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cum),
+    checkpoints AS (
+        SELECT c.rk, c.cum_tokens, c.cum_types,
+               CAST(i.i AS BIGINT) AS decile
+        FROM cum c
+        JOIN (SELECT unnest(range(1, 11)) AS i) i
+          ON c.rk = (SELECT CAST(floor(i.i * n / 10.0) AS BIGINT) FROM n_docs)
+    ),
+    lns AS (
+        SELECT decile, cum_tokens, cum_types,
+               CAST(round(1e9 * ln(CAST(cum_tokens AS DOUBLE))) AS BIGINT)
+                 AS lx,
+               CAST(round(1e9 * ln(CAST(cum_types AS DOUBLE))) AS BIGINT)
+                 AS ly
+        FROM checkpoints
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy
+        FROM lns
+    )
+    SELECT decile, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_types AS BIGINT) AS cum_types,
+           round((fit.k * fit.sxy - fit.sx * fit.sy)
+                 / (fit.k * fit.sxx - fit.sx * fit.sx), 6) AS heaps_beta
+    FROM lns CROSS JOIN fit
+    ORDER BY decile
+    """,
+    tags=("text", "stats", "pipeline"),
+    doc=(
+        "Heaps'-law vocabulary growth curve + exponent (Heaps 1978): "
+        "distinct types vs tokens processed at 10 corpus checkpoints, "
+        "with beta from a log-log OLS over the checkpoints — the "
+        "tokenizer-budget / crawl-value diagnostic (is new data still "
+        "buying new vocabulary?), and the empirical basis for the "
+        "scale-probe's vocab-scaling rule.  First occurrences come "
+        "from one token-grain min-agg (no per-doc state), per-doc "
+        "new-type counts re-join it, and the cumulative windows run "
+        "over DOC grain.  ln terms quantize to nano-units before the "
+        "10-point OLS moments, so the fitted exponent replays "
+        "cell-exact."
+    ),
+)
+def text_heaps_vocab_growth(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).localCheckpoint()  # first-seen agg + the per-doc join re-consume
+    first_seen = tok.groupBy("token").agg(
+        F.min("doc_id").cast("long").alias("d0")
+    )
+    per_doc = (
+        tok.join(first_seen, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.count(F.when(F.col("d0") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    wcum = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_doc.select(
+        "doc_id",
+        F.row_number().over(W.orderBy("doc_id")).alias("rk"),
+        F.sum("n_tok").over(wcum).alias("cum_tokens"),
+        F.sum("n_new").over(wcum).alias("cum_types"),
+    ).localCheckpoint()  # count + checkpoint join re-consume
+    n_docs = cum.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    checkpoints = (
+        F.broadcast(deciles)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "decile",
+            F.floor(F.col("decile") * F.col("n") / 10.0)
+            .cast("long")
+            .alias("rk"),
+        )
+        .join(cum, "rk")
+    )
+    lns = checkpoints.select(
+        "decile",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_types").cast("long").alias("cum_types"),
+        F.round(1e9 * F.log(F.col("cum_tokens").cast("double")))
+        .cast("long")
+        .alias("lx"),
+        F.round(1e9 * F.log(F.col("cum_types").cast("double")))
+        .cast("long")
+        .alias("ly"),
+    ).localCheckpoint()  # the fit + output rows re-consume
+    fit = lns.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        # cast operands BEFORE multiplying: lx ~ 1e10, the long product
+        # overflows before a trailing cast could widen it
+        F.sum(F.col("lx").cast("decimal(19,0)") * F.col("lx").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("lx").cast("decimal(19,0)") * F.col("ly").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return (
+        lns.crossJoin(F.broadcast(fit))
+        .select(
+            "decile",
+            "cum_tokens",
+            "cum_types",
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )
