@@ -131,6 +131,8 @@ PROBE_QUERIES = [
     "ann_hybrid_rrf_fusion",
     # round-6: token-grain divergence (documents 10x, Heaps vocab)
     "text_js_divergence_sources",
+    "text_heaps_vocab_growth",
+    "multimodal_audio_fp_neardup",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
