@@ -3156,3 +3156,90 @@ def stats_cohens_d_effect_sizes(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "stats_roc_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+        FROM embeddings
+    ),
+    s AS (
+        SELECT score,
+               CAST(SUM(pos) AS BIGINT) AS c1,
+               CAST(SUM(1 - pos) AS BIGINT) AS c2
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT c1, c2,
+               2 * (SUM(c1 + c2) OVER (ORDER BY score) - (c1 + c2))
+                 + (c1 + c2) + 1 AS r2
+        FROM s
+    ),
+    m AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+               CAST(SUM(c2) AS BIGINT) AS n_neg,
+               CAST(SUM(c1 * r2) AS BIGINT) AS r1_x2
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           CAST(r1_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+           round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini_coef
+    FROM m
+    """,
+    tags=("stats", "mlprep"),
+    doc=(
+        "ROC-AUC of a scalar score against a binary label via the "
+        "rank-statistic identity AUC = U/(n+ n-) (Hanley-McNeil 1982) "
+        "— the model-evaluation primitive a training pipeline runs on "
+        "every candidate feature/checkpoint.  Reuses the Mann-Whitney "
+        "doubled-midrank machinery (ties stay exact: u_x2 is the "
+        "doubled U, always integer), so the whole computation is one "
+        "hash agg to SCORE grain + one window over distinct scores — "
+        "never a sort of raw rows — and AUC/Gini evaluate once on "
+        "identical doubles.  Score = first embedding coordinate, "
+        "positive class = odd label (a deliberately weak signal; the "
+        "operator is the deliverable, not the classifier)."
+    ),
+)
+def stats_roc_auc(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+    )
+    s = e.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("c1"),
+        F.sum(1 - F.col("pos")).cast("long").alias("c2"),
+    )
+    t = F.col("c1") + F.col("c2")
+    wv = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = s.select(
+        "c1", "c2", (2 * (F.sum(t).over(wv) - t) + t + 1).alias("r2")
+    )
+    m = ranked.agg(
+        F.sum("c1").cast("long").alias("n_pos"),
+        F.sum("c2").cast("long").alias("n_neg"),
+        F.sum(F.col("c1") * F.col("r2")).cast("long").alias("r1_x2"),
+    )
+    u_x2 = F.col("r1_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return m.select(
+        "n_pos",
+        "n_neg",
+        u_x2.alias("u_x2"),
+        F.round(
+            u_x2.cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        F.round(
+            u_x2.cast("double")
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+            - 1.0,
+            6,
+        ).alias("gini_coef"),
+    )

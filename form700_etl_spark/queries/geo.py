@@ -259,3 +259,216 @@ def geo_knn_grid_join(spark, sf_dir):
         )
         .orderBy("c_custkey", "rank")
     )
+
+
+_MIN_PTS = 4  # DBSCAN minPts, |N_eps(p)| counting p itself
+
+
+@register(
+    "geo_dbscan_clusters",
+    oracle=f"""
+    WITH pts AS ({_COORD_SQL}),
+    celled AS (
+        SELECT c_custkey, lat, lon,
+               CAST(floor(lat / {_CELL_DEG}) AS BIGINT) AS cx,
+               CAST(floor(lon / {_CELL_DEG}) AS BIGINT) AS cy
+        FROM pts
+    ),
+    offsets AS (SELECT dx.d AS dx, dy.d AS dy
+                FROM (VALUES (-1), (0), (1)) AS dx(d)
+                CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)),
+    cand AS (
+        SELECT p.c_custkey, b.c_custkey AS nbr_key,
+               {_HAVERSINE_SQL.format(r=_EARTH_R_KM)} AS d_km
+        FROM (SELECT c.*, c.cx + o.dx AS px, c.cy + o.dy AS py
+              FROM celled c CROSS JOIN offsets o) p
+        JOIN celled b ON p.px = b.cx AND p.py = b.cy
+        WHERE p.c_custkey <> b.c_custkey
+    ),
+    nbr AS (
+        SELECT c_custkey, nbr_key FROM cand WHERE d_km <= {_RADIUS_KM}
+    ),
+    core AS (
+        SELECT c_custkey FROM nbr GROUP BY c_custkey
+        HAVING COUNT(*) + 1 >= {_MIN_PTS}
+    ),
+    core_edges AS (
+        SELECT n.c_custkey AS a, n.nbr_key AS b
+        FROM nbr n
+        JOIN core c1 ON n.c_custkey = c1.c_custkey
+        JOIN core c2 ON n.nbr_key = c2.c_custkey
+    ),
+    reach AS (
+        SELECT DISTINCT a AS doc, a AS label FROM core_edges
+        UNION
+        (
+            WITH RECURSIVE walk(doc, label) AS (
+                SELECT DISTINCT a, a FROM core_edges
+                UNION
+                SELECT e.a, w.label FROM core_edges e JOIN walk w ON e.b = w.doc
+            )
+            SELECT doc, label FROM walk
+        )
+    ),
+    core_labels AS (
+        SELECT c.c_custkey,
+               COALESCE(MIN(r.label), c.c_custkey) AS cluster_id
+        FROM core c LEFT JOIN reach r ON r.doc = c.c_custkey
+        GROUP BY c.c_custkey
+    ),
+    border AS (
+        SELECT n.c_custkey, MIN(l.cluster_id) AS cluster_id
+        FROM nbr n
+        JOIN core_labels l ON n.nbr_key = l.c_custkey
+        WHERE n.c_custkey NOT IN (SELECT c_custkey FROM core)
+        GROUP BY n.c_custkey
+    )
+    SELECT p.c_custkey,
+           CASE WHEN cl.c_custkey IS NOT NULL THEN 'core'
+                WHEN bo.c_custkey IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cl.cluster_id, bo.cluster_id) AS BIGINT)
+             AS cluster_id
+    FROM pts p
+    LEFT JOIN core_labels cl ON cl.c_custkey = p.c_custkey
+    LEFT JOIN border bo ON bo.c_custkey = p.c_custkey
+    ORDER BY p.c_custkey
+    """,
+    tags=("geo", "graph", "scale"),
+    doc=(
+        "Grid-blocked DBSCAN (Ester et al. 1996) over the hash-derived "
+        "customer coordinates: eps = 4 km, minPts = 4.  Density-join "
+        "candidates come from the same 0.05-degree cell 3x3 probe as "
+        "geo_knn_grid_join (pigeonhole-complete at eps, hash join on "
+        "cell keys — never a cross join), exact haversine verifies, "
+        "core points fall out of one neighbor-count agg, clusters are "
+        "connected components over the CORE-CORE edge graph (the "
+        "operators/dedup.py hybrid: driver union-find on the pruned "
+        "residue, Pregel min-label beyond 1M edges), and border points "
+        "deterministically take the MIN cluster label among their core "
+        "neighbors (plain DBSCAN leaves border assignment order-"
+        "dependent; min-label makes it replayable).  Output is every "
+        "point classified core/border/noise with its cluster id — the "
+        "spatial-clustering workhorse for location dedup and POI "
+        "extraction at corpus scale."
+    ),
+)
+def geo_dbscan_clusters(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    c = table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = c.select(
+        "c_custkey",
+        (37.0 + F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 200000 / 100000.0)
+        .alias("lat"),
+        (-122.0 + F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 200000 / 100000.0)
+        .alias("lon"),
+    )
+    celled = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL_DEG).alias("cx"),
+        F.floor(F.col("lon") / _CELL_DEG).alias("cy"),
+    ).localCheckpoint()  # probe + build + final classify re-consume
+    offs = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+    p = (
+        celled.select("*", offs.alias("dx"))
+        .select("*", offs.alias("dy"))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    b = celled.select(
+        F.col("c_custkey").alias("nbr_key"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    d_km = (
+        2.0
+        * _EARTH_R_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("lat")) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("blat"))
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("lon")) / 2), 2)
+            )
+        )
+    )
+    # eps-neighbor pairs (directional); every downstream step re-reads
+    # them, so materialize once
+    nbr = (
+        p.join(b, (p.px == b.bx) & (p.py == b.by))
+        .filter(F.col("c_custkey") != F.col("nbr_key"))
+        .filter(d_km <= _RADIUS_KM)
+        .select("c_custkey", "nbr_key")
+        .localCheckpoint()
+    )
+    core = (
+        nbr.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") + 1 >= _MIN_PTS)
+        .select("c_custkey")
+        .localCheckpoint()  # feeds edges, labels, border, classify
+    )
+    core_edges = (
+        nbr.join(core, "c_custkey")
+        .join(
+            core.select(F.col("c_custkey").alias("nbr_key")), "nbr_key"
+        )
+        .select(F.col("c_custkey").alias("doc1"), F.col("nbr_key").alias("doc2"))
+    )
+    comp = connected_components(core_edges)
+    core_labels = (
+        core.join(comp, core.c_custkey == comp.doc_id, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("component_id"), F.col("c_custkey")).alias(
+                "cluster_id"
+            ),
+        )
+        .localCheckpoint()  # border join + final classify re-consume
+    )
+    border = (
+        nbr.join(core, "c_custkey", "left_anti")
+        .join(
+            core_labels.select(
+                F.col("c_custkey").alias("nbr_key"),
+                F.col("cluster_id"),
+            ),
+            "nbr_key",
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        pts.join(
+            core_labels.select("c_custkey", F.col("cluster_id").alias("core_cl")),
+            "c_custkey",
+            "left",
+        )
+        .join(
+            border.select("c_custkey", F.col("cluster_id").alias("bord_cl")),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("core_cl").isNotNull(), "core")
+            .when(F.col("bord_cl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("core_cl"), F.col("bord_cl"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -889,3 +889,342 @@ def mlprep_logistic_regression_gd(spark, sf_dir):
             6,
         ).alias("logloss"),
     )
+
+
+@register(
+    "mlprep_decision_stump",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               SUM(cnt) OVER (ORDER BY v) AS n_l,
+               SUM(pos) OVER (ORDER BY v) AS pos_l
+        FROM s
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+        FROM s
+    ),
+    scored AS (
+        SELECT v AS threshold_cents,
+               CAST(n_l AS BIGINT) AS n_left,
+               CAST(n - n_l AS BIGINT) AS n_right,
+               CAST(pos_l AS BIGINT) AS pos_left,
+               CAST(p - pos_l AS BIGINT) AS pos_right,
+               -- purity mass: (posL^2+negL^2)*nR + (posR^2+negR^2)*nL,
+               -- an exact BIGINT; den = nL*nR.  weighted_gini =
+               -- 1 - num/(den*N).
+               CAST((pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+                      * (n - n_l)
+                    + ((p - pos_l) * (p - pos_l)
+                       + ((n - p) - (n_l - pos_l)) * ((n - p) - (n_l - pos_l)))
+                      * n_l AS BIGINT) AS purity_num,
+               CAST(n_l * (n - n_l) AS BIGINT) AS purity_den,
+               CAST(n AS BIGINT) AS n
+        FROM cum CROSS JOIN tot
+        WHERE n_l < n
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY CAST(purity_num AS DOUBLE) / purity_den DESC,
+                            threshold_cents
+               ) AS rk
+        FROM scored
+    )
+    SELECT rk, threshold_cents, n_left, n_right, pos_left, pos_right,
+           round(1.0 - CAST(purity_num AS DOUBLE) / purity_den / n, 6)
+             AS weighted_gini
+    FROM ranked WHERE rk <= 5 ORDER BY rk
+    """,
+    tags=("mlprep", "stats"),
+    doc=(
+        "Decision stump / 1R split search: the best 5 thresholds on "
+        "event value for predicting event_type='purchase', scored by "
+        "weighted Gini impurity — the inner loop of tree induction and "
+        "the standard univariate-feature-usefulness screen, run "
+        "in-engine.  One hash agg to VALUE grain, one cumulative "
+        "window over distinct values (never raw rows), and every "
+        "split's class counts fall out of the prefix sums; the purity "
+        "mass (posL²+negL²)·nR + (posR²+negR²)·nL stays an exact "
+        "BIGINT (< 2^53 through ~30x this fixture — bucket the feature "
+        "grain beyond that) so the cross-engine ranking is exact, with "
+        "a deterministic threshold tie-break."
+    ),
+)
+def mlprep_decision_stump(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = s.select(
+        "v",
+        F.sum("cnt").over(wv).alias("n_l"),
+        F.sum("pos").over(wv).alias("pos_l"),
+    )
+    tot = s.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    n, p = F.col("n"), F.col("p")
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    neg_l = n_l - pos_l
+    pos_r = p - pos_l
+    neg_r = (n - p) - neg_l
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(n_l < n)
+        .select(
+            F.col("v").alias("threshold_cents"),
+            n_l.cast("long").alias("n_left"),
+            (n - n_l).cast("long").alias("n_right"),
+            pos_l.cast("long").alias("pos_left"),
+            pos_r.cast("long").alias("pos_right"),
+            (
+                (pos_l * pos_l + neg_l * neg_l) * (n - n_l)
+                + (pos_r * pos_r + neg_r * neg_r) * n_l
+            ).cast("long").alias("purity_num"),
+            (n_l * (n - n_l)).cast("long").alias("purity_den"),
+            n.cast("long").alias("n"),
+        )
+    )
+    rk = F.row_number().over(
+        W.orderBy(
+            (F.col("purity_num").cast("double") / F.col("purity_den")).desc(),
+            "threshold_cents",
+        )
+    )
+    return (
+        scored.select("*", rk.alias("rk"))
+        .where(F.col("rk") <= 5)
+        .select(
+            "rk",
+            "threshold_cents",
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.round(
+                1.0
+                - F.col("purity_num").cast("double")
+                / F.col("purity_den")
+                / F.col("n"),
+                6,
+            ).alias("weighted_gini"),
+        )
+        .orderBy("rk")
+    )
+
+
+@register(
+    "mlprep_conformal_intervals",
+    oracle="""
+    WITH rows_split AS (
+        SELECT CAST(l_quantity AS HUGEINT) AS x,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS y,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                   || CAST(l_linenumber AS VARCHAR)), 1, 2)
+               )::BIGINT % 4 AS bucket
+        FROM lineitem
+    ),
+    model AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n_train,
+               CAST(COUNT(*) AS HUGEINT) * SUM(x * y) - SUM(x) * SUM(y)
+                 AS slope_num,
+               CAST(COUNT(*) AS HUGEINT) * SUM(x * x) - SUM(x) * SUM(x)
+                 AS slope_den,
+               SUM(y) * (CAST(COUNT(*) AS HUGEINT) * SUM(x * x)
+                         - SUM(x) * SUM(x))
+                 - (CAST(COUNT(*) AS HUGEINT) * SUM(x * y)
+                    - SUM(x) * SUM(y)) * SUM(x) AS icept_num
+        FROM rows_split WHERE bucket IN (0, 1)
+    ),
+    resid AS (
+        -- scaled residual R = y*n*den - slope_num*n*x - icept_num:
+        -- the exact integer n*den*(y - yhat)
+        SELECT bucket,
+               abs(y * n_train * slope_den - slope_num * n_train * x
+                   - icept_num) AS abs_r
+        FROM rows_split CROSS JOIN model WHERE bucket IN (2, 3)
+    ),
+    calib AS (
+        SELECT abs_r, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM resid WHERE bucket = 2 GROUP BY abs_r
+    ),
+    calib_cum AS (
+        SELECT abs_r, SUM(cnt) OVER (ORDER BY abs_r) AS cum,
+               SUM(cnt) OVER () AS n_calib
+        FROM calib
+    ),
+    qhat AS (
+        SELECT MIN(abs_r) AS q_r,
+               CAST(MIN(n_calib) AS BIGINT) AS n_calib
+        FROM calib_cum
+        WHERE cum >= CAST(ceil((n_calib + 1) * 0.9) AS BIGINT)
+    ),
+    cover AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN r.abs_r <= q.q_r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered
+        FROM resid r CROSS JOIN qhat q WHERE r.bucket = 3
+    )
+    SELECT CAST(m.n_train AS BIGINT) AS n_train, q.n_calib, c.n_test,
+           round(CAST(m.slope_num AS DOUBLE) / CAST(m.slope_den AS DOUBLE),
+                 6) AS slope_cents_per_unit,
+           round(CAST(m.icept_num AS DOUBLE)
+                 / (CAST(m.n_train AS DOUBLE) * CAST(m.slope_den AS DOUBLE)),
+                 6) AS intercept_cents,
+           round(CAST(q.q_r AS DOUBLE)
+                 / (CAST(m.n_train AS DOUBLE) * CAST(m.slope_den AS DOUBLE)),
+                 6) AS q_halfwidth_cents,
+           c.covered,
+           round(CAST(c.covered AS DOUBLE) / c.n_test, 6) AS test_coverage
+    FROM model m CROSS JOIN qhat q CROSS JOIN cover c
+    """,
+    tags=("mlprep", "stats"),
+    doc=(
+        "Split conformal prediction (Vovk; Lei et al. 2018): md5-split "
+        "lineitem into train/calib/test, fit OLS price~quantity on "
+        "train from exact integer moments, take the "
+        "ceil((n+1)·0.9)-quantile of |residual| on calib as the "
+        "half-width, and report finite-sample test coverage — the "
+        "distribution-free uncertainty band a model-serving pipeline "
+        "attaches to point predictions.  Residuals stay EXACT integers "
+        "by clearing denominators (R = y·n·den − num·n·x − icept_num, "
+        "DECIMAL(38)/HUGEINT), the calib quantile is a cumulative "
+        "window at |R| grain (clean_quantile_bins pattern; the calib "
+        "split is a bounded sample at scale), and the 1-row model "
+        "broadcasts to both scoring passes."
+    ),
+)
+def mlprep_conformal_intervals(spark, sf_dir):
+    dec = "decimal(38,0)"
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast(dec).alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast(dec).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        ).alias("bucket"),
+    )
+    train = li.where(F.col("bucket").isin(0, 1))
+    model = train.agg(
+        F.count(F.lit(1)).cast(dec).alias("n_train"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("s_xy"),
+        F.sum("x").cast(dec).alias("s_x"),
+        F.sum("y").cast(dec).alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("s_xx"),
+    ).select(
+        "n_train",
+        (F.col("n_train") * F.col("s_xy") - F.col("s_x") * F.col("s_y"))
+        .cast(dec)
+        .alias("slope_num"),
+        (F.col("n_train") * F.col("s_xx") - F.col("s_x") * F.col("s_x"))
+        .cast(dec)
+        .alias("slope_den"),
+        (
+            F.col("s_y")
+            * (F.col("n_train") * F.col("s_xx") - F.col("s_x") * F.col("s_x"))
+            - (F.col("n_train") * F.col("s_xy") - F.col("s_x") * F.col("s_y"))
+            * F.col("s_x")
+        )
+        .cast(dec)
+        .alias("icept_num"),
+    )
+    resid = (
+        li.where(F.col("bucket").isin(2, 3))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "bucket",
+            F.abs(
+                (
+                    F.col("y") * F.col("n_train") * F.col("slope_den")
+                    - F.col("slope_num") * F.col("n_train") * F.col("x")
+                    - F.col("icept_num")
+                ).cast(dec)
+            ).alias("abs_r"),
+        )
+    )
+    calib = (
+        resid.where(F.col("bucket") == 2)
+        .groupBy("abs_r")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = W.orderBy("abs_r").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("abs_r").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    calib_cum = calib.select(
+        "abs_r",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_calib"),
+    )
+    qhat = calib_cum.where(
+        F.col("cum")
+        >= F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
+    ).agg(
+        F.min("abs_r").alias("q_r"),
+        F.min("n_calib").cast("long").alias("n_calib"),
+    )
+    cover = (
+        resid.where(F.col("bucket") == 3)
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("abs_r") <= F.col("q_r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    nd = F.col("n_train").cast("double")
+    dend = F.col("slope_den").cast("double")
+    return (
+        model.crossJoin(qhat)
+        .crossJoin(cover)
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            "n_calib",
+            "n_test",
+            F.round(F.col("slope_num").cast("double") / dend, 6).alias(
+                "slope_cents_per_unit"
+            ),
+            F.round(
+                F.col("icept_num").cast("double") / (nd * dend), 6
+            ).alias("intercept_cents"),
+            F.round(
+                F.col("q_r").cast("double") / (nd * dend), 6
+            ).alias("q_halfwidth_cents"),
+            "covered",
+            F.round(
+                F.col("covered").cast("double") / F.col("n_test"), 6
+            ).alias("test_coverage"),
+        )
+    )

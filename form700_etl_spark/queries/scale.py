@@ -2114,3 +2114,124 @@ def basket_association_rules(spark, sf_dir):
             F.round(F.col("lift_e6") / 1e6, 6).alias("lift"),
         )
     )
+
+
+_HITS_ITERS = 4
+
+
+def _hits_sql(iters: int) -> str:
+    parts = [
+        """edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    a{i}_raw AS (
+        SELECT e.s, CAST(SUM(h.h) AS BIGINT) AS a_raw
+        FROM edges e JOIN h{i - 1} h ON h.c = e.c GROUP BY e.s
+    ),
+    a{i} AS (
+        SELECT s, CAST((a_raw * 1000000)
+                       // (SELECT MAX(a_raw) FROM a{i}_raw) AS BIGINT) AS a
+        FROM a{i}_raw
+    ),
+    h{i}_raw AS (
+        SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS h_raw
+        FROM edges e JOIN a{i} a ON a.s = e.s GROUP BY e.c
+    ),
+    h{i} AS (
+        SELECT c, CAST((h_raw * 1000000)
+                       // (SELECT MAX(h_raw) FROM h{i}_raw) AS BIGINT) AS h
+        FROM h{i}_raw
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    , top_a AS (
+        SELECT 'authority' AS side, s AS key, a AS score_micro,
+               row_number() OVER (ORDER BY a DESC, s) AS rk
+        FROM a{iters}
+    ),
+    top_h AS (
+        SELECT 'hub' AS side, c AS key, h AS score_micro,
+               row_number() OVER (ORDER BY h DESC, c) AS rk
+        FROM h{iters}
+    )
+    SELECT side, CAST(key AS BIGINT) AS key, score_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT * FROM top_a WHERE rk <= 15
+          UNION ALL SELECT * FROM top_h WHERE rk <= 15)
+    ORDER BY side, rk
+    """
+    )
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_sql(_HITS_ITERS),
+    tags=("graph", "iterative", "scale"),
+    doc=(
+        f"HITS (Kleinberg 1999), {_HITS_ITERS} mutual-reinforcement "
+        "rounds over the directed customer->supplier purchase graph: "
+        "authority(s) = sum of hub scores of buyers, hub(c) = sum of "
+        "authority scores bought from, max-normalized each half-round "
+        "to integer micro-units with integer division (the PageRank "
+        "exactness discipline — no float summation-order drift, every "
+        "round replayable).  Per half-round: one edge-keyed join + one "
+        "destination agg; the 1-row max broadcasts.  Top-15 hubs and "
+        "authorities with deterministic tie-break.  Complements "
+        "graph_pagerank_bipartite: PageRank ranks by random-walk mass, "
+        "HITS separates 'big buyers' from 'popular suppliers'."
+    ),
+)
+def graph_hits_hubs_authorities(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by every half-round
+    )
+    h = edges.select("c").distinct().select(
+        "c", F.lit(1000000).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("a_raw"))
+        )
+        amax = a_raw.agg(F.max("a_raw").alias("amax"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "s", F.expr("CAST((a_raw * 1000000) DIV amax AS BIGINT)").alias("a")
+        )
+        h_raw = (
+            edges.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h_raw"))
+        )
+        hmax = h_raw.agg(F.max("h_raw").alias("hmax"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr("CAST((h_raw * 1000000) DIV hmax AS BIGINT)").alias("h")
+        )
+    top_a = a.select(
+        F.lit("authority").alias("side"),
+        F.col("s").cast("long").alias("key"),
+        F.col("a").alias("score_micro"),
+        F.row_number().over(W.orderBy(F.desc("a"), F.asc("s"))).alias("rk"),
+    ).where(F.col("rk") <= 15)
+    top_h = h.select(
+        F.lit("hub").alias("side"),
+        F.col("c").cast("long").alias("key"),
+        F.col("h").alias("score_micro"),
+        F.row_number().over(W.orderBy(F.desc("h"), F.asc("c"))).alias("rk"),
+    ).where(F.col("rk") <= 15)
+    return (
+        top_a.unionByName(top_h)
+        .select("side", "key", "score_micro", F.col("rk").cast("long").alias("rk"))
+        .orderBy("side", "rk")
+    )

@@ -3287,3 +3287,202 @@ def text_heaps_vocab_growth(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    -- pruned vector space: discriminative terms only (df <= 100);
+    -- idf quantized to integer nano-nats so weights, norms, and dot
+    -- products are EXACT integers from here on
+    w AS (
+        SELECT tf.doc_id, tf.term, df.df,
+               CAST(tf.tf * CAST(round(1e9 * ln(CAST(n.n_docs AS DOUBLE)
+                                                / df.df)) AS BIGINT)
+                    AS HUGEINT) AS w
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        WHERE df.df <= 100
+    ),
+    norms AS (
+        SELECT doc_id, SUM(w * w) AS nrm FROM w GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.w * b.w) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS shared_terms
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        WHERE a.df >= 2
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_terms,
+           round(CAST(p.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nrm AS DOUBLE))
+                    * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos_sim
+    FROM pairs p
+    JOIN norms na ON na.doc_id = p.doc_a
+    JOIN norms nb ON nb.doc_id = p.doc_b
+    WHERE CAST(p.dot AS DOUBLE)
+          / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+          >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("text", "dedup", "similarity"),
+    doc=(
+        "All-pairs TF-IDF cosine similarity >= 0.5 over the pruned "
+        "vector space (terms with df <= 100) — the lexical-vector "
+        "companion to dedup_ngram_jaccard and dedup_semantic_clusters, "
+        "and the classic scalable all-pairs-similarity shape (Baeza-"
+        "Yates et al.): candidates come ONLY from an inverted-index "
+        "term join whose fan-out the df cap bounds (sum of df^2 over "
+        "kept terms, never N^2 docs), df=1 terms still count toward "
+        "norms but never join.  idf quantizes to integer nano-nats "
+        "before weighting, so weights / norms / dot products are exact "
+        "HUGEINT / DECIMAL(38) integers and the final cosine is one "
+        "identical double expression per pair in both engines."
+    ),
+)
+def text_tfidf_cosine_pairs(spark, sf_dir):
+    dec = "decimal(38,0)"
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= 100)
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (
+                F.col("tf")
+                * F.round(
+                    F.lit(1e9)
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ).cast("long")
+            )
+            .cast(dec)
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast(dec).alias("nrm")
+    )
+    a = w.where(F.col("df") >= 2).select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast(dec).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_terms",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences,
+               -- syllables: maximal vowel groups, floored at 1 per word
+               -- (vowelless tokens contribute the floor)
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    + len(list_filter(string_split(lower(text), ' '),
+                                      t -> NOT regexp_matches(t, '[aeiouy]')))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+             AS flesch_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 4) AS fk_grade
+    FROM m ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+    doc=(
+        "Flesch reading ease + Flesch-Kincaid grade level (Kincaid et "
+        "al. 1975) per document — the readability axis of corpus "
+        "quality scoring, next to text_quality_score and "
+        "text_gopher_quality.  Syllables via the maximal-vowel-group "
+        "heuristic floored at 1 per word, sentences via terminal-"
+        "punctuation runs; every count is a scan-side integer (regexp "
+        "+ higher-order array ops, zero shuffle, zero Python), and the "
+        "two formulas evaluate once on identical doubles."
+    ),
+)
+def text_readability_flesch(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = F.size(F.split(lower, " ")).cast("long")
+    n_sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)).cast("long"),
+    )
+    n_syllables = (
+        F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0))
+        + F.size(
+            F.filter(F.split(lower, " "), lambda t: ~t.rlike("[aeiouy]"))
+        )
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    ).orderBy("doc_id")
