@@ -1302,3 +1302,157 @@ def events_dau_wau_mau_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------------- activity bitmap profile
+
+def _smear_right_sql(col: str) -> str:
+    # OR-smear all set bits downward: 6 doubling steps cover 64 bits,
+    # then bit_count - 1 = highest set bit index.  Pure integer ops.
+    s = col
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = f"(({s}) | (({s}) >> {sh}))"
+    return s
+
+
+@register(
+    "events_activity_bitmap_profile",
+    oracle=f"""
+    WITH epoch AS (SELECT MIN(CAST(ts AS DATE)) AS e0 FROM events),
+    bm AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT)
+                      << date_diff('day', e.e0, CAST(ts AS DATE))) AS bm
+        FROM events CROSS JOIN epoch e
+        GROUP BY user_id
+    ),
+    wk AS (
+        -- weekend-day mask over the observed span, built once
+        SELECT bit_or(CASE WHEN dayofweek(d) IN (0, 6)
+                           THEN CAST(1 AS BIGINT)
+                                << date_diff('day', e0, d)
+                           ELSE 0 END) AS wmask
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+        CROSS JOIN epoch
+    ),
+    prof AS (
+        SELECT b.user_id, b.bm, w.wmask,
+               CAST(bit_count(b.bm) AS BIGINT) AS n_active_days,
+               CAST(bit_count((b.bm & -b.bm) - 1) AS BIGINT) AS first_offset,
+               CAST(bit_count({_smear_right_sql('b.bm')}) - 1 AS BIGINT)
+                 AS last_offset,
+               list_reduce(
+                   [[b.bm, CAST(0 AS BIGINT)]]
+                   || list_transform(range(1, 33),
+                                     i -> [CAST(0 AS BIGINT),
+                                           CAST(0 AS BIGINT)]),
+                   (acc, x) -> [acc[1] & (acc[1] << 1),
+                                acc[2] + CASE WHEN acc[1] <> 0
+                                              THEN 1 ELSE 0 END]
+               )[2] AS longest_streak
+        FROM bm b CROSS JOIN wk w
+    )
+    SELECT user_id, bm AS bitmap, n_active_days, first_offset, last_offset,
+           CAST(longest_streak AS BIGINT) AS longest_streak,
+           CAST(bit_count(bm & wmask) AS BIGINT) AS n_weekend_days,
+           CAST(bit_count(bm & (CAST(127 AS BIGINT) << first_offset))
+                AS BIGINT) AS first_week_days,
+           CAST(CASE WHEN (bm & (CAST(127 AS BIGINT)
+                                 << (first_offset + 7))) <> 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS returned_week2
+    FROM prof ORDER BY user_id
+    """,
+    tags=("events", "analytics", "scale"),
+    doc=(
+        "Per-user activity BITMAP profile: one bit per day since the "
+        "corpus epoch, packed into a BIGINT by a bit_or aggregate — "
+        "the bitmap-index technique (roaring-style, one 64-bit word "
+        "per <=62-day epoch; this fixture spans 30 days) that turns "
+        "every downstream engagement metric into integer bit "
+        "arithmetic on ONE user-grain row: active days = popcount, "
+        "first/last day = lowbit / OR-smear popcounts, longest streak "
+        "= the Kernighan fold y &= y<<1 (iterations until zero, a "
+        "bounded higher-order fold), weekend activity and week-1/"
+        "week-2 retention = popcounts under broadcast masks.  The only "
+        "shuffle is the user-grain bit_or; everything after is "
+        "scan-side and exact on both engines.  At 100 TB the bitmap "
+        "column is also the compact serialization a feature store "
+        "would persist."
+    ),
+)
+def events_activity_bitmap_profile(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    epoch = e.agg(F.min(F.col("ts").cast("date")).alias("e0"))
+    days = e.select(F.col("ts").cast("date").alias("d")).distinct()
+    bm = (
+        e.crossJoin(F.broadcast(epoch))
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("e0"))
+            .cast("int")
+            .alias("off"),
+        )
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(1L, off))").alias("bm"))
+    )
+    wk = (
+        days.crossJoin(F.broadcast(epoch))
+        .select(
+            F.datediff(F.col("d"), F.col("e0")).cast("int").alias("off"),
+            F.dayofweek("d").alias("dow"),  # Spark: 1=Sunday..7=Saturday
+        )
+        .agg(
+            F.expr(
+                "bit_or(CASE WHEN dow IN (1, 7) THEN shiftleft(1L, off)"
+                " ELSE 0L END)"
+            ).alias("wmask")
+        )
+    )
+
+    def smear(col):
+        s = col
+        for sh in (1, 2, 4, 8, 16, 32):
+            s = s.bitwiseOR(F.shiftright(s, sh))
+        return s
+
+    streak = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.array(F.col("bm"), F.lit(0).cast("long")),
+        lambda acc, x: F.array(
+            acc[0].bitwiseAND(F.shiftleft(acc[0], 1)),
+            acc[1] + F.when(acc[0] != 0, 1).otherwise(0),
+        ),
+    )[1]
+    first_off = F.bit_count(
+        (F.col("bm").bitwiseAND(-F.col("bm"))) - 1
+    ).cast("long")
+    prof = (
+        bm.crossJoin(F.broadcast(wk))
+        .select(
+            "user_id",
+            "bm",
+            "wmask",
+            F.bit_count("bm").cast("long").alias("n_active_days"),
+            first_off.alias("first_offset"),
+            (F.bit_count(smear(F.col("bm"))) - 1).cast("long").alias("last_offset"),
+            streak.cast("long").alias("longest_streak"),
+        )
+    )
+    return prof.select(
+        "user_id",
+        F.col("bm").alias("bitmap"),
+        "n_active_days",
+        "first_offset",
+        "last_offset",
+        "longest_streak",
+        F.bit_count(F.col("bm").bitwiseAND(F.col("wmask"))).cast("long").alias("n_weekend_days"),
+        F.expr(
+            "CAST(bit_count(bm & shiftleft(127L,"
+            " CAST(first_offset AS INT))) AS BIGINT)"
+        ).alias("first_week_days"),
+        F.expr(
+            "CAST(CASE WHEN (bm & shiftleft(127L,"
+            " CAST(first_offset + 7 AS INT))) <> 0 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("returned_week2"),
+    ).orderBy("user_id")

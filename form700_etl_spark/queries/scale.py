@@ -2120,29 +2120,32 @@ _HITS_ITERS = 4
 
 
 def _hits_sql(iters: int) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # normalization reads its raw-score CTE twice (once for MAX), so an
+    # inlined chain replays the base join 2^(2*iters) times
     parts = [
-        """edges AS (
+        """edges AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
-    h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges)"""
+    h0 AS MATERIALIZED (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges)"""
     ]
     for i in range(1, iters + 1):
         parts.append(f"""
-    a{i}_raw AS (
+    a{i}_raw AS MATERIALIZED (
         SELECT e.s, CAST(SUM(h.h) AS BIGINT) AS a_raw
         FROM edges e JOIN h{i - 1} h ON h.c = e.c GROUP BY e.s
     ),
-    a{i} AS (
+    a{i} AS MATERIALIZED (
         SELECT s, CAST((a_raw * 1000000)
                        // (SELECT MAX(a_raw) FROM a{i}_raw) AS BIGINT) AS a
         FROM a{i}_raw
     ),
-    h{i}_raw AS (
+    h{i}_raw AS MATERIALIZED (
         SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS h_raw
         FROM edges e JOIN a{i} a ON a.s = e.s GROUP BY e.c
     ),
-    h{i} AS (
+    h{i} AS MATERIALIZED (
         SELECT c, CAST((h_raw * 1000000)
                        // (SELECT MAX(h_raw) FROM h{i}_raw) AS BIGINT) AS h
         FROM h{i}_raw
@@ -2205,19 +2208,24 @@ def graph_hits_hubs_authorities(spark, sf_dir):
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("a_raw"))
         )
+        # checkpoint each half-round: the max-agg consumes the raw
+        # scores a second time, so an unbroken lineage doubles per
+        # half-round (2^8 replays by round 4)
+        a_raw = a_raw.localCheckpoint()
         amax = a_raw.agg(F.max("a_raw").alias("amax"))
         a = a_raw.crossJoin(F.broadcast(amax)).select(
             "s", F.expr("CAST((a_raw * 1000000) DIV amax AS BIGINT)").alias("a")
-        )
+        ).localCheckpoint()
         h_raw = (
             edges.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h_raw"))
+            .localCheckpoint()
         )
         hmax = h_raw.agg(F.max("h_raw").alias("hmax"))
         h = h_raw.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("CAST((h_raw * 1000000) DIV hmax AS BIGINT)").alias("h")
-        )
+        ).localCheckpoint()
     top_a = a.select(
         F.lit("authority").alias("side"),
         F.col("s").cast("long").alias("key"),

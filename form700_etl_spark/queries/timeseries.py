@@ -1203,3 +1203,139 @@ def intervals_concurrency_profile(spark, sf_dir):
         )
         .orderBy("suppkey")
     )
+
+
+# ------------------------------------------------- Holt linear trend
+
+# state as [level, trend] LIST, not a struct: a DuckDB 1.0 struct-literal
+# lambda quirk resolves acc.<field> inside a later field expression to the
+# just-computed sibling field of the SAME literal when the shared
+# subexpression matches, silently corrupting the fold.  List indexing has
+# no field names to alias.  'b' uses the algebraically expanded form
+# (x - l + b)/4 + b/2 == ((x+l+b)/2 - l)/2 + b/2 (exact: /2 and /4 are
+# exact in binary floats).
+_HOLT_MERGE_SQL = (
+    "(acc, x) -> [(x[1] + acc[1] + acc[2]) / 2, "
+    "(x[1] - acc[1] + acc[2]) / 4 + acc[2] / 2]"
+)
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM({cents_sql("value")}) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    packed AS (
+        SELECT list(CAST(v_cents AS DOUBLE) ORDER BY day) AS ys,
+               list(day ORDER BY day) AS days,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    fits AS (
+        SELECT p.n, p.days, p.ys,
+               i.i AS idx,
+               list_reduce(
+                   list_transform(p.ys[1:i.i], y -> [y, CAST(0.0 AS DOUBLE)]),
+                   {_HOLT_MERGE_SQL}
+               ) AS st
+        FROM packed p
+        CROSS JOIN (SELECT unnest(range(1, 1000)) AS i) i
+        WHERE i.i <= p.n AND i.i > p.n - 10
+    ),
+    final AS (SELECT * FROM fits WHERE idx = n)
+    SELECT strftime(f.days[f.idx], '%Y-%m-%d') AS day, 'fit' AS kind,
+           round(f.ys[f.idx] / 100.0, 2) AS actual,
+           round(f.st[1] / 100.0, 4) AS level,
+           round(f.st[2] / 100.0, 4) AS trend
+    FROM fits f
+    UNION ALL
+    SELECT strftime(fi.days[CAST(fi.n AS INT)] + CAST(h.h AS INT), '%Y-%m-%d'),
+           'forecast', NULL,
+           round((fi.st[1] + h.h * fi.st[2]) / 100.0, 4), round(fi.st[2] / 100.0, 4)
+    FROM final fi CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+    ORDER BY day, kind
+    """,
+    tags=("time", "stats"),
+    doc=(
+        "Holt double-exponential smoothing (Holt 1957, alpha=beta=1/2) "
+        "of daily purchase revenue: last-10-day fitted level/trend plus "
+        "a 7-day linear forecast.  The recursion runs over the BOUNDED "
+        "day spine, not over rows — one hash agg collapses any event "
+        "volume to day grain, the spine packs into one array, and the "
+        "level/trend fold is a higher-order aggregate (list_reduce / "
+        "F.aggregate) whose left-to-right IEEE evaluation is identical "
+        "in both engines, so the smoothed states replay bit-exactly "
+        "(halving is exact in binary floats).  The day count — not the "
+        "data volume — bounds the sequential work, which is what makes "
+        "a recursive smoother legitimate at 100 TB."
+    ),
+)
+def timeseries_holt_linear(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents("value")).cast("long").alias("v_cents")
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "v_cents"))).alias("arr")
+    ).select(
+        F.transform("arr", lambda s: s["v_cents"].cast("double")).alias("ys"),
+        F.transform("arr", lambda s: s["day"]).alias("days"),
+        F.size("arr").cast("long").alias("n"),
+    )
+
+    def merge(acc, x):
+        # x is the raw y value (the oracle folds [y, 0] lists, but
+        # only x[1] is ever read — same arithmetic, same op order)
+        return F.array(
+            (x + acc[0] + acc[1]) / 2,
+            (x - acc[0] + acc[1]) / 4 + acc[1] / 2,
+        )
+
+    def state_at(i):
+        # fold ys[2..i] from init [ys[1], 0]: identical arithmetic to
+        # the oracle's first-element-as-init list_reduce
+        init = F.array(F.col("ys")[0], F.lit(0.0))
+        return F.aggregate(F.slice("ys", 2, i - 1), init, merge)
+
+    fits = (
+        packed.select(
+            "n",
+            "days",
+            "ys",
+            F.explode(
+                F.sequence(F.greatest(F.col("n") - 9, F.lit(1)), F.col("n"))
+            ).alias("idx"),
+        )
+        .select(
+            "n",
+            "days",
+            "ys",
+            "idx",
+            state_at(F.col("idx").cast("int")).alias("st"),
+        )
+        .localCheckpoint()  # fit rows + final-state forecast re-consume
+    )
+    fit_rows = fits.select(
+        F.date_format(F.element_at("days", F.col("idx").cast("int")), "yyyy-MM-dd").alias("day"),
+        F.lit("fit").alias("kind"),
+        F.round(F.element_at("ys", F.col("idx").cast("int")) / 100.0, 2).alias("actual"),
+        F.round(F.col("st")[0] / 100.0, 4).alias("level"),
+        F.round(F.col("st")[1] / 100.0, 4).alias("trend"),
+    )
+    final = fits.where(F.col("idx") == F.col("n"))
+    fc_rows = final.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+        F.element_at("days", F.col("n").cast("int")).alias("last_day"),
+        F.col("st")[0].alias("l"),
+        F.col("st")[1].alias("b"),
+    ).select(
+        F.date_format(F.date_add("last_day", F.col("h").cast("int")), "yyyy-MM-dd").alias("day"),
+        F.lit("forecast").alias("kind"),
+        F.lit(None).cast("double").alias("actual"),
+        F.round((F.col("l") + F.col("h") * F.col("b")) / 100.0, 4).alias("level"),
+        F.round(F.col("b") / 100.0, 4).alias("trend"),
+    )
+    return fit_rows.unionByName(fc_rows).orderBy("day", "kind")
