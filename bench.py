@@ -244,6 +244,14 @@ HEADLINE = [
     "multimodal_audio_fp_neardup",
     "stats_cohens_d_effect_sizes",
     "text_heaps_vocab_growth",
+    # round-6 final waves: the pair-join cosine dedup, grid-blocked
+    # DBSCAN, iterative HITS, the conformal split pipeline, and the
+    # bounded-spine Holt smoother
+    "text_tfidf_cosine_pairs",
+    "geo_dbscan_clusters",
+    "graph_hits_hubs_authorities",
+    "mlprep_conformal_intervals",
+    "timeseries_holt_linear",
 ]
 
 

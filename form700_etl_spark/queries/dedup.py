@@ -1304,3 +1304,52 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             ).alias("precision"),
         )
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=None,  # gear rolling hash has no SQL analog; law tests
+    # (tests/test_cdc.py) assert reassembly, shift locality, and
+    # partitioning determinism
+    tags=("dedup", "multimodal", "scale"),
+    doc=(
+        "Content-defined chunk dedup report (FastCDC family, Xia et "
+        "al. 2016): gear-hash boundaries over every document's utf-8 "
+        "bytes (operators/cdc.py — one vectorized mapInPandas pass, "
+        "payloads never shuffle), then one hash agg over chunk_hash.  "
+        "Output: corpus totals (chunks, unique chunks, bytes, unique "
+        "bytes, dedup ratio) — the sub-document storage-dedup metric "
+        "fixed-size chunking can't deliver because one inserted byte "
+        "shifts every later fixed boundary, while gear boundaries "
+        "realign within a 64-byte window of any edit."
+    ),
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    from ..operators.cdc import cdc_chunk_table
+
+    d = table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(d).localCheckpoint()  # totals + uniques re-consume
+    uniq = chunks.groupBy("chunk_hash").agg(
+        F.min("chunk_len").alias("chunk_len")
+    )
+    totals = chunks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("total_bytes"),
+    )
+    uniques = uniq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum("chunk_len").cast("long").alias("unique_bytes"),
+    )
+    return totals.crossJoin(uniques).select(
+        "n_docs",
+        "n_chunks",
+        "n_unique_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.round(
+            1.0
+            - F.col("unique_bytes").cast("double") / F.col("total_bytes"),
+            6,
+        ).alias("dedup_ratio"),
+    )

@@ -365,29 +365,68 @@ def geo_dbscan_clusters(spark, sf_dir):
         (-122.0 + F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 200000 / 100000.0)
         .alias("lon"),
     )
+    # GriDBSCAN-style density shortcut: a FINE cell (0.0125 deg, diag
+    # <= 1.78 km < eps) holding >= minPts points is entirely core (all
+    # its points are mutual eps-neighbors), and the whole cell
+    # contracts to ONE supernode (id = min custkey inside) for the
+    # component pass.  eps-pair candidates are then only ever STREAMED
+    # through aggregations — neighbor counts for sparse points,
+    # DISTINCT supernode edges for clustering — never materialized:
+    # the first cut checkpointed the raw N*rho pair list and fell over
+    # at 10x density (SCALE.md).  Labels are provably identical to the
+    # point-level graph: intra-cell edges are implied by the diag
+    # bound, cross-cell supernode edges exist iff some core-core point
+    # pair within eps crosses the cells.
     celled = pts.select(
         "c_custkey",
         "lat",
         "lon",
         F.floor(F.col("lat") / _CELL_DEG).alias("cx"),
         F.floor(F.col("lon") / _CELL_DEG).alias("cy"),
-    ).localCheckpoint()  # probe + build + final classify re-consume
-    offs = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
-    p = (
-        celled.select("*", offs.alias("dx"))
-        .select("*", offs.alias("dy"))
-        .select(
-            "c_custkey",
-            "lat",
-            "lon",
-            (F.col("cx") + F.col("dx")).alias("px"),
-            (F.col("cy") + F.col("dy")).alias("py"),
+        F.floor(F.col("lat") / _FINE_DEG).alias("fx"),
+        F.floor(F.col("lon") / _FINE_DEG).alias("fy"),
+    ).localCheckpoint()  # every phase re-consumes the celled points
+    cell_stats = (
+        celled.groupBy("fx", "fy")
+        .agg(
+            F.count(F.lit(1)).alias("cell_n"),
+            F.min("c_custkey").alias("cell_node"),
         )
+        .localCheckpoint()  # joined by flagging + relabel phases
     )
-    b = celled.select(
-        F.col("c_custkey").alias("nbr_key"),
+    flagged = celled.join(cell_stats, ["fx", "fy"]).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "cx",
+        "cy",
+        "cell_node",
+        (F.col("cell_n") >= _MIN_PTS).alias("is_dense"),
+    ).localCheckpoint()
+
+    offs = F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)]))
+
+    def probe9(df):
+        return (
+            df.select("*", offs.alias("dx"))
+            .select("*", offs.alias("dy"))
+            .select(
+                F.col("c_custkey").alias("a_key"),
+                F.col("lat").alias("alat"),
+                F.col("lon").alias("alon"),
+                F.col("cell_node").alias("a_cell"),
+                F.col("is_dense").alias("a_dense"),
+                (F.col("cx") + F.col("dx")).alias("px"),
+                (F.col("cy") + F.col("dy")).alias("py"),
+            )
+        )
+
+    build = flagged.select(
+        F.col("c_custkey").alias("b_key"),
         F.col("lat").alias("blat"),
         F.col("lon").alias("blon"),
+        F.col("cell_node").alias("b_cell"),
+        F.col("is_dense").alias("b_dense"),
         F.col("cx").alias("bx"),
         F.col("cy").alias("by"),
     )
@@ -396,62 +435,86 @@ def geo_dbscan_clusters(spark, sf_dir):
         * _EARTH_R_KM
         * F.asin(
             F.sqrt(
-                F.pow(F.sin(F.radians(F.col("blat") - F.col("lat")) / 2), 2)
-                + F.cos(F.radians("lat"))
+                F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2), 2)
+                + F.cos(F.radians("alat"))
                 * F.cos(F.radians("blat"))
-                * F.pow(F.sin(F.radians(F.col("blon") - F.col("lon")) / 2), 2)
+                * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2), 2)
             )
         )
     )
-    # eps-neighbor pairs (directional); every downstream step re-reads
-    # them, so materialize once
-    nbr = (
-        p.join(b, (p.px == b.bx) & (p.py == b.by))
-        .filter(F.col("c_custkey") != F.col("nbr_key"))
-        .filter(d_km <= _RADIUS_KM)
-        .select("c_custkey", "nbr_key")
-        .localCheckpoint()
-    )
-    core = (
-        nbr.groupBy("c_custkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") + 1 >= _MIN_PTS)
-        .select("c_custkey")
-        .localCheckpoint()  # feeds edges, labels, border, classify
-    )
-    core_edges = (
-        nbr.join(core, "c_custkey")
-        .join(
-            core.select(F.col("c_custkey").alias("nbr_key")), "nbr_key"
+
+    def eps_pairs(probe_df):
+        p = probe9(probe_df)
+        return (
+            p.join(build, (p.px == build.bx) & (p.py == build.by))
+            .filter(F.col("a_key") != F.col("b_key"))
+            .filter(d_km <= _RADIUS_KM)
         )
-        .select(F.col("c_custkey").alias("doc1"), F.col("nbr_key").alias("doc2"))
+
+    sparse = flagged.filter(~F.col("is_dense"))
+    # neighbor counts ONLY for sparse points (dense-cell points are
+    # core by the diag bound); the pair stream collapses in the agg
+    sparse_counts = (
+        eps_pairs(sparse)
+        .groupBy("a_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    comp = connected_components(core_edges)
-    core_labels = (
-        core.join(comp, core.c_custkey == comp.doc_id, "left")
+    core_sparse = (
+        sparse.join(
+            sparse_counts, sparse.c_custkey == sparse_counts.a_key, "left"
+        )
+        .filter(F.coalesce(F.col("cnt"), F.lit(0)) + 1 >= _MIN_PTS)
+        .select("c_custkey", "lat", "lon", "cx", "cy", "cell_node", "is_dense")
+        .localCheckpoint()  # edges + labels + classify re-consume
+    )
+    # supernode ids: dense point -> its cell's min custkey; sparse core
+    # -> own key.  Core-core eps pairs collapse to DISTINCT node edges
+    # before the component pass.
+    core_probe = flagged.filter(F.col("is_dense")).unionByName(core_sparse)
+    node_a = F.when(F.col("a_dense"), F.col("a_cell")).otherwise(F.col("a_key"))
+    node_b = F.when(F.col("b_dense"), F.col("b_cell")).otherwise(F.col("b_key"))
+    core_keys = core_probe.select(F.col("c_custkey").alias("b_key"))
+    edges = (
+        eps_pairs(core_probe)
+        .join(core_keys, "b_key", "left_semi")  # right endpoint core too
+        .select(node_a.alias("doc1"), node_b.alias("doc2"))
+        .filter(F.col("doc1") != F.col("doc2"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    node_labels = (
+        core_probe.select(
+            F.when(F.col("is_dense"), F.col("cell_node"))
+            .otherwise(F.col("c_custkey"))
+            .alias("node"),
+            "c_custkey",
+        )
+        .join(comp, F.col("node") == comp.doc_id, "left")
         .select(
             "c_custkey",
-            F.coalesce(F.col("component_id"), F.col("c_custkey")).alias(
-                "cluster_id"
-            ),
+            F.coalesce(F.col("component_id"), F.col("node")).alias("cluster_id"),
         )
         .localCheckpoint()  # border join + final classify re-consume
     )
+    # border: sparse non-core points take the MIN cluster label among
+    # their core eps-neighbors (deterministic assignment)
+    noncore = sparse.join(
+        core_sparse.select("c_custkey"), "c_custkey", "left_anti"
+    )
     border = (
-        nbr.join(core, "c_custkey", "left_anti")
+        eps_pairs(noncore)
         .join(
-            core_labels.select(
-                F.col("c_custkey").alias("nbr_key"),
-                F.col("cluster_id"),
+            node_labels.select(
+                F.col("c_custkey").alias("b_key"), F.col("cluster_id")
             ),
-            "nbr_key",
+            "b_key",
         )
-        .groupBy("c_custkey")
+        .groupBy(F.col("a_key").alias("c_custkey"))
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
     return (
         pts.join(
-            core_labels.select("c_custkey", F.col("cluster_id").alias("core_cl")),
+            node_labels.select("c_custkey", F.col("cluster_id").alias("core_cl")),
             "c_custkey",
             "left",
         )

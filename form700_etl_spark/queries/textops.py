@@ -3293,8 +3293,13 @@ def text_heaps_vocab_growth(spark, sf_dir):
     "text_tfidf_cosine_pairs",
     oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-        FROM documents
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+               )) AS term
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents)
     ),
     tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -3304,7 +3309,9 @@ def text_heaps_vocab_growth(spark, sf_dir):
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-    -- pruned vector space: discriminative terms only (df <= 100);
+    -- pruned vector space: discriminative 3-token shingle terms only
+    -- (df <= 16, the dedup family's MAX_SHINGLE_DF discipline — the
+    -- fixture's 31-word unigram vocab makes every unigram hot);
     -- idf quantized to integer nano-nats so weights, norms, and dot
     -- products are EXACT integers from here on
     w AS (
@@ -3313,7 +3320,7 @@ def text_heaps_vocab_growth(spark, sf_dir):
                                                 / df.df)) AS BIGINT)
                     AS HUGEINT) AS w
         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-        WHERE df.df <= 100
+        WHERE df.df <= 16
     ),
     norms AS (
         SELECT doc_id, SUM(w * w) AS nrm FROM w GROUP BY doc_id
@@ -3341,12 +3348,13 @@ def text_heaps_vocab_growth(spark, sf_dir):
     tags=("text", "dedup", "similarity"),
     doc=(
         "All-pairs TF-IDF cosine similarity >= 0.5 over the pruned "
-        "vector space (terms with df <= 100) — the lexical-vector "
+        "vector space (3-token shingle terms with df <= 16, the dedup "
+        "family's MAX_SHINGLE_DF discipline) — the lexical-vector "
         "companion to dedup_ngram_jaccard and dedup_semantic_clusters, "
         "and the classic scalable all-pairs-similarity shape (Baeza-"
         "Yates et al.): candidates come ONLY from an inverted-index "
-        "term join whose fan-out the df cap bounds (sum of df^2 over "
-        "kept terms, never N^2 docs), df=1 terms still count toward "
+        "shingle join whose fan-out the df cap bounds (sum of df^2 "
+        "over kept terms, never N^2 docs), df=1 terms still count toward "
         "norms but never join.  idf quantizes to integer nano-nats "
         "before weighting, so weights / norms / dot products are exact "
         "HUGEINT / DECIMAL(38) integers and the final cosine is one "
@@ -3356,8 +3364,22 @@ def text_heaps_vocab_growth(spark, sf_dir):
 def text_tfidf_cosine_pairs(spark, sf_dir):
     dec = "decimal(38,0)"
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    t = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    toks = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1))
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -3367,7 +3389,7 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     w = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") <= 100)
+        .where(F.col("df") <= 16)
         .select(
             "doc_id",
             "term",

@@ -133,6 +133,18 @@ PROBE_QUERIES = [
     "text_js_divergence_sources",
     "text_heaps_vocab_growth",
     "multimodal_audio_fp_neardup",
+    # round-6 late waves: TF-IDF cosine pair join (documents 10x, df-cap
+    # bounded fan-out), DBSCAN (customer 10x -> 10x density; eps-neighbor
+    # pair volume is output-proportional like intervals_overlap_join),
+    # HITS (distinct cust-supp edges ~10x, per-round linear joins), AUC
+    # (embeddings 10x, value-grain), conformal (lineitem 10x, moment agg
+    # + |R|-grain window).  Decision stump / Holt / bitmap profile ride
+    # the unscaled events fixture — not probed.
+    "text_tfidf_cosine_pairs",
+    "geo_dbscan_clusters",
+    "graph_hits_hubs_authorities",
+    "stats_roc_auc",
+    "mlprep_conformal_intervals",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
