@@ -69,3 +69,73 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------------------- Hilbert curve key
+#
+# The Hilbert curve preserves locality strictly better than Morton
+# order (no Z-shape jumps: consecutive keys are always grid
+# neighbors), which is why Delta Lake's liquid clustering moved from
+# Z-order to Hilbert.  xy2d is the classic iterative quadrant-rotation
+# walk (Wikipedia/Warren, Hacker's Delight): per level s = 2^k..1,
+# take quadrant bits (rx, ry), add s^2 * gray(rx, ry) to the key, and
+# rotate/flip the frame.  The loop is a bounded fold over the bit
+# levels — pure integer ops, identical in Spark's F.aggregate and
+# DuckDB's list_reduce, so the key is oracle-checkable bit-for-bit.
+
+
+def hilbert_key_sql(x_expr: str, y_expr: str, bits: int = DEFAULT_BITS) -> str:
+    """DuckDB SQL computing the Hilbert d-index of (x, y) masked to
+    ``bits`` bits, via list_reduce with [x, y, d] list state (list
+    state, not struct: see timeseries_holt_linear's aliasing note)."""
+    mask = (1 << bits) - 1
+    svals = ", ".join(str(1 << k) for k in range(bits - 1, -1, -1))
+    init = (
+        f"[CAST(({x_expr}) & {mask} AS BIGINT),"
+        f" CAST(({y_expr}) & {mask} AS BIGINT), CAST(0 AS BIGINT)]"
+    )
+    elems = (
+        f"list_transform([{svals}], s -> [CAST(s AS BIGINT),"
+        " CAST(0 AS BIGINT), CAST(0 AS BIGINT)])"
+    )
+    rx = "CASE WHEN (acc[1] & e[1]) > 0 THEN 1 ELSE 0 END"
+    ry = "CASE WHEN (acc[2] & e[1]) > 0 THEN 1 ELSE 0 END"
+    step = (
+        "(acc, e) -> ["
+        # x' : if ry=1 keep x, else swap in (possibly flipped) y
+        f"CASE WHEN ({ry}) = 1 THEN acc[1]"
+        f" ELSE CASE WHEN ({rx}) = 1 THEN e[1] - 1 - acc[2]"
+        " ELSE acc[2] END END, "
+        # y' : if ry=1 keep y, else swap in (possibly flipped) x
+        f"CASE WHEN ({ry}) = 1 THEN acc[2]"
+        f" ELSE CASE WHEN ({rx}) = 1 THEN e[1] - 1 - acc[1]"
+        " ELSE acc[1] END END, "
+        f"acc[3] + e[1] * e[1] * xor(3 * ({rx}), {ry})]"
+    )
+    return f"list_reduce([{init}] || {elems}, {step})[3]"
+
+
+def hilbert_key(x: Column, y: Column, bits: int = DEFAULT_BITS) -> Column:
+    """Spark column computing the same Hilbert d-index via F.aggregate
+    (same fold order and integer ops as the SQL twin)."""
+    mask = (1 << bits) - 1
+
+    def step(acc, s):
+        x0, y0, d0 = acc[0], acc[1], acc[2]
+        rx = F.when(x0.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y0.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        flip_x = F.when(rx == 1, s - 1 - y0).otherwise(y0)
+        flip_y = F.when(rx == 1, s - 1 - x0).otherwise(x0)
+        return F.array(
+            F.when(ry == 1, x0).otherwise(flip_x),
+            F.when(ry == 1, y0).otherwise(flip_y),
+            d0 + s * s * (3 * rx).bitwiseXOR(ry),
+        )
+
+    levels = F.array(*[F.lit(1 << k).cast("long") for k in range(bits - 1, -1, -1)])
+    init = F.array(
+        x.cast("long").bitwiseAND(mask),
+        y.cast("long").bitwiseAND(mask),
+        F.lit(0).cast("long"),
+    )
+    return F.aggregate(levels, init, step)[2]

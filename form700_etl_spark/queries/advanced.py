@@ -3243,3 +3243,67 @@ def stats_roc_auc(spark, sf_dir):
             6,
         ).alias("gini_coef"),
     )
+
+
+@register(
+    "agg_weighted_percentiles",
+    oracle="""
+    WITH grain AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, w,
+               SUM(w) OVER (ORDER BY v) AS cw,
+               SUM(w) OVER () AS tw
+        FROM grain
+    ),
+    picks AS (
+        SELECT p.p, MIN(c.v) AS v_cents
+        FROM cum c
+        JOIN (VALUES (25), (50), (75), (90), (99)) p(p)
+          -- weighted percentile boundary compared with exact integers:
+          -- cw >= ceil(p/100 * tw)  <=>  100*cw >= p*tw rounded up
+          ON 100 * c.cw >= p.p * c.tw
+        GROUP BY p.p
+    )
+    SELECT CAST(p AS BIGINT) AS pct, v_cents / 100.0 AS value
+    FROM picks ORDER BY pct
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Quantity-WEIGHTED price percentiles (p25/50/75/90/99): the "
+        "inventory-weighted distribution summary percentile_cont "
+        "cannot produce (it weights rows equally).  clean_quantile_bins "
+        "discipline: one hash agg to VALUE grain carrying the weight "
+        "sum, one cumulative window over distinct values — never raw "
+        "rows — and the percentile boundary test is the cross-"
+        "multiplied integer 100*cw >= p*tw, exact on both engines."
+    ),
+)
+def agg_weighted_percentiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    grain = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = grain.select(
+        "v",
+        F.sum("w").over(wv).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])).alias("p")
+    )
+    return (
+        cum.crossJoin(F.broadcast(pcts))
+        .where(100 * F.col("cw") >= F.col("p") * F.col("tw"))
+        .groupBy(F.col("p").cast("long").alias("pct"))
+        .agg(F.min("v").alias("v_cents"))
+        .select("pct", (F.col("v_cents") / 100.0).alias("value"))
+        .orderBy("pct")
+    )

@@ -1228,3 +1228,256 @@ def mlprep_conformal_intervals(spark, sf_dir):
             ).alias("test_coverage"),
         )
     )
+
+
+@register(
+    "mlprep_woe_iv",
+    oracle="""
+    WITH labeled AS (
+        SELECT least(9, CAST(floor(o_totalprice / 50000) AS BIGINT)) AS band,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    bands AS (
+        SELECT band,
+               CAST(SUM(y) AS BIGINT) AS good,
+               CAST(SUM(1 - y) AS BIGINT) AS bad
+        FROM labeled GROUP BY band
+    ),
+    tot AS (
+        SELECT CAST(SUM(good) AS BIGINT) AS g_tot,
+               CAST(SUM(bad) AS BIGINT) AS b_tot
+        FROM bands
+    ),
+    scored AS (
+        SELECT band, good, bad,
+               -- smoothed WoE in integer nano-nats: the ln argument is
+               -- one exact-integer ratio evaluated as a double
+               CAST(round(1e9 * ln(
+                   (CAST((2 * good + 1) AS DOUBLE) * b_tot)
+                   / (CAST((2 * bad + 1) AS DOUBLE) * g_tot))) AS BIGINT)
+                 AS woe_nano,
+               g_tot, b_tot
+        FROM bands CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT band, good, bad, woe_nano,
+               CAST(round((CAST(good AS DOUBLE) / g_tot
+                           - CAST(bad AS DOUBLE) / b_tot)
+                          * woe_nano) AS BIGINT) AS iv_nano
+        FROM scored
+    ),
+    iv AS (SELECT CAST(SUM(iv_nano) AS BIGINT) AS iv_nano_tot FROM terms)
+    SELECT t.band, t.good, t.bad,
+           round(t.woe_nano / 1e9, 6) AS woe,
+           round(i.iv_nano_tot / 1e9, 6) AS iv_total
+    FROM terms t CROSS JOIN iv i
+    ORDER BY t.band
+    """,
+    tags=("mlprep", "stats"),
+    doc=(
+        "Weight of Evidence / Information Value per price band for "
+        "predicting urgent priority — the credit-scoring feature "
+        "screen (Siddiqi 2006) that ranks a feature's separating power "
+        "before any model training.  One hash agg to band grain, "
+        "broadcast totals, and the JS-divergence quantization "
+        "discipline: each band's smoothed WoE rounds to integer "
+        "nano-nats, each IV term quantizes BEFORE the sum, so the "
+        "total IV is an order-free integer sum that replays cell-exact "
+        "on both engines."
+    ),
+)
+def mlprep_woe_iv(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000))
+        .cast("long")
+        .alias("band"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bands = labeled.groupBy("band").agg(
+        F.sum("y").cast("long").alias("good"),
+        F.sum(1 - F.col("y")).cast("long").alias("bad"),
+    )
+    tot = bands.agg(
+        F.sum("good").cast("long").alias("g_tot"),
+        F.sum("bad").cast("long").alias("b_tot"),
+    )
+    scored = bands.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "good",
+        "bad",
+        "g_tot",
+        "b_tot",
+        F.round(
+            F.lit(1e9)
+            * F.log(
+                ((2 * F.col("good") + 1).cast("double") * F.col("b_tot"))
+                / ((2 * F.col("bad") + 1).cast("double") * F.col("g_tot"))
+            )
+        )
+        .cast("long")
+        .alias("woe_nano"),
+    )
+    terms = scored.select(
+        "band",
+        "good",
+        "bad",
+        "woe_nano",
+        F.round(
+            (
+                F.col("good").cast("double") / F.col("g_tot")
+                - F.col("bad").cast("double") / F.col("b_tot")
+            )
+            * F.col("woe_nano")
+        )
+        .cast("long")
+        .alias("iv_nano"),
+    )
+    iv = terms.agg(F.sum("iv_nano").cast("long").alias("iv_nano_tot"))
+    return (
+        terms.crossJoin(F.broadcast(iv))
+        .select(
+            "band",
+            "good",
+            "bad",
+            F.round(F.col("woe_nano") / 1e9, 6).alias("woe"),
+            F.round(F.col("iv_nano_tot") / 1e9, 6).alias("iv_total"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "mlprep_calibration_brier",
+    oracle="""
+    WITH split AS (
+        SELECT CAST(strftime(ts, '%H') AS BIGINT) AS hr,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))::BIGINT
+                 % 2 AS fold
+        FROM events
+    ),
+    train AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(y) AS BIGINT) AS k1
+        FROM split WHERE fold = 0 GROUP BY hr
+    ),
+    test AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(y) AS BIGINT) AS k_t
+        FROM split WHERE fold = 1 GROUP BY hr
+    ),
+    joined AS (
+        SELECT t.hr, tr.n1, tr.k1, t.n_t, t.k_t,
+               -- per-hour Brier mass: sum over test rows of (p - y)^2
+               -- with p = k1/n1 constant per hour; expanded to the
+               -- exact integer (n_t*k1^2 - 2*k1*n1*k_t + k_t*n1^2)
+               -- over n1^2, quantized to nano BEFORE the corpus sum
+               CAST(round(1e9 * (CAST(t.n_t * tr.k1 * tr.k1
+                                      - 2 * tr.k1 * tr.n1 * t.k_t
+                                      + t.k_t * tr.n1 * tr.n1 AS DOUBLE)
+                                 / (CAST(tr.n1 AS DOUBLE) * tr.n1)))
+                    AS BIGINT) AS brier_nano
+        FROM test t JOIN train tr ON tr.hr = t.hr
+    ),
+    tot AS (
+        SELECT CAST(SUM(brier_nano) AS BIGINT) AS b_nano,
+               CAST(SUM(n_t) AS BIGINT) AS n_all
+        FROM joined
+    )
+    SELECT j.hr, j.n1 AS n_train, j.n_t AS n_test,
+           round(CAST(j.k1 AS DOUBLE) / j.n1, 6) AS rate_pred,
+           round(CAST(j.k_t AS DOUBLE) / j.n_t, 6) AS rate_obs,
+           round(t.b_nano / 1e9 / t.n_all, 6) AS brier_total
+    FROM joined j CROSS JOIN tot t
+    ORDER BY j.hr
+    """,
+    tags=("mlprep", "stats"),
+    doc=(
+        "Calibration / reliability table + Brier score: the md5-train "
+        "fold's per-hour purchase rate is the predicted probability, "
+        "the held-out fold supplies outcomes, and each hour row "
+        "compares rate_pred vs rate_obs (the reliability diagram a "
+        "model monitor plots) with the corpus Brier score alongside.  "
+        "Since p is constant per hour, the test-fold squared error "
+        "expands to one exact integer per hour — quantized to nano "
+        "units BEFORE the order-free corpus sum — so Brier replays "
+        "cell-exact.  Two hash aggs to hour grain + one broadcast "
+        "join; no per-row float path."
+    ),
+)
+def mlprep_calibration_brier(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    split = e.select(
+        F.date_format("ts", "HH").cast("long").alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("fold"),
+    )
+    train = (
+        split.where(F.col("fold") == 0)
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum("y").cast("long").alias("k1"),
+        )
+    )
+    test = (
+        split.where(F.col("fold") == 1)
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.sum("y").cast("long").alias("k_t"),
+        )
+    )
+    joined = test.join(train, "hr").select(
+        "hr",
+        "n1",
+        "k1",
+        "n_t",
+        "k_t",
+        F.round(
+            F.lit(1e9)
+            * (
+                (
+                    F.col("n_t") * F.col("k1") * F.col("k1")
+                    - 2 * F.col("k1") * F.col("n1") * F.col("k_t")
+                    + F.col("k_t") * F.col("n1") * F.col("n1")
+                ).cast("double")
+                / (F.col("n1").cast("double") * F.col("n1"))
+            )
+        )
+        .cast("long")
+        .alias("brier_nano"),
+    )
+    tot = joined.agg(
+        F.sum("brier_nano").cast("long").alias("b_nano"),
+        F.sum("n_t").cast("long").alias("n_all"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "hr",
+            F.col("n1").alias("n_train"),
+            F.col("n_t").alias("n_test"),
+            F.round(F.col("k1").cast("double") / F.col("n1"), 6).alias(
+                "rate_pred"
+            ),
+            F.round(F.col("k_t").cast("double") / F.col("n_t"), 6).alias(
+                "rate_obs"
+            ),
+            F.round(F.col("b_nano") / 1e9 / F.col("n_all"), 6).alias(
+                "brier_total"
+            ),
+        )
+        .orderBy("hr")
+    )

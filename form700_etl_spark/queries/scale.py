@@ -2243,3 +2243,40 @@ def graph_hits_hubs_authorities(spark, sf_dir):
         .select("side", "key", "score_micro", F.col("rk").cast("long").alias("rk"))
         .orderBy("side", "rk")
     )
+
+
+from ..operators.zorder import hilbert_key_sql as _hilbert_key_sql
+
+@register(
+    "hilbert_key_events",
+    oracle=f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST({_hilbert_key_sql("user_id", "CAST(round(value * 100) AS BIGINT)", 16)} AS BIGINT) AS hkey
+    FROM events ORDER BY event_id
+    """,
+    tags=("scale", "layout", "zorder"),
+    doc=(
+        "Hilbert-curve clustering key over (user_id, value-cents) — "
+        "the strictly-better-locality successor to zorder_key_events "
+        "(consecutive keys are always grid neighbors; the Delta liquid-"
+        "clustering layout key).  xy2d computed as a bounded 16-level "
+        "quadrant-rotation fold (F.aggregate / list_reduce, [x,y,d] "
+        "list state, pure integer ops) — a scan-side projection, no "
+        "shuffle, bit-identical on both engines; verified bijective "
+        "against the reference walk in tests."
+    ),
+)
+def hilbert_key_events(spark, sf_dir):
+    from ..operators.zorder import hilbert_key
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        hilbert_key(
+            F.col("user_id"),
+            F.round(F.col("value") * 100).cast("long"),
+            bits=16,
+        )
+        .cast("long")
+        .alias("hkey"),
+    ).orderBy("event_id")
