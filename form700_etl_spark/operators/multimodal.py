@@ -781,3 +781,63 @@ def audio_fingerprints(audio: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema="doc_id long, afp long")
+
+
+# --------------------------------------------------- perceptual pHash
+
+
+def _dct_mat(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (the JPEG/pHash transform)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def bmp_phash64(buf: bytes) -> int:
+    """64-bit DCT perceptual hash (pHash): decode the 24-bit BMP to a
+    luma grid, 2-D DCT-II, keep the top-left 8x8 low-frequency block,
+    and emit one bit per coefficient vs the median of the 63 AC
+    coefficients.  Median thresholding makes the hash invariant to
+    any positive affine luma rescale except (at most) the DC bit —
+    the robustness dHash's raw gradient signs don't have.  Signed
+    64-bit so it lands in a Spark LongType unchanged."""
+    import struct
+
+    import numpy as np
+
+    off = struct.unpack_from("<2sIHHI", buf, 0)[4]
+    _, w, h, _, _ = struct.unpack_from("<IiiHH", buf, 14)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    luma = rows.astype(np.float64).mean(axis=2)
+    coeffs = _dct_mat(h) @ luma @ _dct_mat(w).T
+    block = coeffs[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = 0
+    for v in block:
+        bits = (bits << 1) | (1 if v > med else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """Decode + pHash per image inside Arrow-batched mapInPandas (the
+    image_dhash shape: Python touches each payload once, everything
+    downstream stays JVM-side)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        bmp_phash64(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return images.mapInPandas(run, schema="doc_id long, phash long")

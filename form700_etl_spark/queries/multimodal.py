@@ -287,3 +287,70 @@ def multimodal_audio_fp_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "multimodal_image_phash_neardup",
+    oracle=None,  # binary container decode has no SQL analog; the law
+    # tests recompute pHash locally, assert affine-luma invariance, and
+    # brute-force the pair set
+    tags=("multimodal", "image", "dedup"),
+    doc=(
+        "Perceptual image near-dedup, DCT edition: pHash (64-bit "
+        "low-frequency DCT signature, median-thresholded so an exact "
+        "positive affine luma rescale flips at most the DC bit (uint8 "
+        "rounding of a real edit adds a couple more, law-tested <= 3) — "
+        "robust to brightness/contrast edits that move MANY dHash "
+        "gradient bits) computed during the Arrow-batched BMP decode, "
+        "then the same 4x16-bit band machinery as the "
+        "dHash/SimHash/audio paths finds all pairs within Hamming 3 "
+        "JVM-side.  Same injected dup structure as "
+        "multimodal_image_dhash_neardup, so the two operators' pair "
+        "sets are directly comparable (the dedup family's "
+        "frequency-domain vs gradient-domain tradeoff, both "
+        "law-tested)."
+    ),
+)
+def multimodal_image_phash_neardup(spark, sf_dir):
+    from ..operators.multimodal import image_phash, synthesize_dedup_images
+
+    hashes = image_phash(
+        synthesize_dedup_images(spark, sf_dir)
+    ).localCheckpoint()  # both join sides + bands re-consume the decode
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"shiftrightunsigned(phash, {16 * b}) & 65535"
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.b", "bk.band_val")
+    a = bands.select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+    )
+    x = bands.select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+    )
+    return (
+        a.join(x, ["b", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
