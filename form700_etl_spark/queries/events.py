@@ -1456,3 +1456,65 @@ def events_activity_bitmap_profile(spark, sf_dir):
             " AS BIGINT)"
         ).alias("returned_week2"),
     ).orderBy("user_id")
+
+
+@register(
+    "events_decay_engagement_score",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    scored AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS HUGEINT)
+                 * (CAST(1 AS HUGEINT)
+                    << (30 - date_diff('day', CAST(ts AS DATE), a.d1)))
+                 AS w,
+               CAST(ts AS DATE) AS day
+        FROM events CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(day) AS VARCHAR) AS last_active,
+           round(CAST(SUM(w) AS DOUBLE) / 1073741824.0 / 100.0, 6)
+             AS decay_score
+    FROM scored GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "analytics", "mlprep"),
+    doc=(
+        "Recency-weighted engagement score: each event contributes "
+        "value x 2^(-age_days) (half-life one day), the feature-store "
+        "freshness signal behind churn/LTV features.  The EWMA "
+        "exactness trick at user grain: weights are EXACT powers of "
+        "two carried as scaled integers (cents << (30 - age), "
+        "HUGEINT/DECIMAL(38)), so the weighted sum is one order-free "
+        "integer agg — no float decay drift, identical on both "
+        "engines — and the single division to float happens once per "
+        "user at the end.  One scan, one hash agg; the 1-row anchor "
+        "broadcasts."
+    ),
+)
+def events_decay_engagement_score(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    dec = "decimal(38,0)"
+    scored = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        (
+            F.round(F.col("value") * 100).cast(dec)
+            * F.expr(
+                "CAST(shiftleft(1L, 30 - datediff(d1, CAST(ts AS DATE)))"
+                " AS DECIMAL(38,0))"
+            )
+        ).cast(dec).alias("w"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("day").cast("string").alias("last_active"),
+            F.round(
+                F.sum("w").cast("double") / 1073741824.0 / 100.0, 6
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

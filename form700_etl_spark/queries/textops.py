@@ -8,6 +8,8 @@ text shards.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -3508,3 +3510,113 @@ def text_readability_flesch(spark, sf_dir):
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+def _bm25_oracle_sql() -> str:
+    """The registered text_bm25_topk oracle, nested as a CTE body
+    (DuckDB allows WITH inside a CTE)."""
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["text_bm25_topk"].oracle
+
+
+_NDCG_K = 10
+# discounts 1/log2(i+1) for i = 1..10, quantized to nano units once
+_NDCG_DISC_SQL = ", ".join(
+    f"({i}, CAST(round(1e9 / log2({i} + 1.0)) AS BIGINT))"
+    for i in range(1, _NDCG_K + 1)
+)
+
+
+@register(
+    "text_ndcg_retrieval_eval",
+    oracle=f"""
+    WITH rel AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {t} %'"
+                   " THEN 1 ELSE 0 END" for t in _BM25_TERMS)}
+                    AS BIGINT) AS rel
+        FROM documents
+    ),
+    ranked AS ({_bm25_oracle_sql()}),
+    disc AS (SELECT * FROM (VALUES {_NDCG_DISC_SQL}) d(rk, disc_nano)),
+    dcg AS (
+        SELECT CAST(SUM(((1 << rel.rel) - 1) * d.disc_nano) AS BIGINT)
+                 AS dcg_nano
+        FROM ranked r
+        JOIN rel ON rel.doc_id = r.doc_id
+        JOIN disc d ON d.rk = r.rk
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+        FROM rel
+    ),
+    idcg AS (
+        SELECT CAST(SUM(((1 << i.rel) - 1) * d.disc_nano) AS BIGINT)
+                 AS idcg_nano
+        FROM ideal i JOIN disc d ON d.rk = i.rk
+        WHERE i.rk <= {_NDCG_K}
+    )
+    SELECT dcg.dcg_nano, idcg.idcg_nano,
+           round(CAST(dcg.dcg_nano AS DOUBLE) / idcg.idcg_nano, 6)
+             AS ndcg_at_10
+    FROM dcg CROSS JOIN idcg
+    """,
+    tags=("text", "relevance", "mlprep"),
+    doc=(
+        "NDCG@10 of the BM25 ranking against a term-coverage relevance "
+        "proxy (rel = number of distinct query terms present, 0-4) — "
+        "the retrieval-evaluation companion to text_bm25_topk, and the "
+        "metric a RAG/data-curation pipeline tracks per index build.  "
+        "Exponential gains (2^rel - 1) are exact integers, positional "
+        "discounts quantize to nano units ONCE (a 10-row broadcast "
+        "table), so DCG and ideal-DCG are order-free integer sums; the "
+        "ideal ranking needs only the corpus rel distribution (5 "
+        "distinct values), never a global sort of raw rows."
+    ),
+)
+def text_ndcg_retrieval_eval(spark, sf_dir):
+    ranked = text_bm25_topk(spark, sf_dir).select("doc_id", "rk")
+    d = table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    rel_expr = None
+    for t in _BM25_TERMS:
+        term = F.when(padded.like(f"% {t} %"), 1).otherwise(0)
+        rel_expr = term if rel_expr is None else rel_expr + term
+    rel = d.select("doc_id", rel_expr.cast("long").alias("rel"))
+    disc = spark.createDataFrame(
+        [(i, round(1e9 / math.log2(i + 1.0))) for i in range(1, _NDCG_K + 1)],
+        "rk int, disc_nano long",
+    )
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .join(F.broadcast(disc), "rk")
+        .agg(
+            F.sum(
+                (F.expr("shiftleft(1L, CAST(rel AS INT))") - 1)
+                * F.col("disc_nano")
+            )
+            .cast("long")
+            .alias("dcg_nano")
+        )
+    )
+    ideal = rel.select(
+        "rel",
+        F.row_number().over(W.orderBy(F.desc("rel"), F.asc("doc_id"))).alias("rk"),
+    ).where(F.col("rk") <= _NDCG_K)
+    idcg = ideal.join(F.broadcast(disc), "rk").agg(
+        F.sum(
+            (F.expr("shiftleft(1L, CAST(rel AS INT))") - 1)
+            * F.col("disc_nano")
+        )
+        .cast("long")
+        .alias("idcg_nano")
+    )
+    return dcg.crossJoin(idcg).select(
+        "dcg_nano",
+        "idcg_nano",
+        F.round(
+            F.col("dcg_nano").cast("double") / F.col("idcg_nano"), 6
+        ).alias("ndcg_at_10"),
+    )
