@@ -1126,3 +1126,80 @@ def sample_negative_pairs(spark, sf_dir):
         )
         .orderBy("anchor", "j")
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+        FROM documents GROUP BY lang
+    ),
+    scored AS (
+        SELECT lang, n_h,
+               -- population variance * n_h^2 = n_h*s2 - s1^2 (exact);
+               -- Neyman weight n_h * sd_h = sqrt(n_h*s2 - s1^2), one
+               -- double sqrt of an exact integer, nano-quantized
+               CAST(round(1e9 * sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)))
+                    AS BIGINT) AS w_nano
+        FROM strata
+    ),
+    tot AS (SELECT CAST(SUM(w_nano) AS BIGINT) AS w_tot FROM scored)
+    SELECT s.lang, s.n_h,
+           round(s.w_nano / 1e9, 3) AS stratum_weight,
+           -- integer-rounded allocation of a 1000-doc budget
+           CAST((1000 * s.w_nano + t.w_tot // 2) // t.w_tot AS BIGINT)
+             AS n_alloc
+    FROM scored s CROSS JOIN tot t
+    ORDER BY s.lang
+    """,
+    tags=("pipeline", "sample", "stats"),
+    doc=(
+        "Neyman optimal allocation for stratified sampling (Neyman "
+        "1934): per-language sample sizes proportional to N_h * S_h "
+        "(stratum size x stratum std dev of doc length) for a 1000-doc "
+        "budget — the sampling design that minimizes estimator "
+        "variance, the principled upgrade to "
+        "sample_stratified_per_lang's equal fractions.  One hash agg "
+        "collects exact integer moments per stratum; n_h*s2 - s1^2 is "
+        "the exact integer n_h^2 * variance, its sqrt quantizes to "
+        "nano units, and the budget split is integer arithmetic with "
+        "half-up rounding — cell-exact on both engines."
+    ),
+)
+def sample_neyman_allocation(spark, sf_dir):
+    dec = "decimal(38,0)"
+    d = table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col("n_chars").cast(dec)).cast(dec).alias("s1"),
+        F.sum(F.col("n_chars").cast(dec) * F.col("n_chars")).cast(dec).alias("s2"),
+    )
+    scored = strata.select(
+        "lang",
+        "n_h",
+        F.round(
+            F.lit(1e9)
+            * F.sqrt(
+                (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+            )
+        )
+        .cast("long")
+        .alias("w_nano"),
+    )
+    tot = scored.agg(F.sum("w_nano").cast("long").alias("w_tot"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_h",
+            F.round(F.col("w_nano") / 1e9, 3).alias("stratum_weight"),
+            F.expr("CAST((1000 * w_nano + w_tot DIV 2) DIV w_tot AS BIGINT)")
+            .alias("n_alloc"),
+        )
+        .orderBy("lang")
+    )

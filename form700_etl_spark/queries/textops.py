@@ -3620,3 +3620,193 @@ def text_ndcg_retrieval_eval(spark, sf_dir):
             F.col("dcg_nano").cast("double") / F.col("idcg_nano"), 6
         ).alias("ndcg_at_10"),
     )
+
+
+@register(
+    "text_zlib_compression_quality",
+    oracle=None,  # DEFLATE has no SQL analog; law tests assert the
+    # monotonicity and determinism properties (tests/test_zlib_quality.py)
+    tags=("text", "quality", "multimodal"),
+    doc=(
+        "Per-document DEFLATE compression ratio as a quality/"
+        "repetition signal (the Gopher/C4 family's cheap entropy "
+        "proxy: boilerplate and template spam compress far better "
+        "than natural prose; near-random noise barely compresses).  "
+        "One Arrow-batched mapInPandas pass (stdlib zlib level 6, "
+        "Python IS the point — there is no JVM-side DEFLATE "
+        "expression), emitting exact byte counts; the ratio and the "
+        "corpus-level flag are plain column math.  Flags docs whose "
+        "compressed size is < 30% of raw (repetition suspects) — the "
+        "sub-document companion to text_repeated_substring_spans at "
+        "1/50th its cost."
+    ),
+)
+def text_zlib_compression_quality(spark, sf_dir):
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [len((t or "").encode("utf-8")) for t in pdf["text"]]
+            comp = [
+                len(zlib.compress((t or "").encode("utf-8"), 6))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "deflate_bytes": comp,
+                }
+            )
+
+    scored = d.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, raw_bytes long, deflate_bytes long"
+    )
+    return scored.select(
+        "doc_id",
+        "raw_bytes",
+        "deflate_bytes",
+        F.round(
+            F.col("deflate_bytes").cast("double") / F.col("raw_bytes"), 6
+        ).alias("compression_ratio"),
+        (
+            F.col("deflate_bytes") * 10 < F.col("raw_bytes") * 3
+        ).cast("int").alias("repetition_suspect"),
+    ).orderBy("doc_id")
+
+
+_TEXTRANK_ITERS = 3
+
+
+def _textrank_sql(iters: int) -> str:
+    parts = [
+        """tok AS MATERIALIZED (
+        SELECT doc_id, i AS pos, toks[i] AS w
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+             unnest(range(1, len(toks) + 1)) AS t(i)
+        WHERE len(toks[i]) >= 4
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.w AS u, b.w AS v, CAST(COUNT(*) AS BIGINT) AS wt
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND 2
+         AND a.w <> b.w
+        GROUP BY a.w, b.w
+    ),
+    edges AS MATERIALIZED (
+        SELECT u, v, CAST(SUM(wt) AS BIGINT) AS wt FROM (
+            SELECT u, v, wt FROM pairs
+            UNION ALL SELECT v, u, wt FROM pairs
+        ) GROUP BY u, v
+    ),
+    wdeg AS MATERIALIZED (
+        SELECT u, CAST(SUM(wt) AS BIGINT) AS d FROM edges GROUP BY u
+    ),
+    r0 AS MATERIALIZED (
+        SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM wdeg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    r{i} AS MATERIALIZED (
+        SELECT e.v AS node,
+               CAST(150000 + (850 * SUM((r.rank * e.wt) // d.d)) // 1000
+                    AS BIGINT) AS rank
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.u
+        JOIN wdeg d ON d.u = e.u
+        GROUP BY e.v
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT node AS word, rank AS rank_micro,
+           CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+    FROM r{iters} ORDER BY rk LIMIT 20
+    """
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_sql(_TEXTRANK_ITERS),
+    tags=("text", "graph", "iterative"),
+    doc=(
+        f"TextRank corpus keywords (Mihalcea & Tarau 2004): weighted "
+        f"PageRank ({_TEXTRANK_ITERS} rounds, damping 0.85) over the "
+        "word co-occurrence graph (window +-2, words >= 4 chars, edge "
+        "weight = corpus co-occurrence count) — the graph-centrality "
+        "keyword extractor next to RAKE's phrase heuristic and "
+        "TF-IDF's frequency weighting.  The PageRank integer "
+        "discipline: contributions are rank*weight DIV weighted-"
+        "degree, damping in integer thousandths, so every round is "
+        "exact.  One tokenize pass builds positions, one windowed "
+        "self-join builds edges (bounded +-2 fan-out), "
+        "and each round is one edge join + one agg over the WORD-grain "
+        "rank table (vocabulary-bounded state, Heaps-sublinear in "
+        "corpus size)."
+    ),
+)
+def text_textrank_keywords(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+        )
+        .where(F.length("w") >= 4)
+        .localCheckpoint()  # both sides of the window self-join
+    )
+    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("u"))
+    b = tok.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("v"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pb") - F.col("pa")).between(1, 2)
+            & (F.col("u") != F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "wt")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("wt").cast("long").alias("wt"))
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    wdeg = edges.groupBy("u").agg(F.sum("wt").cast("long").alias("d"))
+    ranks = wdeg.select(
+        F.col("u").alias("node"), F.lit(1000000).cast("long").alias("rank")
+    )
+    for _ in range(_TEXTRANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.u == ranks.node)
+            .join(wdeg, "u")
+            .select("v", F.expr("(rank * wt) DIV d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("v")
+            .agg(
+                F.expr("CAST(150000 + (850 * SUM(c)) DIV 1000 AS BIGINT)")
+                .alias("rank")
+            )
+            .select(F.col("v").alias("node"), "rank")
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            F.col("rank").alias("rank_micro"),
+            F.row_number()
+            .over(W.orderBy(F.desc("rank"), F.asc("node")))
+            .cast("long")
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+        .orderBy("rk")
+    )
