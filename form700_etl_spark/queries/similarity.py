@@ -788,3 +788,139 @@ def ann_hybrid_rrf_fusion(spark, sf_dir):
             "l2_rk",
         )
     )
+
+
+_KNN_EVAL_K = 5
+
+
+@register(
+    "mlprep_knn_classifier_eval",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS i, a.label AS true_label,
+               b.label AS nbr_label,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id
+               ) AS rk
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    votes AS (
+        SELECT i, true_label, nbr_label,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored WHERE rk <= {_KNN_EVAL_K}
+        GROUP BY i, true_label, nbr_label
+    ),
+    pred AS (
+        SELECT i, true_label, nbr_label AS pred_label,
+               row_number() OVER (
+                   PARTITION BY i ORDER BY c DESC, nbr_label
+               ) AS vr
+        FROM votes
+    ),
+    conf AS (
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred WHERE vr = 1 GROUP BY true_label, pred_label
+    ),
+    acc AS (
+        SELECT CAST(SUM(CASE WHEN true_label = pred_label THEN n
+                             ELSE 0 END) AS BIGINT) AS hit,
+               CAST(SUM(n) AS BIGINT) AS tot
+        FROM conf
+    )
+    SELECT c.true_label, c.pred_label, c.n,
+           round(CAST(a.hit AS DOUBLE) / a.tot, 6) AS accuracy
+    FROM conf c CROSS JOIN acc a
+    ORDER BY c.true_label, c.pred_label
+    """,
+    tags=("mlprep", "similarity", "stats"),
+    doc=(
+        f"Leave-one-out {_KNN_EVAL_K}-NN classification over the "
+        "embedding labels: exact cosine neighbors (deterministic "
+        "vec_id tie-break), majority vote (count desc, label asc), "
+        "confusion matrix + accuracy — the label-quality / "
+        "embedding-space-health eval a training pipeline runs per "
+        "embedding build, and the ground-truth harness the ANN "
+        "operators' recall is judged against.  Deliberately "
+        "brute-force (the eval HARNESS must be exact; "
+        "ann_ivf/lsh/pq are the scale path it validates) but still "
+        "one self-join + two windows — the N^2 stays in one shuffle "
+        "stage, and at 100 TB this runs on the eval SAMPLE, not the "
+        "corpus."
+    ),
+)
+def mlprep_knn_classifier_eval(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("vec")
+    )
+    a = v.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("va"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("nbr_label"),
+        F.col("vec").alias("vb"),
+    )
+    scored = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "true_label",
+            "nbr_label",
+            "j",
+            _cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .select(
+            "i",
+            "true_label",
+            "nbr_label",
+            F.row_number()
+            .over(W.partitionBy("i").orderBy(F.desc("cos"), F.asc("j")))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= _KNN_EVAL_K)
+    )
+    votes = scored.groupBy("i", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pred = votes.select(
+        "i",
+        "true_label",
+        F.col("nbr_label").alias("pred_label"),
+        F.row_number()
+        .over(
+            W.partitionBy("i").orderBy(F.desc("c"), F.asc("nbr_label"))
+        )
+        .alias("vr"),
+    ).where(F.col("vr") == 1)
+    conf = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    acc = conf.agg(
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("hit"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    return (
+        conf.crossJoin(F.broadcast(acc))
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.round(F.col("hit").cast("double") / F.col("tot"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label", "pred_label")
+    )

@@ -142,6 +142,11 @@ PROBE_QUERIES = [
     # the unscaled events fixture — not probed.
     "text_tfidf_cosine_pairs",
     "geo_dbscan_clusters",
+    # session-3 late: TextRank (vocabulary-bounded rank state; the
+    # +-2-window self-join is per-doc linear) and the DEFLATE pass
+    # (byte-linear mapInPandas)
+    "text_textrank_keywords",
+    "text_zlib_compression_quality",
     "graph_hits_hubs_authorities",
     "stats_roc_auc",
     "mlprep_conformal_intervals",
