@@ -3307,3 +3307,308 @@ def agg_weighted_percentiles(spark, sf_dir):
         .select("pct", (F.col("v_cents") / 100.0).alias("value"))
         .orderBy("pct")
     )
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d2
+        FROM cells a JOIN cells b
+          ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+    ),
+    ties AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS cell2
+        FROM cells
+    ),
+    tx AS (
+        SELECT CAST(SUM(s * (s - 1)) AS BIGINT) AS x2 FROM (
+            SELECT CAST(SUM(n) AS BIGINT) AS s FROM cells GROUP BY x)
+    ),
+    ty AS (
+        SELECT CAST(SUM(s * (s - 1)) AS BIGINT) AS y2 FROM (
+            SELECT CAST(SUM(n) AS BIGINT) AS s FROM cells GROUP BY y)
+    )
+    SELECT p.c2 AS concordant, p.d2 AS discordant,
+           round((CAST(p.c2 AS DOUBLE) - p.d2)
+                 / (sqrt(CAST(t.nn * (t.nn - 1) - x.x2 AS DOUBLE) / 2)
+                    * sqrt(CAST(t.nn * (t.nn - 1) - y.y2 AS DOUBLE) / 2)),
+                 6) AS tau_b
+    FROM pairs p CROSS JOIN ties t CROSS JOIN tx x CROSS JOIN ty y
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Kendall tau-b rank correlation between quantity and discount "
+        "— the third rank-statistic axis next to Pearson and Spearman, "
+        "with full tie correction.  The naive O(N^2) pair walk "
+        "collapses to the (x, y) CONTINGENCY grain first (one hash "
+        "agg; <= 600 cells here regardless of row count), so "
+        "concordant/discordant masses are exact integer sums over a "
+        "bounded cell self-join, tie terms come from the marginal "
+        "grains, and only the final ratio touches floats — the "
+        "value-grain discipline that makes an all-pairs statistic "
+        "feasible at 100 TB on low-cardinality features."
+    ),
+)
+def stats_kendall_tau(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint()
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("n").alias("nb")
+    )
+    joined = a.join(
+        b,
+        (F.col("xa") < F.col("xb"))
+        | ((F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb"))),
+    )
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    )
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    )
+    pairs = joined.agg(
+        F.sum(F.when(conc, F.col("na") * F.col("nb")).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+        F.sum(F.when(disc, F.col("na") * F.col("nb")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    ties = cells.agg(F.sum("n").cast("long").alias("nn"))
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").cast("long").alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1)).cast("long").alias("x2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").cast("long").alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1)).cast("long").alias("y2"))
+    )
+    nn = F.col("nn")
+    return (
+        pairs.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("c2").alias("concordant"),
+            F.col("d2").alias("discordant"),
+            F.round(
+                (F.col("c2").cast("double") - F.col("d2"))
+                / (
+                    F.sqrt((nn * (nn - 1) - F.col("x2")).cast("double") / 2)
+                    * F.sqrt((nn * (nn - 1) - F.col("y2")).cast("double") / 2)
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS r, o_orderstatus AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM cells GROUP BY c),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        -- chi2 term (O - E)^2/E with E = nr*nc/n, cleared to the exact
+        -- integer form (O*n - nr*nc)^2 / (nr*nc*n), nano-quantized
+        -- BEFORE the sum
+        SELECT CAST(round(1e9
+                   * (CAST(cl.o * n.n - r.nr * c.nc AS DOUBLE)
+                      * (cl.o * n.n - r.nr * c.nc))
+                   / (CAST(r.nr AS DOUBLE) * c.nc * n.n)) AS BIGINT)
+                 AS chi_nano
+        FROM cells cl JOIN rt r USING (r) JOIN ct c USING (c) CROSS JOIN n
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nrow,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS ncol
+    )
+    SELECT CAST(SUM(t.chi_nano) AS BIGINT) AS chi2_nano,
+           round(sqrt((CAST(SUM(t.chi_nano) AS DOUBLE) / 1e9)
+                      / (CAST(MIN(n.n) AS DOUBLE)
+                         * (least(MIN(d.nrow), MIN(d.ncol)) - 1))), 6)
+             AS cramers_v
+    FROM terms t CROSS JOIN n CROSS JOIN dims d
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Cramér's V association between order priority and status — "
+        "the [0,1]-normalized effect size the raw chi-square "
+        "(stats_chi_square_independence) lacks, comparable across "
+        "tables of any size.  Denominator-cleared integer chi-square "
+        "terms (O*n - nr*nc)^2 / (nr*nc*n), nano-quantized before the "
+        "order-free sum; one contingency hash agg + broadcast "
+        "marginals."
+    ),
+)
+def stats_cramers_v(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o")).localCheckpoint()
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("nr"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("nrow")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("ncol"))
+    )
+    diff = F.col("o") * F.col("n") - F.col("nr") * F.col("nc")
+    terms = (
+        cells.join(rt, "r")
+        .join(ct, "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.lit(1e9)
+                * (diff.cast("double") * diff)
+                / (F.col("nr").cast("double") * F.col("nc") * F.col("n"))
+            )
+            .cast("long")
+            .alias("chi_nano")
+        )
+    )
+    agg = terms.agg(F.sum("chi_nano").cast("long").alias("chi2_nano"))
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2_nano",
+            F.round(
+                F.sqrt(
+                    (F.col("chi2_nano").cast("double") / 1e9)
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least(F.col("nrow"), F.col("ncol")) - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "stats_theil_u",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS x, CAST(strftime(ts, '%H') AS BIGINT) AS y
+        FROM events
+    ),
+    cells AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY x, y
+    ),
+    xt AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM cells GROUP BY x),
+    yt AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM cells GROUP BY y),
+    n AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+    hx AS (
+        -- H(X) in nano-nats, each term quantized before the sum
+        SELECT CAST(SUM(CAST(round(1e9 * (CAST(nx AS DOUBLE) / n.n)
+                                   * ln(CAST(n.n AS DOUBLE) / nx))
+                             AS BIGINT)) AS BIGINT) AS h_nano
+        FROM xt CROSS JOIN n
+    ),
+    hxy AS (
+        -- H(X|Y) = sum over cells of p(x,y) * ln(p(y)/p(x,y))
+        SELECT CAST(SUM(CAST(round(1e9 * (CAST(c.n AS DOUBLE) / n.n)
+                                   * ln(CAST(y.ny AS DOUBLE) / c.n))
+                             AS BIGINT)) AS BIGINT) AS h_nano
+        FROM cells c JOIN yt y USING (y) CROSS JOIN n
+    )
+    SELECT round(hx.h_nano / 1e9, 6) AS h_x,
+           round(hxy.h_nano / 1e9, 6) AS h_x_given_y,
+           round(CAST(hx.h_nano - hxy.h_nano AS DOUBLE) / hx.h_nano, 6)
+             AS theil_u
+    FROM hx CROSS JOIN hxy
+    """,
+    tags=("stats", "agg"),
+    doc=(
+        "Theil's uncertainty coefficient U(event_type | hour) = "
+        "(H(X) - H(X|Y)) / H(X) — the ASYMMETRIC categorical "
+        "association measure (how much does knowing the hour reduce "
+        "event-type uncertainty), complementing the symmetric "
+        "Cramér's V and mutual information.  Entropy terms quantize "
+        "to nano-nats at cell grain before order-free integer sums — "
+        "the text_token_entropy/JS-divergence discipline over a "
+        "contingency table."
+    ),
+)
+def stats_theil_u(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("x"),
+        F.date_format("ts", "HH").cast("long").alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()
+    xt = cells.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    yt = cells.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    n = cells.agg(F.sum("n").cast("long").alias("n"))
+    hx = (
+        xt.crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.lit(1e9)
+                * (F.col("nx").cast("double") / F.col("n"))
+                * F.log(F.col("n").cast("double") / F.col("nx"))
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("hx_nano"))
+    )
+    # cells.n and the grand total both want the name "n" — alias the
+    # total before the conditional-entropy join
+    tot = n.select(F.col("n").alias("nn"))
+    hxy = (
+        cells.join(yt, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.lit(1e9)
+                * (F.col("n").cast("double") / F.col("nn"))
+                * F.log(F.col("ny").cast("double") / F.col("n"))
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("hxy_nano"))
+    )
+    return hx.crossJoin(hxy).select(
+        F.round(F.col("hx_nano") / 1e9, 6).alias("h_x"),
+        F.round(F.col("hxy_nano") / 1e9, 6).alias("h_x_given_y"),
+        F.round(
+            (F.col("hx_nano") - F.col("hxy_nano")).cast("double")
+            / F.col("hx_nano"),
+            6,
+        ).alias("theil_u"),
+    )
