@@ -924,3 +924,143 @@ def mlprep_knn_classifier_eval(spark, sf_dir):
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+_MATRYOSHKA_DIMS = (64, 32, 16, 8)
+_MATRYOSHKA_K = 10
+_MATRYOSHKA_QUERY_MOD = 25  # every 25th vec is a query
+
+
+def _matryoshka_truncated_cos_sql(dim: int) -> str:
+    return f"""
+        round(
+            list_dot_product(a.vec[1:{dim}], b.vec[1:{dim}])
+            / sqrt(list_dot_product(a.vec[1:{dim}], a.vec[1:{dim}]))
+            / sqrt(list_dot_product(b.vec[1:{dim}], b.vec[1:{dim}])), 6)
+    """
+
+
+def _matryoshka_rank_sql(dim: int) -> str:
+    return f"""
+        SELECT {dim} AS dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_matryoshka_truncated_cos_sql(dim)} DESC, b.vec_id
+               ) AS rk
+        FROM q a JOIN v b ON a.vec_id <> b.vec_id
+    """
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_VEC_DOUBLE_SQL} AS vec FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {_MATRYOSHKA_QUERY_MOD} = 0),
+    ranked AS (
+        {" UNION ALL ".join(_matryoshka_rank_sql(d) for d in _MATRYOSHKA_DIMS)}
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= {_MATRYOSHKA_K}),
+    full_top AS (
+        SELECT query_id, neighbor_id FROM top WHERE dim = {_MATRYOSHKA_DIMS[0]}
+    ),
+    overlap AS (
+        SELECT t.dim, t.query_id, CAST(COUNT(f.neighbor_id) AS BIGINT) AS hits
+        FROM top t LEFT JOIN full_top f
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY t.dim, t.query_id
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(hits) AS BIGINT) AS hits,
+           round(CAST(SUM(hits) AS DOUBLE)
+                 / (COUNT(*) * {_MATRYOSHKA_K}), 6) AS recall_at_{_MATRYOSHKA_K}
+    FROM overlap GROUP BY dim ORDER BY dim DESC
+    """,
+    tags=("similarity", "mlprep"),
+    doc=(
+        "Matryoshka-truncation recall (Kusupati et al. 2022): top-10 "
+        "cosine neighbors computed from the first 64/32/16/8 embedding "
+        "coordinates, scored as overlap with the full-dimension top-10 "
+        "— the storage/latency-vs-recall curve behind MRL-style "
+        "embedding serving, measured in-engine before committing to a "
+        "truncation.  One query-sample broadcast against the corpus, "
+        "one ranking window per dim budget (prefix slices of the SAME "
+        "vectors — no re-embedding), exact ranking with deterministic "
+        "tie-breaks, recall as exact integer overlap counts."
+    ),
+)
+def embedding_matryoshka_recall(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("vec")
+    ).localCheckpoint()  # 4 dim budgets re-consume both sides
+    q = v.where(F.col("vec_id") % _MATRYOSHKA_QUERY_MOD == 0)
+    ranked = None
+    for d in _MATRYOSHKA_DIMS:
+        a = q.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice("vec", 1, d).alias("qv"),
+        )
+        b = v.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.slice("vec", 1, d).alias("nv"),
+        )
+        part = (
+            F.broadcast(a)
+            .join(b, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                F.lit(d).alias("dim"),
+                "query_id",
+                "neighbor_id",
+                _cosine(F.col("qv"), F.col("nv")).alias("cos"),
+            )
+            .select(
+                "dim",
+                "query_id",
+                "neighbor_id",
+                F.row_number()
+                .over(
+                    W.partitionBy("query_id").orderBy(
+                        F.desc("cos"), F.asc("neighbor_id")
+                    )
+                )
+                .alias("rk"),
+            )
+            .where(F.col("rk") <= _MATRYOSHKA_K)
+        )
+        ranked = part if ranked is None else ranked.unionByName(part)
+    top = ranked.localCheckpoint()  # full-dim reference + overlap join
+    full_top = top.where(F.col("dim") == _MATRYOSHKA_DIMS[0]).select(
+        F.col("query_id").alias("fq"), F.col("neighbor_id").alias("fn")
+    )
+    overlap = (
+        top.join(
+            full_top,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("neighbor_id") == F.col("fn")),
+            "left",
+        )
+        .groupBy("dim", "query_id")
+        .agg(F.count("fn").cast("long").alias("hits"))
+    )
+    return (
+        overlap.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("hits").cast("long").alias("hits"),
+        )
+        .select(
+            "dim",
+            "n_queries",
+            "hits",
+            F.round(
+                F.col("hits").cast("double")
+                / (F.col("n_queries") * _MATRYOSHKA_K),
+                6,
+            ).alias(f"recall_at_{_MATRYOSHKA_K}"),
+        )
+        .orderBy(F.desc("dim"))
+    )
