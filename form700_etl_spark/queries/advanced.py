@@ -3612,3 +3612,322 @@ def stats_theil_u(spark, sf_dir):
             6,
         ).alias("theil_u"),
     )
+
+
+@register(
+    "events_did_estimator",
+    oracle=f"""
+    WITH mid AS (
+        SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE)
+                 + CAST((date_diff('day', MIN(CAST(ts AS DATE)),
+                                   MAX(CAST(ts AS DATE))) + 1) // 2 AS INT)
+                 AS cutover
+        FROM events
+    ),
+    assigned AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                 % 2 AS variant,
+               CASE WHEN CAST(ts AS DATE) >= m.cutover THEN 1 ELSE 0 END
+                 AS post,
+               {cents_sql('value')} AS v_c
+        FROM events CROSS JOIN mid m
+        WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT variant, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v_c) AS BIGINT) AS s
+        FROM assigned GROUP BY variant, post
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN variant = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+               MAX(CASE WHEN variant = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+               MAX(CASE WHEN variant = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+               MAX(CASE WHEN variant = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre
+        FROM cells
+    )
+    SELECT round(t_pre / 100, 6) AS treat_pre,
+           round(t_post / 100, 6) AS treat_post,
+           round(c_pre / 100, 6) AS control_pre,
+           round(c_post / 100, 6) AS control_post,
+           round(((t_post - t_pre) - (c_post - c_pre)) / 100, 6)
+             AS did_estimate
+    FROM w
+    """,
+    tags=("events", "stats", "analytics"),
+    doc=(
+        "Difference-in-differences estimator: md5-assigned variants x "
+        "pre/post the span midpoint, purchase-value means per cell, "
+        "DiD = (treat_post - treat_pre) - (control_post - "
+        "control_pre) — the parallel-trends causal workhorse when "
+        "randomization isn't clean.  One hash agg to the 2x2 cell "
+        "grain carrying exact integer sums; the four means and the "
+        "estimate evaluate once on identical doubles (null here by "
+        "construction: assignment is orthogonal to time)."
+    ),
+)
+def events_did_estimator(spark, sf_dir):
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    allev = table(spark, sf_dir, "events")
+    mid = allev.agg(
+        F.date_add(
+            F.min(F.col("ts").cast("date")),
+            F.floor(
+                (
+                    F.datediff(
+                        F.max(F.col("ts").cast("date")),
+                        F.min(F.col("ts").cast("date")),
+                    )
+                    + 1
+                )
+                / 2
+            ).cast("int"),
+        ).alias("cutover")
+    )
+    assigned = e.crossJoin(F.broadcast(mid)).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.when(F.col("ts").cast("date") >= F.col("cutover"), 1)
+        .otherwise(0)
+        .alias("post"),
+        cents("value").alias("v_c"),
+    )
+    cells = assigned.groupBy("variant", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_c").cast("long").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    w = cells.agg(
+        F.max(F.when((F.col("variant") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.max(F.when((F.col("variant") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.max(F.when((F.col("variant") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+        F.max(F.when((F.col("variant") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+    )
+    return w.select(
+        F.round(F.col("t_pre") / 100, 6).alias("treat_pre"),
+        F.round(F.col("t_post") / 100, 6).alias("treat_post"),
+        F.round(F.col("c_pre") / 100, 6).alias("control_pre"),
+        F.round(F.col("c_post") / 100, 6).alias("control_post"),
+        F.round(
+            ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")))
+            / 100,
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "events_cuped_variance_reduction",
+    oracle=f"""
+    WITH mid AS (
+        SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE)
+                 + CAST((date_diff('day', MIN(CAST(ts AS DATE)),
+                                   MAX(CAST(ts AS DATE))) + 1) // 2 AS INT)
+                 AS cutover
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) < m.cutover
+                             THEN {cents_sql('value')} ELSE 0 END)
+                    AS HUGEINT) AS x,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) >= m.cutover
+                             THEN {cents_sql('value')} ELSE 0 END)
+                    AS HUGEINT) AS y
+        FROM events CROSS JOIN mid m
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           -- theta = cov/var via the cleared integer moments
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+           round(CAST(n * syy - sy * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / n / 10000, 6) AS var_y,
+           -- var(Y - theta X) = var(Y) - cov^2/var(X), same moments
+           round((CAST(n * syy - sy * sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    * (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)))
+                 / CAST(n AS DOUBLE) / n / 10000, 6) AS var_y_adj,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)))
+                 / CAST(n * syy - sy * sy AS DOUBLE), 6)
+             AS variance_reduction
+    FROM m
+    """,
+    tags=("events", "stats", "analytics"),
+    doc=(
+        "CUPED variance reduction (Deng et al. 2013): pre-period "
+        "purchase spend as the covariate for post-period spend, theta "
+        "= cov(X,Y)/var(X), and the adjusted-metric variance via the "
+        "closed form var(Y') = var(Y) - cov^2/var(X) — the "
+        "experimentation-platform technique that shrinks A/B "
+        "confidence intervals for free.  ONE user-grain agg collects "
+        "exact 128-bit integer moments; theta, both variances, and "
+        "the reduction fraction all evaluate from the same five "
+        "cleared moments on identical doubles — no second data pass."
+    ),
+)
+def events_cuped_variance_reduction(spark, sf_dir):
+    dec = "decimal(38,0)"
+    allev = table(spark, sf_dir, "events")
+    mid = allev.agg(
+        F.date_add(
+            F.min(F.col("ts").cast("date")),
+            F.floor(
+                (
+                    F.datediff(
+                        F.max(F.col("ts").cast("date")),
+                        F.min(F.col("ts").cast("date")),
+                    )
+                    + 1
+                )
+                / 2
+            ).cast("int"),
+        ).alias("cutover")
+    )
+    per_user = (
+        allev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") < F.col("cutover"),
+                    cents("value"),
+                ).otherwise(0)
+            )
+            .cast(dec)
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") >= F.col("cutover"),
+                    cents("value"),
+                ).otherwise(0)
+            )
+            .cast(dec)
+            .alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec).cast("double")
+    varx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec).cast("double")
+    vary = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast(dec).cast("double")
+    nd = n.cast("double")
+    return m.select(
+        n.cast("long").alias("n_users"),
+        F.round(cov / varx, 6).alias("theta"),
+        F.round(vary / nd / nd / 10000, 6).alias("var_y"),
+        F.round((vary - cov * (cov / varx)) / nd / nd / 10000, 6).alias(
+            "var_y_adj"
+        ),
+        F.round(cov * (cov / varx) / vary, 6).alias("variance_reduction"),
+    )
+
+
+@register(
+    "stats_power_sample_size",
+    oracle="""
+    WITH conv AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                         AND value > 90 THEN user_id END)
+                    AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        FROM events
+    ),
+    lifts AS (SELECT * FROM (VALUES (5), (10), (20)) l(lift_pct))
+    SELECT l.lift_pct,
+           round(CAST(c.k AS DOUBLE) / c.n, 6) AS base_rate,
+           -- two-proportion z-test n per arm, alpha=.05 two-sided,
+           -- power=.80: ((z_a*sqrt(2*pb*(1-pb)) +
+           -- z_b*sqrt(p1(1-p1)+p2(1-p2)))/delta)^2, ceil'd
+           CAST(ceil(pow(
+               (1.959964 * sqrt(2 * ((CAST(c.k AS DOUBLE) / c.n)
+                                     * (1 + l.lift_pct / 200.0))
+                                  * (1 - (CAST(c.k AS DOUBLE) / c.n)
+                                         * (1 + l.lift_pct / 200.0)))
+                + 0.841621 * sqrt(
+                      (CAST(c.k AS DOUBLE) / c.n)
+                      * (1 - CAST(c.k AS DOUBLE) / c.n)
+                      + (CAST(c.k AS DOUBLE) / c.n) * (1 + l.lift_pct / 100.0)
+                        * (1 - (CAST(c.k AS DOUBLE) / c.n)
+                               * (1 + l.lift_pct / 100.0))))
+               / ((CAST(c.k AS DOUBLE) / c.n) * (l.lift_pct / 100.0)), 2))
+                AS BIGINT) AS n_per_arm
+    FROM conv c CROSS JOIN lifts l
+    ORDER BY l.lift_pct
+    """,
+    tags=("stats", "analytics"),
+    doc=(
+        "A/B sample-size calculator: users per arm to detect a "
+        "5/10/20% relative lift on the high-value-purchase conversion "
+        "rate at alpha=0.05 (two-sided), power=0.80 — the experiment-"
+        "design step before stats_proportion_ztest runs.  Base rate "
+        "from one exact distinct-user agg; the pooled/unpooled "
+        "two-proportion formula evaluates on identical doubles with "
+        "fixed z constants (1.959964, 0.841621), so the ceil'd "
+        "integers replay exactly."
+    ),
+)
+def stats_power_sample_size(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    conv = e.agg(
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90),
+                F.col("user_id"),
+            )
+        )
+        .cast("long")
+        .alias("k"),
+        F.countDistinct("user_id").cast("long").alias("n"),
+    )
+    lifts = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("lift_pct")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    lift = F.col("lift_pct")
+    pb = p * (1 + lift / 200.0)
+    p2 = p * (1 + lift / 100.0)
+    delta = p * (lift / 100.0)
+    n_arm = F.ceil(
+        F.pow(
+            (
+                1.959964 * F.sqrt(2 * pb * (1 - pb))
+                + 0.841621 * F.sqrt(p * (1 - p) + p2 * (1 - p2))
+            )
+            / delta,
+            F.lit(2),
+        )
+    ).cast("long")
+    return (
+        conv.crossJoin(F.broadcast(lifts))
+        .select(
+            F.col("lift_pct").cast("int").alias("lift_pct"),
+            F.round(p, 6).alias("base_rate"),
+            n_arm.alias("n_per_arm"),
+        )
+        .orderBy("lift_pct")
+    )
