@@ -252,6 +252,20 @@ HEADLINE = [
     "graph_hits_hubs_authorities",
     "mlprep_conformal_intervals",
     "timeseries_holt_linear",
+    "text_textrank_keywords",
+    "mlprep_knn_classifier_eval",
+    "embedding_matryoshka_recall",
+    "dedup_cdc_chunks",
+    "text_zlib_compression_quality",
+    # round-6 twenty-sixth wave: errors-in-variables fit, O(n) jackknife,
+    # MASE forecast backtest, item-item CF, sorted-neighborhood linkage,
+    # Markov removal-effect attribution.
+    "stats_deming_regression",
+    "stats_jackknife_ratio_se",
+    "timeseries_seasonal_naive_mase",
+    "recsys_item_item_jaccard_topk",
+    "linkage_sorted_neighborhood",
+    "events_markov_removal_attribution",
 ]
 
 

@@ -3931,3 +3931,410 @@ def stats_power_sample_size(spark, sf_dir):
         )
         .orderBy("lift_pct")
     )
+
+
+_DEMING_SLOPE_SQL = (
+    "round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) + 4 * cxy * cxy))"
+    " / (2 * cxy), 6)"
+)
+_DEMING_ICEPT_SQL = (
+    "round((s_y - ((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)"
+    " + 4 * cxy * cxy)) / (2 * cxy)) * s_x) / n, 6)"
+)
+
+
+@register(
+    "stats_deming_regression",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS HUGEINT) AS xv,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS yv
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(xv) AS DOUBLE) AS s_x, CAST(SUM(yv) AS DOUBLE) AS s_y,
+               CAST(SUM(xv * xv) AS DOUBLE) AS s_xx,
+               CAST(SUM(yv * yv) AS DOUBLE) AS s_yy,
+               CAST(SUM(xv * yv) AS DOUBLE) AS s_xy
+        FROM q GROUP BY l_returnflag
+    ),
+    cen AS (
+        SELECT l_returnflag, n, s_x, s_y,
+               s_xx - s_x * s_x / n AS cxx,
+               s_yy - s_y * s_y / n AS cyy,
+               s_xy - s_x * s_y / n AS cxy
+        FROM sums
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {_DEMING_SLOPE_SQL} AS slope,
+           {_DEMING_ICEPT_SQL} AS intercept_cents
+    FROM cen ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Deming (errors-in-variables, delta = 1) orthogonal regression "
+        "of price on quantity per returnflag — the fit to use when BOTH "
+        "columns carry measurement noise, where OLS attenuates the "
+        "slope.  Closed form slope = (Syy' - Sxx' + sqrt((Syy' - Sxx')^2 "
+        "+ 4 Sxy'^2)) / (2 Sxy') over CENTERED second moments, all "
+        "derived from the same exact DECIMAL(38) integer sufficient "
+        "statistics as stats_ols_price_on_quantity: one mergeable hash "
+        "agg over 100 TB, then a per-group constant-time double "
+        "evaluation shared verbatim with the oracle (Deming 1943)."
+    ),
+)
+def stats_deming_regression(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    dec = "decimal(19,0)"
+    x = F.round(F.col("l_quantity") * 100).cast(dec)
+    y = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("s_x"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("s_y"),
+        F.sum(x * x).cast("double").alias("s_xx"),
+        F.sum(y * y).cast("double").alias("s_yy"),
+        F.sum(x * y).cast("double").alias("s_xy"),
+    )
+    cen = sums.select(
+        "l_returnflag",
+        "n",
+        "s_x",
+        "s_y",
+        (F.col("s_xx") - F.col("s_x") * F.col("s_x") / F.col("n")).alias("cxx"),
+        (F.col("s_yy") - F.col("s_y") * F.col("s_y") / F.col("n")).alias("cyy"),
+        (F.col("s_xy") - F.col("s_x") * F.col("s_y") / F.col("n")).alias("cxy"),
+    )
+    return cen.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_DEMING_SLOPE_SQL).alias("slope"),
+        F.expr(_DEMING_ICEPT_SQL).alias("intercept_cents"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stats_jackknife_ratio_se",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS xv,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy
+        FROM q GROUP BY l_returnflag
+    ),
+    loo AS (
+        SELECT q.l_returnflag, s.n,
+               CAST(round(CAST(s.sy - q.yv AS DOUBLE)
+                          / CAST(s.sx - q.xv AS DOUBLE) * 1000000)
+                    AS BIGINT) AS t
+        FROM q JOIN sums s ON q.l_returnflag = s.l_returnflag
+    ),
+    acc AS (
+        SELECT l_returnflag, CAST(MAX(n) AS DOUBLE) AS n,
+               CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+               CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS DOUBLE)
+                 AS stt
+        FROM loo GROUP BY l_returnflag
+    ),
+    fin AS (
+        SELECT a.l_returnflag, CAST(a.n AS BIGINT) AS n,
+               round(CAST(s.sy AS DOUBLE) / CAST(s.sx AS DOUBLE), 6)
+                 AS theta,
+               round(sqrt((a.n - 1) / a.n * (a.stt - a.st * a.st / a.n))
+                     / 1000000, 6) AS se_jack
+        FROM acc a JOIN sums s ON a.l_returnflag = s.l_returnflag
+    )
+    SELECT * FROM fin ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Delete-1 jackknife standard error of the ratio estimator "
+        "theta = sum(price) / sum(quantity) per returnflag (Quenouille "
+        "1956; Tukey 1958) — the survey-statistics uncertainty measure "
+        "for ratios, where the naive SE formula is biased.  The n "
+        "leave-one-out replicates never re-aggregate: theta_(i) = "
+        "(Sy - y_i)/(Sx - x_i) is a per-row expression against the "
+        "broadcast group totals, so the full jackknife is TWO hash aggs "
+        "over the fact table (totals, then replicate moments) — the "
+        "O(n^2) textbook resampling collapsed to O(n).  Determinism: "
+        "each replicate quantizes to e6 fixed point BEFORE summation "
+        "(exact DECIMAL accumulation, order-free), the same trick as "
+        "events_markov_stationary; the (sum t)^2 cross term leaves "
+        "integer range and is evaluated in double IDENTICALLY to the "
+        "oracle."
+    ),
+)
+def stats_jackknife_ratio_se(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    q = l.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yv"),
+    )
+    sums = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+    )
+    # 3 groups -> unconditionally broadcastable totals
+    loo = q.join(F.broadcast(sums), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.round(
+            (F.col("sy") - F.col("yv")).cast("double")
+            / (F.col("sx") - F.col("xv")).cast("double")
+            * 1000000
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    acc = loo.groupBy("l_returnflag").agg(
+        F.max("n").cast("double").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sy").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)")).cast("double").alias("st"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("stt"),
+    )
+    return acc.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sy").cast("double") / F.col("sx").cast("double"), 6).alias(
+            "theta"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("n") - 1)
+                / F.col("n")
+                * (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+            )
+            / 1000000,
+            6,
+        ).alias("se_jack"),
+    ).orderBy("l_returnflag")
+
+
+_REMOVAL_ROUNDS = 6
+_REMOVAL_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _removal_oracle() -> str:
+    layers = []
+    prev = "pi0"
+    for r in range(1, _REMOVAL_ROUNDS + 1):
+        layers.append(f"""
+    pi{r} AS MATERIALIZED (
+        SELECT t.chain, t.from_state AS state,
+               CAST(SUM(CAST(round(
+                   CAST(CASE WHEN t.to_state = 'purchase' THEN 1000000000
+                             WHEN t.to_state = 'END' THEN 0
+                             WHEN t.to_state = t.chain THEN 0
+                             ELSE COALESCE(p.v_e9, 0) END AS DOUBLE)
+                   * t.n / t.n_from) AS BIGINT)) AS BIGINT) AS v_e9
+        FROM trans_c t
+        LEFT JOIN {prev} p ON t.chain = p.chain AND t.to_state = p.state
+        GROUP BY 1, 2
+    )""")
+        prev = f"pi{r}"
+    chain_rows = ", ".join(
+        f"('{c}')" for c in ("FULL",) + _REMOVAL_CHANNELS
+    )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM events
+    ),
+    fp AS (
+        SELECT user_id, MIN(pos) AS p1 FROM seq
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    kept AS (
+        SELECT s.user_id, s.event_type, s.pos
+        FROM seq s LEFT JOIN fp ON s.user_id = fp.user_id
+        WHERE fp.p1 IS NULL OR s.pos <= fp.p1
+    ),
+    steps AS (
+        SELECT event_type AS from_state,
+               COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY pos), 'END')
+                 AS to_state
+        FROM kept
+    ),
+    starts AS (
+        SELECT 'START' AS from_state, event_type AS to_state
+        FROM kept WHERE pos = 1
+    ),
+    trans AS MATERIALIZED (
+        SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM steps WHERE from_state <> 'purchase'
+              UNION ALL SELECT * FROM starts)
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM trans GROUP BY 1
+    ),
+    chains AS (SELECT * FROM (VALUES {chain_rows}) c(chain)),
+    trans_c AS MATERIALIZED (
+        SELECT ch.chain, t.from_state, t.to_state, t.n, z.n_from
+        FROM trans t
+        JOIN totals z ON t.from_state = z.from_state
+        CROSS JOIN chains ch
+    ),
+    pi0 AS (
+        SELECT chain, from_state AS state, CAST(0 AS BIGINT) AS v_e9
+        FROM trans_c GROUP BY 1, 2
+    ),
+    {",".join(layers)},
+    v AS (
+        SELECT chain, v_e9 FROM {prev} WHERE state = 'START'
+    ),
+    eff AS (
+        SELECT c.chain AS channel,
+               f.v_e9 AS vf, c.v_e9 AS vr, f.v_e9 - c.v_e9 AS re
+        FROM v c CROSS JOIN (SELECT v_e9 FROM v WHERE chain = 'FULL') f
+        WHERE c.chain <> 'FULL'
+    )
+    SELECT channel,
+           round(CAST(vf AS DOUBLE) / 1e9, 6) AS v_full,
+           round(CAST(vr AS DOUBLE) / 1e9, 6) AS v_removed,
+           round(CAST(re AS DOUBLE) / 1e9, 6) AS removal_effect,
+           round(CAST(re AS DOUBLE)
+                 / (SELECT CAST(SUM(re) AS DOUBLE) FROM eff), 6)
+             AS attribution_share
+    FROM eff ORDER BY channel
+    """
+
+
+@register(
+    "events_markov_removal_attribution",
+    oracle=_removal_oracle(),
+    tags=("events", "stats", "iterative"),
+    doc=(
+        f"Markov removal-effect attribution (Anderl et al. 2016): model "
+        "user paths (truncated at first purchase) as a first-order "
+        "chain with START / absorbing purchase / absorbing END states, "
+        "estimate P(convert) by {r} rounds of value iteration, then "
+        "re-estimate with each channel knocked out (transitions into "
+        "it become failures) — a channel's credit is proportional to "
+        "how much conversion probability vanishes without it, the "
+        "data-driven alternative to last-touch heuristics.  ONE corpus-"
+        "scale window + hash agg builds the transition counts; the "
+        "chain dimension (FULL + {k} removals) rides the SAME k^2-row "
+        "iteration via a 5-way crossJoin of the tiny transition table, "
+        "so all five chains converge in one joint loop.  Determinism: "
+        "e9 fixed-point values quantize per term before exact BIGINT "
+        "sums (the events_markov_stationary trick); oracle unrolls the "
+        "rounds as MATERIALIZED CTEs over a VALUES chain table."
+    ).format(r=_REMOVAL_ROUNDS, k=len(_REMOVAL_CHANNELS)),
+)
+def events_markov_removal_attribution(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("pos")
+    )
+    fp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("p1"))
+    )
+    kept = seq.join(fp, "user_id", "left").filter(
+        F.col("p1").isNull() | (F.col("pos") <= F.col("p1"))
+    )
+    wk = W.partitionBy("user_id").orderBy("pos")
+    steps = kept.select(
+        F.col("event_type").alias("from_state"),
+        F.coalesce(F.lead("event_type").over(wk), F.lit("END")).alias("to_state"),
+    ).filter(F.col("from_state") != "purchase")
+    starts = kept.filter(F.col("pos") == 1).select(
+        F.lit("START").alias("from_state"), F.col("event_type").alias("to_state")
+    )
+    trans = (
+        steps.unionByName(starts)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = trans.groupBy("from_state").agg(F.sum("n").cast("long").alias("n_from"))
+    chains = spark.createDataFrame(
+        [(c,) for c in ("FULL",) + _REMOVAL_CHANNELS], "chain string"
+    )
+    trans_c = (
+        trans.join(F.broadcast(totals), "from_state")
+        .crossJoin(F.broadcast(chains))
+        .localCheckpoint()  # every value-iteration round re-consumes it
+    )
+    pi = trans_c.select(
+        "chain", F.col("from_state").alias("state")
+    ).distinct().withColumn("v_e9", F.lit(0).cast("long"))
+    for _ in range(_REMOVAL_ROUNDS):
+        p = pi.select(
+            F.col("chain").alias("p_chain"),
+            F.col("state").alias("p_state"),
+            "v_e9",
+        )
+        val = (
+            F.when(F.col("to_state") == "purchase", F.lit(1000000000))
+            .when(F.col("to_state") == "END", F.lit(0))
+            .when(F.col("to_state") == F.col("chain"), F.lit(0))
+            .otherwise(F.coalesce(F.col("v_e9"), F.lit(0)))
+        )
+        pi = (
+            trans_c.join(
+                F.broadcast(p),
+                (F.col("chain") == F.col("p_chain"))
+                & (F.col("to_state") == F.col("p_state")),
+                "left",
+            )
+            .select(
+                "chain",
+                F.col("from_state").alias("state"),
+                F.round(val.cast("double") * F.col("n") / F.col("n_from"))
+                .cast("long")
+                .alias("term"),
+            )
+            .groupBy("chain", "state")
+            .agg(F.sum("term").cast("long").alias("v_e9"))
+            .localCheckpoint()
+        )
+    v = pi.filter(F.col("state") == "START").select("chain", "v_e9")
+    full = v.filter(F.col("chain") == "FULL").select(
+        F.col("v_e9").alias("vf")
+    )
+    eff = (
+        v.filter(F.col("chain") != "FULL")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("chain").alias("channel"),
+            "vf",
+            F.col("v_e9").alias("vr"),
+            (F.col("vf") - F.col("v_e9")).alias("re"),
+        )
+    )
+    tot = eff.agg(F.sum("re").cast("double").alias("re_tot"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round(F.col("vf").cast("double") / 1e9, 6).alias("v_full"),
+            F.round(F.col("vr").cast("double") / 1e9, 6).alias("v_removed"),
+            F.round(F.col("re").cast("double") / 1e9, 6).alias("removal_effect"),
+            F.round(F.col("re").cast("double") / F.col("re_tot"), 6).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )

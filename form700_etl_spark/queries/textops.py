@@ -3810,3 +3810,112 @@ def text_textrank_keywords(spark, sf_dir):
         .where(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+_SNM_WINDOW = 3
+_SNM_MIN_JACCARD = 0.4
+
+
+@register(
+    "linkage_sorted_neighborhood",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT p_partkey AS pk, p_name AS name,
+               split_part(p_name, ' ', 1) AS blk,
+               list_distinct(string_split(p_name, ' ')) AS toks
+        FROM part
+    ),
+    slid AS (
+        SELECT pk, name, blk, toks,
+               {", ".join(
+                   f"lead(pk, {j}) OVER w AS pk_{j},"
+                   f" lead(toks, {j}) OVER w AS toks_{j}"
+                   for j in range(1, _SNM_WINDOW + 1)
+               )}
+        FROM keyed
+        WINDOW w AS (PARTITION BY blk ORDER BY name, pk)
+    ),
+    pairs AS (
+        {" UNION ALL ".join(
+            f'''SELECT pk AS p1, pk_{j} AS p2,
+               CAST(len(list_intersect(toks, toks_{j})) AS BIGINT) AS inter,
+               CAST(len(toks) + len(toks_{j})
+                    - len(list_intersect(toks, toks_{j})) AS BIGINT) AS uni
+            FROM slid WHERE pk_{j} IS NOT NULL'''
+            for j in range(1, _SNM_WINDOW + 1)
+        )}
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2, inter, uni,
+           round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= {_SNM_MIN_JACCARD}
+    ORDER BY p1, p2
+    """,
+    tags=("fuzzy", "linkage", "window"),
+    doc=(
+        "Sorted-neighborhood record-linkage blocking (Hernandez & "
+        "Stolfo 1995): sort records by a key, compare each record only "
+        "to its next w = {w} neighbors, score candidate pairs by "
+        "distinct-token Jaccard, keep >= {thr}.  The scale-safe Spark "
+        "variant partitions the sort by a block prefix (first name "
+        "token) so the sliding window parallelizes per block instead "
+        "of funneling the corpus through one globally-sorted task — "
+        "the standard 'sorted blocks' refinement; cross-block boundary "
+        "pairs are the documented recall tradeoff (multi-pass with a "
+        "second key is the production answer).  Candidates come from "
+        "w lead() columns — zero self-join — so pair count is exactly "
+        "w * n, and the per-pair Jaccard is a per-row expression "
+        "shared verbatim with the oracle."
+    ).format(w=_SNM_WINDOW, thr=_SNM_MIN_JACCARD),
+)
+def linkage_sorted_neighborhood(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    keyed = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.split("p_name", " ")[0].alias("blk"),
+        F.array_distinct(F.split("p_name", " ")).alias("toks"),
+    )
+    w = W.partitionBy("blk").orderBy("name", "pk")
+    slid = keyed.select(
+        "pk",
+        "toks",
+        *[
+            c
+            for j in range(1, _SNM_WINDOW + 1)
+            for c in (
+                F.lead("pk", j).over(w).alias(f"pk_{j}"),
+                F.lead("toks", j).over(w).alias(f"toks_{j}"),
+            )
+        ],
+    )
+    parts = []
+    for j in range(1, _SNM_WINDOW + 1):
+        inter = F.size(F.array_intersect("toks", f"toks_{j}")).cast("long")
+        uni = (
+            F.size("toks") + F.size(f"toks_{j}")
+            - F.size(F.array_intersect("toks", f"toks_{j}"))
+        ).cast("long")
+        parts.append(
+            slid.filter(F.col(f"pk_{j}").isNotNull()).select(
+                F.col("pk").cast("long").alias("p1"),
+                F.col(f"pk_{j}").cast("long").alias("p2"),
+                inter.alias("inter"),
+                uni.alias("uni"),
+            )
+        )
+    pairs = parts[0]
+    for extra in parts[1:]:
+        pairs = pairs.unionByName(extra)
+    jac = F.col("inter").cast("double") / F.col("uni").cast("double")
+    return (
+        pairs.filter(jac >= _SNM_MIN_JACCARD)
+        .select(
+            "p1",
+            "p2",
+            "inter",
+            "uni",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("p1", "p2")
+    )

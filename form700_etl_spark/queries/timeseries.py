@@ -1339,3 +1339,83 @@ def timeseries_holt_linear(spark, sf_dir):
         F.round(F.col("b") / 100.0, 4).alias("trend"),
     )
     return fit_rows.unionByName(fc_rows).orderBy("day", "kind")
+
+
+@register(
+    "timeseries_seasonal_naive_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM({cents_sql("value")}) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, c,
+               lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS c_s,
+               lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS c_1
+        FROM daily
+    ),
+    ev AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(ABS(c - c_s)) AS BIGINT) AS sae_seasonal,
+               CAST(SUM(ABS(c - c_1)) AS BIGINT) AS sae_naive
+        FROM lagged WHERE c_s IS NOT NULL AND c_1 IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_eval,
+           round(CAST(sae_seasonal AS DOUBLE) / n_eval / 100.0, 4)
+             AS mae_seasonal,
+           round(CAST(sae_naive AS DOUBLE) / n_eval / 100.0, 4) AS mae_naive1,
+           round(CAST(sae_seasonal AS DOUBLE) / CAST(sae_naive AS DOUBLE), 6)
+             AS mase
+    FROM ev ORDER BY event_type
+    """,
+    tags=("time", "window", "stats"),
+    doc=(
+        "Seasonal-naive (t-7) forecast backtest scored by MASE "
+        "(Hyndman & Koehler 2006): per event type, forecast each day's "
+        "value with the same weekday last week and scale its MAE by the "
+        "one-step naive MAE — the standard scale-free baseline every "
+        "production forecast must beat before shipping.  The corpus-"
+        "scale work is ONE day-grain hash agg (exact integer cents); "
+        "both lag windows then run over the tiny per-type daily series "
+        "(rows = days, not events), so the plan is agg-then-window like "
+        "timeseries_locf_gapfill and the absolute-error sums stay exact "
+        "BIGINT end to end — MASE's numerator and denominator are "
+        "integer-exact, with one double division per type at the end."
+    ),
+)
+def timeseries_seasonal_naive_mase(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents("value")).cast("long").alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "c",
+        F.lag("c", 7).over(w).alias("c_s"),
+        F.lag("c", 1).over(w).alias("c_1"),
+    )
+    ev = (
+        lagged.filter(F.col("c_s").isNotNull() & F.col("c_1").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.abs(F.col("c") - F.col("c_s"))).cast("long").alias("sae_seasonal"),
+            F.sum(F.abs(F.col("c") - F.col("c_1"))).cast("long").alias("sae_naive"),
+        )
+    )
+    return ev.select(
+        "event_type",
+        "n_eval",
+        F.round(F.col("sae_seasonal").cast("double") / F.col("n_eval") / 100.0, 4).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.col("sae_naive").cast("double") / F.col("n_eval") / 100.0, 4).alias(
+            "mae_naive1"
+        ),
+        F.round(
+            F.col("sae_seasonal").cast("double") / F.col("sae_naive").cast("double"), 6
+        ).alias("mase"),
+    ).orderBy("event_type")

@@ -58,6 +58,7 @@ def _load_all() -> None:
         mlprep,
         multimodal,
         pipeline_ops,
+        recsys,
         refparity,
         relational,
         scale,
