@@ -4338,3 +4338,93 @@ def events_markov_removal_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "stats_hodges_lehmann_shift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                    THEN 1 ELSE 0 END AS is_weekend,
+               CAST(SUM({cents_sql('value')}) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    x AS (SELECT c FROM daily WHERE is_weekend = 0),
+    y AS (SELECT c FROM daily WHERE is_weekend = 1),
+    diffs AS (
+        SELECT y.c - x.c AS d,
+               row_number() OVER (ORDER BY y.c - x.c) AS r,
+               COUNT(*) OVER () AS np
+        FROM x CROSS JOIN y
+    ),
+    mid AS (
+        SELECT CAST(SUM(d) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(np) AS BIGINT) AS np
+        FROM diffs WHERE r IN ((np + 1) // 2, (np + 2) // 2)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_weekday,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS n_weekend,
+           np AS n_pairs,
+           round(CAST(s AS DOUBLE) / k / 100.0, 4) AS hl_shift
+    FROM mid
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Hodges-Lehmann shift estimator (1963) of the weekend effect "
+        "on daily purchase revenue: the median of ALL pairwise "
+        "differences (weekend day total - weekday day total) — the "
+        "location estimator dual to the Mann-Whitney test, robust "
+        "where the difference-of-means is not.  The O(n*m) pair "
+        "enumeration runs at DAY grain (the timeseries_theil_sen_slope "
+        "pattern): ONE corpus-scale hash agg reduces events to ~n_days "
+        "exact BIGINT rows, and the cross join + order-statistic "
+        "median touch only n_x * n_y bounded pairs.  The median picks "
+        "the middle one/two integer differences by row_number — exact "
+        "selection, with the even-count average at worst one half-cent "
+        "(exact in double)."
+    ),
+)
+def stats_hodges_lehmann_shift(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).cast("long").alias("c"))
+        .select(
+            "c",
+            F.dayofweek("day").isin(1, 7).cast("int").alias("is_weekend"),
+        )
+        .localCheckpoint()  # day-grain; feeds x, y, and the counts
+    )
+    x = daily.filter(F.col("is_weekend") == 0).select(F.col("c").alias("cx"))
+    y = daily.filter(F.col("is_weekend") == 1).select(F.col("c").alias("cy"))
+    diffs = (
+        x.crossJoin(y)
+        .select((F.col("cy") - F.col("cx")).alias("d"))
+        .withColumn("r", F.row_number().over(W.orderBy("d")))
+        .withColumn("np", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    # middle one/two ranks: (np+1)//2 and (np+2)//2
+    mid = diffs.filter(
+        (F.col("r") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("np") + 2) / 2))
+    ).agg(
+        F.sum("d").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("np").cast("long").alias("np"),
+    )
+    nx = x.agg(F.count(F.lit(1)).cast("long").alias("n_weekday"))
+    ny = y.agg(F.count(F.lit(1)).cast("long").alias("n_weekend"))
+    return (
+        nx.crossJoin(ny)
+        .crossJoin(mid)
+        .select(
+            "n_weekday",
+            "n_weekend",
+            F.col("np").alias("n_pairs"),
+            F.round(
+                F.col("s").cast("double") / F.col("k") / 100.0, 4
+            ).alias("hl_shift"),
+        )
+    )

@@ -1481,3 +1481,267 @@ def mlprep_calibration_brier(spark, sf_dir):
         )
         .orderBy("hr")
     )
+
+
+# md5-derived 16-bit uniform for the (orderkey, linenumber) row key —
+# the split_kfold_assignment hash rule applied to the fact grain.
+_LKEY = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
+_LH4 = (
+    f"((strpos('0123456789abcdef', substr(md5({_LKEY}), 1, 1)) - 1) * 4096"
+    f" + (strpos('0123456789abcdef', substr(md5({_LKEY}), 2, 1)) - 1) * 256"
+    f" + (strpos('0123456789abcdef', substr(md5({_LKEY}), 3, 1)) - 1) * 16"
+    f" + (strpos('0123456789abcdef', substr(md5({_LKEY}), 4, 1)) - 1))"
+)
+
+
+@register(
+    "feature_target_encode_oof",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand,
+               CAST({_LH4} % 5 AS INT) AS fold,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    cells AS (
+        SELECT p_brand, fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rev_e4 AS HUGEINT)) AS DOUBLE) AS s
+        FROM rev GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT p_brand, fold, n, s,
+               SUM(n) OVER (PARTITION BY p_brand) AS bn,
+               SUM(s) OVER (PARTITION BY p_brand) AS bs
+        FROM cells
+    ),
+    prior AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS big_n, SUM(s) AS big_s FROM cells
+    )
+    SELECT p_brand, fold, CAST(bn - n AS BIGINT) AS n_oof,
+           round(((bs - s + {_TENC_M} * (big_s / big_n))
+                  / (CAST(bn - n AS DOUBLE) + {_TENC_M})) / 10000, 6)
+             AS target_enc_oof
+    FROM tot CROSS JOIN prior
+    ORDER BY p_brand, fold
+    """,
+    tags=("mlprep", "agg", "splits"),
+    doc=(
+        "K-fold out-of-fold target encoding (the leakage-free variant "
+        "of feature_target_encode_smoothed): a row in fold f is encoded "
+        "by the smoothed revenue mean of its brand computed WITHOUT "
+        "fold f — enc_f = (S_b - S_bf + m*prior)/(n_b - n_bf + m) — so "
+        "no training row ever sees its own target, the encoding every "
+        "gradient-boosting pipeline actually ships.  Folds come from "
+        "the same retry-stable md5 row hash as split_kfold_assignment "
+        "(scan-side, partitioning-independent).  ONE fact-scan hash agg "
+        "builds the (brand, fold) cells; brand totals are a window over "
+        "the 125-row cell table, never a second scan; revenue "
+        "accumulates as exact integer e4 units in 128-bit sums and the "
+        "blend runs on identical doubles in both engines."
+    ),
+)
+def feature_target_encode_oof(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    h = F.md5((F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"))
+    u16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = l.join(p, l.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (u16 % 5).cast("int").alias("fold"),
+        (pc * (100 - dc)).alias("rev_e4"),
+    )
+    cells = (
+        rev.groupBy("p_brand", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rev_e4").cast("decimal(38,0)")).cast("double").alias("s"),
+        )
+        .localCheckpoint()  # feeds the brand window AND the global prior
+    )
+    wb = W.partitionBy("p_brand")
+    tot = cells.select(
+        "p_brand",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(wb).alias("bn"),
+        F.sum("s").over(wb).alias("bs"),
+    )
+    prior = cells.agg(
+        F.sum("n").cast("double").alias("big_n"), F.sum("s").alias("big_s")
+    )
+    m = float(_TENC_M)
+    return (
+        tot.crossJoin(F.broadcast(prior))
+        .select(
+            "p_brand",
+            "fold",
+            (F.col("bn") - F.col("n")).cast("long").alias("n_oof"),
+            F.round(
+                (
+                    (F.col("bs") - F.col("s") + m * (F.col("big_s") / F.col("big_n")))
+                    / ((F.col("bn") - F.col("n")).cast("double") + m)
+                )
+                / 10000,
+                6,
+            ).alias("target_enc_oof"),
+        )
+        .orderBy("p_brand", "fold")
+    )
+
+
+@register(
+    "mlprep_isotonic_calibration",
+    oracle="""
+    WITH split AS (
+        SELECT CAST(strftime(ts, '%H') AS BIGINT) AS hr,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))::BIGINT
+                 % 2 AS fold
+        FROM events
+    ),
+    train AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(y) AS BIGINT) AS k1
+        FROM split WHERE fold = 0 GROUP BY hr
+    ),
+    test AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(y) AS BIGINT) AS k_t
+        FROM split WHERE fold = 1 GROUP BY hr
+    ),
+    pos AS (
+        SELECT t.hr, tr.n1, tr.k1, t.n_t, t.k_t,
+               row_number() OVER (
+                   ORDER BY CAST(tr.k1 AS DOUBLE) / tr.n1, t.hr
+               ) AS r
+        FROM test t JOIN train tr ON tr.hr = t.hr
+    ),
+    pre AS (
+        SELECT hr, n1, k1, n_t, k_t, r,
+               SUM(n_t) OVER (ORDER BY r) AS cn,
+               SUM(k_t) OVER (ORDER BY r) AS ck
+        FROM pos
+    ),
+    iv AS (
+        SELECT a.r AS i, b.r AS j,
+               CAST(b.ck - COALESCE(a2.ck, 0) AS DOUBLE)
+                 / CAST(b.cn - COALESCE(a2.cn, 0) AS DOUBLE) AS avg_ij
+        FROM pre a
+        JOIN pre b ON a.r <= b.r
+        LEFT JOIN pre a2 ON a2.r = a.r - 1
+    ),
+    inner_min AS (
+        SELECT p.r, v.i, MIN(v.avg_ij) AS m
+        FROM pre p JOIN iv v ON v.i <= p.r AND v.j >= p.r
+        GROUP BY p.r, v.i
+    ),
+    fit AS (
+        SELECT r, MAX(m) AS iso FROM inner_min GROUP BY r
+    )
+    SELECT p.hr, p.n_t AS n_test,
+           round(CAST(p.k1 AS DOUBLE) / p.n1, 6) AS rate_pred,
+           round(CAST(p.k_t AS DOUBLE) / p.n_t, 6) AS rate_obs,
+           round(f.iso, 6) AS rate_isotonic
+    FROM pre p JOIN fit f ON p.r = f.r
+    ORDER BY p.hr
+    """,
+    tags=("mlprep", "stats"),
+    doc=(
+        "Isotonic (PAVA) calibration of the mlprep_calibration_brier "
+        "probabilities: held-out per-hour conversion rates, re-ordered "
+        "by the train-fold prediction, are replaced by the best "
+        "monotone non-decreasing fit — the standard post-hoc "
+        "calibrator when Platt's sigmoid is too rigid (Zadrozny & "
+        "Elkan 2002).  Instead of the sequential pool-adjacent-"
+        "violators walk, the fit uses the minimax identity iso(p) = "
+        "max_{{i<=p}} min_{{j>=p}} avg(i..j) (Ayer et al. 1955) over "
+        "weighted interval averages from prefix sums — pure joins and "
+        "aggs on the 24-point CALIBRATION GRAIN, so the corpus-scale "
+        "work is exactly the one events hash agg and the O(k^3) "
+        "enumeration touches 24^3 tiny rows.  Interval averages are "
+        "ratios of exact BIGINT sums evaluated identically in both "
+        "engines."
+    ),
+)
+def mlprep_isotonic_calibration(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    split = e.select(
+        F.hour("ts").cast("long").alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("fold"),
+    )
+    train = (
+        split.filter(F.col("fold") == 0)
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum("y").cast("long").alias("k1"),
+        )
+    )
+    test = (
+        split.filter(F.col("fold") == 1)
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_t"),
+            F.sum("y").cast("long").alias("k_t"),
+        )
+    )
+    pos = train.join(test, "hr").withColumn(
+        "r",
+        F.row_number().over(
+            W.orderBy(F.col("k1").cast("double") / F.col("n1"), "hr")
+        ),
+    )
+    # 24-row calibration grain from here down; the single-partition
+    # windows and the O(k^3) interval enumeration never touch the corpus.
+    pre = pos.select(
+        "hr",
+        "n1",
+        "k1",
+        "n_t",
+        "k_t",
+        "r",
+        F.sum("n_t").over(W.orderBy("r")).alias("cn"),
+        F.sum("k_t").over(W.orderBy("r")).alias("ck"),
+    ).localCheckpoint()
+    a = pre.select(F.col("r").alias("i"), F.col("cn").alias("cn_i"), F.col("ck").alias("ck_i"))
+    a2 = pre.select((F.col("r") + 1).alias("i"), F.col("cn").alias("cn_p"), F.col("ck").alias("ck_p"))
+    b = pre.select(F.col("r").alias("j"), F.col("cn").alias("cn_j"), F.col("ck").alias("ck_j"))
+    iv = (
+        a.join(b, F.col("i") <= F.col("j"))
+        .join(a2.withColumnRenamed("i", "i2"), F.col("i2") == F.col("i"), "left")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("ck_j") - F.coalesce(F.col("ck_p"), F.lit(0))).cast("double")
+                / (F.col("cn_j") - F.coalesce(F.col("cn_p"), F.lit(0))).cast("double")
+            ).alias("avg_ij"),
+        )
+    )
+    p = pre.select(F.col("r").alias("rp"))
+    inner_min = (
+        p.join(iv, (F.col("i") <= F.col("rp")) & (F.col("j") >= F.col("rp")))
+        .groupBy("rp", "i")
+        .agg(F.min("avg_ij").alias("m"))
+    )
+    fit = inner_min.groupBy("rp").agg(F.max("m").alias("iso"))
+    return (
+        pre.join(fit, pre.r == fit.rp)
+        .select(
+            "hr",
+            F.col("n_t").alias("n_test"),
+            F.round(F.col("k1").cast("double") / F.col("n1"), 6).alias("rate_pred"),
+            F.round(F.col("k_t").cast("double") / F.col("n_t"), 6).alias("rate_obs"),
+            F.round("iso", 6).alias("rate_isotonic"),
+        )
+        .orderBy("hr")
+    )

@@ -1844,7 +1844,8 @@ def graph_local_clustering_coeff(spark, sf_dir):
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_layers() -> tuple[str, str]:
+    """Unrolled synchronous-LPA CTE layers; returns (sql, final_name)."""
     layers = []
     prev = "l0"
     for r in range(1, _LPA_ROUNDS + 1):
@@ -1861,7 +1862,11 @@ def _lpa_oracle() -> str:
     )"""
         )
         prev = f"l{r}"
-    layers_sql = ",".join(layers)
+    return ",".join(layers), prev
+
+
+def _lpa_oracle() -> str:
+    layers_sql, prev = _lpa_layers()
     return f"""
     WITH {_STABLE_CO_SQL},
     l0 AS MATERIALIZED (SELECT DISTINCT w, w AS label FROM adj),
@@ -1872,6 +1877,29 @@ def _lpa_oracle() -> str:
     GROUP BY label HAVING COUNT(*) >= 2
     ORDER BY community
     """
+
+
+def _lpa_labels(spark, sf_dir):
+    """Run the synchronous LPA rounds; returns (co, adj, labels)."""
+    co, adj = _stable_co_edges(spark, sf_dir)
+    adj = adj.localCheckpoint()
+    labels = adj.select("w").distinct().select("w", F.col("w").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            adj.join(
+                labels.select(F.col("w").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("w", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wv = W.partitionBy("w").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("w", "label")
+            .localCheckpoint()
+        )
+    return co, adj, labels
 
 
 @register(
@@ -1896,24 +1924,7 @@ def _lpa_oracle() -> str:
     ),
 )
 def graph_label_propagation(spark, sf_dir):
-    _, adj = _stable_co_edges(spark, sf_dir)
-    adj = adj.localCheckpoint()
-    labels = adj.select("w").distinct().select("w", F.col("w").alias("label"))
-    for _ in range(_LPA_ROUNDS):
-        counted = (
-            adj.join(
-                labels.select(F.col("w").alias("nbr"), "label"), "nbr"
-            )
-            .groupBy("w", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        wv = W.partitionBy("w").orderBy(F.col("c").desc(), F.col("label"))
-        labels = (
-            counted.withColumn("rk", F.row_number().over(wv))
-            .filter(F.col("rk") == 1)
-            .select("w", "label")
-            .localCheckpoint()
-        )
+    _, _, labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
@@ -2280,3 +2291,100 @@ def hilbert_key_events(spark, sf_dir):
         .cast("long")
         .alias("hkey"),
     ).orderBy("event_id")
+
+
+def _modularity_oracle() -> str:
+    layers_sql, prev = _lpa_layers()
+    return f"""
+    WITH {_STABLE_CO_SQL},
+    l0 AS MATERIALIZED (SELECT DISTINCT w, w AS label FROM adj),
+    {layers_sql},
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM co),
+    ein AS (
+        SELECT lu.label AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM co
+        JOIN {prev} lu ON co.u = lu.w
+        JOIN {prev} lv ON co.v = lv.w
+        WHERE lu.label = lv.label
+        GROUP BY 1
+    ),
+    dc AS (
+        SELECT p.label AS community, CAST(SUM(deg.d) AS BIGINT) AS d_tot,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM {prev} p JOIN deg ON p.w = deg.w
+        GROUP BY 1
+    )
+    SELECT CAST(dc.community AS BIGINT) AS community, dc.size,
+           CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, dc.d_tot,
+           round(CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / mm.m
+                 - (CAST(dc.d_tot AS DOUBLE) / (2.0 * mm.m))
+                   * (CAST(dc.d_tot AS DOUBLE) / (2.0 * mm.m)), 6)
+             AS q_contrib
+    FROM dc LEFT JOIN ein ON dc.community = ein.community
+    CROSS JOIN mm
+    WHERE dc.size >= 2
+    ORDER BY community
+    """
+
+
+@register(
+    "graph_modularity_lpa",
+    oracle=_modularity_oracle(),
+    tags=("graph", "scale", "iterative"),
+    doc=(
+        "Newman-Girvan modularity decomposition of the "
+        "graph_label_propagation communities: per community, Q_c = "
+        "e_in/m - (d_c/2m)^2 — the quality score that says whether LPA "
+        "found real density or noise (sum over ALL communities is the "
+        "global Q; the >= 2-member rows reported here carry the "
+        "structure).  Reuses the same {r}-round synchronous LPA loop "
+        "(shared _lpa_labels helper, so engine and oracle replay "
+        "identical label tables), then THREE hash aggs on graph grain: "
+        "within-community edges via two label joins on the u < v edge "
+        "list, community degree mass, one edge count — no new corpus "
+        "scan, everything downstream of the checkpointed adjacency.  "
+        "All masses are exact BIGINTs; the Q terms divide once in "
+        "double, identically to the oracle (Newman 2004)."
+    ).format(r=_LPA_ROUNDS),
+)
+def graph_modularity_lpa(spark, sf_dir):
+    co, adj, labels = _lpa_labels(spark, sf_dir)
+    labels = labels.localCheckpoint()  # consumed by three aggregates
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    m = co.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lu = labels.select(F.col("w").alias("u"), F.col("label").alias("lab_u"))
+    lv = labels.select(F.col("w").alias("v"), F.col("label").alias("lab_v"))
+    ein = (
+        co.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    dc = (
+        labels.join(deg, "w")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.sum("d").cast("long").alias("d_tot"),
+            F.count(F.lit(1)).cast("long").alias("size"),
+        )
+    )
+    half = F.col("d_tot").cast("double") / (2.0 * F.col("m"))
+    return (
+        dc.join(ein, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("size") >= 2)
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "size",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            "d_tot",
+            F.round(
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / F.col("m")
+                - half * half,
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
