@@ -4428,3 +4428,131 @@ def stats_hodges_lehmann_shift(spark, sf_dir):
             ).alias("hl_shift"),
         )
     )
+
+
+_PERM_B = 200  # sign-flip replicates (deterministic md5 stream)
+
+
+@register(
+    "stats_signflip_permutation_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN CAST(strftime(ts, '%H') AS INT) < 12
+                             THEN {cents_sql('value')} ELSE 0 END) AS BIGINT)
+               - CAST(SUM(CASE WHEN CAST(strftime(ts, '%H') AS INT) >= 12
+                               THEN {cents_sql('value')} ELSE 0 END) AS BIGINT)
+                 AS d
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    obs AS (
+        SELECT CAST(abs(SUM(d)) AS BIGINT) AS t_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily
+    ),
+    flips AS (
+        SELECT b.b,
+               CAST(abs(SUM(CASE WHEN substr(md5(b.b || '_' ||
+                                             strftime(day, '%Y-%m-%d')), 1, 1)
+                                      < '8'
+                                 THEN d ELSE -d END)) AS BIGINT) AS t_b
+        FROM daily CROSS JOIN (
+            SELECT CAST(x AS VARCHAR) AS b FROM unnest(range(1, {_PERM_B} + 1)) AS t(x)
+        ) b
+        GROUP BY 1
+    )
+    SELECT obs.n_days, round(obs.t_obs / 100.0, 2) AS t_obs_dollars,
+           round((1.0 + SUM(CASE WHEN flips.t_b >= obs.t_obs
+                                 THEN 1 ELSE 0 END))
+                 / ({_PERM_B} + 1.0), 6) AS p_value
+    FROM flips CROSS JOIN obs
+    GROUP BY obs.n_days, obs.t_obs
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "Paired sign-flip (Fisher randomization) test of the morning-vs-"
+        "evening purchase-revenue effect: under H0 the per-day difference "
+        "d_i is symmetric around 0, so each of the "
+        f"{_PERM_B} replicates re-signs every day and compares "
+        "|sum s_i*d_i| to the observed |sum d_i|; p = (1 + #exceed)/(B+1) "
+        "(Ernst 2004).  The Monte Carlo stream is md5(b||'_'||day) — the "
+        "same deterministic hash-randomness rule as every split/sample "
+        "operator, so the replicate signs are identical in Spark and "
+        "DuckDB regardless of partitioning or row order.  Scale shape: "
+        "ONE corpus hash agg to day grain, then an n_days x B explode of "
+        "exact BIGINT cents (bounded replicate grain, embarrassingly "
+        "parallel), never a corpus-scale shuffle per replicate."
+    ),
+)
+def stats_signflip_permutation_test(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    pc = cents("value")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.when(F.hour("ts") < 12, pc).otherwise(F.lit(0)))
+                - F.sum(F.when(F.hour("ts") >= 12, pc).otherwise(F.lit(0)))
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .localCheckpoint()  # day grain; feeds obs AND the replicate explode
+    )
+    obs = daily.agg(
+        F.abs(F.sum("d")).cast("long").alias("t_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    flips = (
+        daily.select(
+            "day",
+            "d",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.abs(
+                F.sum(
+                    F.when(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    F.col("b").cast("string"),
+                                    F.date_format("day", "yyyy-MM-dd"),
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                        < "8",
+                        F.col("d"),
+                    ).otherwise(-F.col("d"))
+                )
+            )
+            .cast("long")
+            .alias("t_b")
+        )
+    )
+    return (
+        flips.crossJoin(F.broadcast(obs))
+        .groupBy("n_days", "t_obs")
+        .agg(
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)
+                    )
+                )
+                / (_PERM_B + 1.0),
+                6,
+            ).alias("p_value")
+        )
+        .select(
+            "n_days",
+            F.round(F.col("t_obs") / 100.0, 2).alias("t_obs_dollars"),
+            "p_value",
+        )
+    )

@@ -1419,3 +1419,110 @@ def timeseries_seasonal_naive_mase(spark, sf_dir):
             F.col("sae_seasonal").cast("double") / F.col("sae_naive").cast("double"), 6
         ).alias("mase"),
     ).orderBy("event_type")
+
+
+@register(
+    "timeseries_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        -- doubled midrank: 2*mid = 2*min_rank + ties - 1, exact BIGINT
+        SELECT day, rev_c,
+               2 * rank() OVER (ORDER BY rev_c)
+                 + COUNT(*) OVER (PARTITION BY rev_c) - 1 AS r2,
+               row_number() OVER (ORDER BY day) AS t,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    walked AS (
+        -- U_t = sum_(j>t) (2*r_j - (n+1)): suffix sum of centered
+        -- doubled midranks, evaluated as total - running prefix
+        SELECT day, t, n,
+               (SUM(r2) OVER () - SUM(r2) OVER (ORDER BY t))
+                 - (n - t) * (n + 1) AS u_t
+        FROM ranked
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+           n AS n_days,
+           CAST(abs(u_t) AS BIGINT) AS k_stat,
+           round(2 * exp(-6.0 * CAST(u_t AS DOUBLE) * u_t
+                         / (CAST(n AS DOUBLE) * n * n
+                            + CAST(n AS DOUBLE) * n)), 6) AS p_approx
+    FROM walked
+    WHERE t < n
+    ORDER BY abs(u_t) DESC, day
+    LIMIT 1
+    """,
+    tags=("timeseries", "stats", "window"),
+    doc=(
+        "Pettitt changepoint test (1979) on daily order revenue: the "
+        "rank-based (distribution-free) counterpart to the CUSUM "
+        "detector — K = max_t |U_t| with U_t the Mann-Whitney statistic "
+        "of the {{1..t}} vs {{t+1..n}} split, p ~= 2*exp(-6K^2/(n^3+n^2)). "
+        "The naive U_t is an O(n^2) sign double-sum; the antisymmetry "
+        "identity U_t = sum_(j>t) (2*r_j - (n+1)) (doubled midranks, so "
+        "every intermediate is an exact BIGINT even under ties) reduces "
+        "it to ONE rank window plus ONE suffix sum over the day spine. "
+        "Day-grain agg first — the corpus-scale work is a single hash "
+        "agg, and the ordered windows touch only ~n_days rows, the same "
+        "scale shape as timeseries_cusum_changepoint."
+    ),
+)
+def timeseries_pettitt_changepoint(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
+    )
+    ranked = daily.select(
+        "day",
+        (
+            2 * F.rank().over(W.orderBy("rev_c"))
+            + F.count(F.lit(1)).over(W.partitionBy("rev_c"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+    ).select(
+        "day",
+        "r2",
+        F.row_number().over(W.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("n"),
+    )
+    wp = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walked = ranked.select(
+        "day",
+        "t",
+        "n",
+        (
+            (F.sum("r2").over(W.partitionBy()) - F.sum("r2").over(wp))
+            - (F.col("n") - F.col("t")) * (F.col("n") + 1)
+        ).alias("u_t"),
+    )
+    return (
+        walked.filter(F.col("t") < F.col("n"))
+        .orderBy(F.abs(F.col("u_t")).desc(), "day")
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.col("n").alias("n_days"),
+            F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+            F.round(
+                2.0
+                * F.exp(
+                    -6.0
+                    * F.col("u_t").cast("double")
+                    * F.col("u_t")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        + F.col("n").cast("double") * F.col("n")
+                    )
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+    )
