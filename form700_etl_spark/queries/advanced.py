@@ -4430,7 +4430,7 @@ def stats_hodges_lehmann_shift(spark, sf_dir):
     )
 
 
-_PERM_B = 200  # sign-flip replicates (deterministic md5 stream)
+_SIGNFLIP_B = 200  # sign-flip replicates (deterministic md5 stream)
 
 
 @register(
@@ -4457,14 +4457,14 @@ _PERM_B = 200  # sign-flip replicates (deterministic md5 stream)
                                       < '8'
                                  THEN d ELSE -d END)) AS BIGINT) AS t_b
         FROM daily CROSS JOIN (
-            SELECT CAST(x AS VARCHAR) AS b FROM unnest(range(1, {_PERM_B} + 1)) AS t(x)
+            SELECT CAST(x AS VARCHAR) AS b FROM unnest(range(1, {_SIGNFLIP_B} + 1)) AS t(x)
         ) b
         GROUP BY 1
     )
     SELECT obs.n_days, round(obs.t_obs / 100.0, 2) AS t_obs_dollars,
            round((1.0 + SUM(CASE WHEN flips.t_b >= obs.t_obs
                                  THEN 1 ELSE 0 END))
-                 / ({_PERM_B} + 1.0), 6) AS p_value
+                 / ({_SIGNFLIP_B} + 1.0), 6) AS p_value
     FROM flips CROSS JOIN obs
     GROUP BY obs.n_days, obs.t_obs
     """,
@@ -4473,7 +4473,7 @@ _PERM_B = 200  # sign-flip replicates (deterministic md5 stream)
         "Paired sign-flip (Fisher randomization) test of the morning-vs-"
         "evening purchase-revenue effect: under H0 the per-day difference "
         "d_i is symmetric around 0, so each of the "
-        f"{_PERM_B} replicates re-signs every day and compares "
+        f"{_SIGNFLIP_B} replicates re-signs every day and compares "
         "|sum s_i*d_i| to the observed |sum d_i|; p = (1 + #exceed)/(B+1) "
         "(Ernst 2004).  The Monte Carlo stream is md5(b||'_'||day) — the "
         "same deterministic hash-randomness rule as every split/sample "
@@ -4508,7 +4508,7 @@ def stats_signflip_permutation_test(spark, sf_dir):
         daily.select(
             "day",
             "d",
-            F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+            F.explode(F.sequence(F.lit(1), F.lit(_SIGNFLIP_B))).alias("b"),
         )
         .groupBy("b")
         .agg(
@@ -4546,7 +4546,7 @@ def stats_signflip_permutation_test(spark, sf_dir):
                         F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)
                     )
                 )
-                / (_PERM_B + 1.0),
+                / (_SIGNFLIP_B + 1.0),
                 6,
             ).alias("p_value")
         )

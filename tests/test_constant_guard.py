@@ -1,0 +1,65 @@
+"""Guard against the late-binding constant clobber class of bug.
+
+Round-6 regression (VERDICT r6 "What's wrong" #1): a second module-level
+``_PERM_B = 200`` in queries/advanced.py silently rebound the ``_PERM_B = 64``
+that an earlier query's *body* read at call time, while that query's DuckDB
+oracle f-string had frozen 64 at import — Spark ran 200 permutation replicates
+against an oracle expecting 64.
+
+This test makes the bug class impossible to re-introduce: every module-level
+UPPER_SNAKE constant in each ``form700_etl_spark/queries/*.py`` module must be
+assigned exactly once at module scope.  (Function-local names and lowercase
+module state are out of scope — only the SHOUTING constants that oracle
+f-strings interpolate are guarded.)
+"""
+
+import ast
+import pathlib
+import re
+
+import pytest
+
+QUERIES_DIR = (
+    pathlib.Path(__file__).resolve().parent.parent
+    / "form700_etl_spark"
+    / "queries"
+)
+
+_CONST_RE = re.compile(r"^_?[A-Z][A-Z0-9_]*$")
+
+
+def _module_level_constant_assignments(tree):
+    """Yield (name, lineno) for each top-level assignment to a CONSTANT name."""
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            targets = [node.target]
+        for t in targets:
+            for name_node in ast.walk(t):
+                if isinstance(name_node, ast.Name) and _CONST_RE.match(
+                    name_node.id
+                ):
+                    yield name_node.id, node.lineno
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(QUERIES_DIR.glob("*.py")),
+    ids=lambda p: p.name,
+)
+def test_no_rebound_module_constants(path):
+    tree = ast.parse(path.read_text(), filename=str(path))
+    seen = {}
+    dupes = []
+    for name, lineno in _module_level_constant_assignments(tree):
+        if name in seen:
+            dupes.append(f"{name} at lines {seen[name]} and {lineno}")
+        else:
+            seen[name] = lineno
+    assert not dupes, (
+        f"{path.name}: module-level constant rebound — oracle f-strings freeze "
+        f"these at import while query bodies read them late-bound, so a rebind "
+        f"silently desynchronizes Spark from the oracle: {dupes}"
+    )
