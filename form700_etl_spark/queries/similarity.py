@@ -791,6 +791,11 @@ def ann_hybrid_rrf_fusion(spark, sf_dir):
 
 
 _KNN_EVAL_K = 5
+_KNN_EVAL_QUERY_MOD = 10  # evaluate every 10th vec (exact vs FULL corpus)
+_KNN_EVAL_QUERY_CAP = 200  # fixed eval-set SIZE: mod-sampled ids below
+_KNN_EVAL_ID_CEIL = _KNN_EVAL_QUERY_MOD * _KNN_EVAL_QUERY_CAP
+# MOD*CAP, so the harness cost is (CAP x corpus) — linear in corpus
+# size, never quadratic, at any scale.
 
 
 @register(
@@ -799,6 +804,9 @@ _KNN_EVAL_K = 5
     WITH v AS (
         SELECT vec_id, label, {_VEC_DOUBLE_SQL} AS vec FROM embeddings
     ),
+    q AS (SELECT * FROM v
+          WHERE vec_id % {_KNN_EVAL_QUERY_MOD} = 0
+            AND vec_id < {_KNN_EVAL_ID_CEIL}),
     scored AS (
         SELECT a.vec_id AS i, a.label AS true_label,
                b.label AS nbr_label,
@@ -806,7 +814,7 @@ _KNN_EVAL_K = 5
                    PARTITION BY a.vec_id
                    ORDER BY {_COS_SQL} DESC, b.vec_id
                ) AS rk
-        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        FROM q a JOIN v b ON a.vec_id <> b.vec_id
     ),
     votes AS (
         SELECT i, true_label, nbr_label,
@@ -844,12 +852,13 @@ _KNN_EVAL_K = 5
         "confusion matrix + accuracy — the label-quality / "
         "embedding-space-health eval a training pipeline runs per "
         "embedding build, and the ground-truth harness the ANN "
-        "operators' recall is judged against.  Deliberately "
-        "brute-force (the eval HARNESS must be exact; "
-        "ann_ivf/lsh/pq are the scale path it validates) but still "
-        "one self-join + two windows — the N^2 stays in one shuffle "
-        "stage, and at 100 TB this runs on the eval SAMPLE, not the "
-        "corpus."
+        "operators' recall is judged against.  The QUERY side is a "
+        f"deterministic mod-{_KNN_EVAL_QUERY_MOD} sample capped at "
+        f"{_KNN_EVAL_QUERY_CAP} points (fixed eval-set SIZE, not a "
+        "fraction) so the eval is exact per evaluated point against "
+        "the FULL corpus but strictly linear in corpus size — the "
+        "broadcast query side means the corpus never shuffles, and "
+        "at 100 TB the cap is the only knob."
     ),
 )
 def mlprep_knn_classifier_eval(spark, sf_dir):
@@ -858,18 +867,23 @@ def mlprep_knn_classifier_eval(spark, sf_dir):
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_double().alias("vec")
     )
-    a = v.select(
+    a = v.where(
+        (F.col("vec_id") % _KNN_EVAL_QUERY_MOD == 0)
+        & (F.col("vec_id") < _KNN_EVAL_ID_CEIL)
+    ).select(
         F.col("vec_id").alias("i"),
         F.col("label").alias("true_label"),
         F.col("vec").alias("va"),
     )
-    b = v.select(
+    # BroadcastNLJ parallelism follows the stream (corpus) side; the sf
+    # parquet is a single split, so spread the cosine work across cores.
+    b = v.repartition(16).select(
         F.col("vec_id").alias("j"),
         F.col("label").alias("nbr_label"),
         F.col("vec").alias("vb"),
     )
     scored = (
-        a.join(b, F.col("i") != F.col("j"))
+        F.broadcast(a).join(b, F.col("i") != F.col("j"))
         .select(
             "i",
             "true_label",
