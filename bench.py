@@ -273,6 +273,32 @@ HEADLINE = [
 # round-comparable subtotal, because the headline list keeps growing.
 R4_SET = HEADLINE[:24]
 
+# --- Machine-normalization canary (round-7, VERDICT r6 task 3) -------------
+# Round 6's official r4-comparable number (49.0 s fresh-JVM vs the 18.2 s r4
+# record) was adjudicated as HOST SPEED, not regression: byte-identical code
+# measured 17.9 s on an idle host and 40-49 s on the r6 sandbox — a 2.7x
+# spread across three machines that nothing in BENCH_r*.json could detect.
+# The canary is a fixed pure-JVM Spark job timed FIRST (before any suite
+# pressure): whole-stage-codegen sum over a 300M range, best-of-3.  It has
+# no I/O, no Python row path, and no data dependence, so its time is a clean
+# proxy for (JVM x CPU x load) speed of the host.  Every suite number is
+# reported raw AND canary-normalized: normalized = raw * (CANARY_REF_S /
+# canary_s).  CANARY_REF_S was calibrated on the round-7 host the same day
+# its suite numbers were recorded, so r7-vs-future comparisons divide out
+# the host; pre-r7 records carry no canary and remain host-ambiguous.
+CANARY_REF_S = 0.55  # round-7 calibration host (see BENCH notes)
+
+
+def _canary(spark) -> float:
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        spark.range(300_000_000).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - start)
+    return round(best, 4)
+
 
 def _run_suite(spark, queries, names, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
@@ -344,16 +370,24 @@ def main() -> None:
     spark = get_spark("form700-etl-spark-bench")
     queries = all_queries()
 
+    # Host-speed canary FIRST — before any suite pressure (see CANARY_REF_S).
+    canary_s = _canary(spark)
+    host_factor = round(canary_s / CANARY_REF_S, 3)
+
     # warm up the JVM / parquet footers
     queries["flagship_mktsegment_revenue"].fn(spark, sf_dir).count()
 
     if subset_r4:
         timings = _run_suite(spark, queries, R4_SET, sf_dir)
+        subtotal = round(sum(timings.values()), 3)
         print(
             json.dumps(
                 {
                     "metric": "r4_query_set_seconds",
-                    "value_r4_query_set": round(sum(timings.values()), 3),
+                    "value_r4_query_set": subtotal,
+                    "canary_s": canary_s,
+                    "host_factor": host_factor,
+                    "value_r4_normalized": round(subtotal / host_factor, 3),
                     "queries": timings,
                     "sf": sf,
                 }
