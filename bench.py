@@ -286,7 +286,52 @@ R4_SET = HEADLINE[:24]
 # canary_s).  CANARY_REF_S was calibrated on the round-7 host the same day
 # its suite numbers were recorded, so r7-vs-future comparisons divide out
 # the host; pre-r7 records carry no canary and remain host-ambiguous.
-CANARY_REF_S = 0.55  # round-7 calibration host (see BENCH notes)
+# Re-anchored round 10 (VERDICT r9 task 1a): 0.2436 is the canary reading
+# COMMITTED in BENCH_r07 — the same process that recorded the 24.19 s r4
+# number — so normalized values are now in r7-host units.  The old 0.55 was
+# a same-day-but-different-process calibration that drifted ~2.3x from the
+# committed r7 reading and made value_r4_normalized nonsense (r9 published
+# 101.4 "seconds" for a 42.6 s raw run).
+CANARY_REF_S = 0.2436  # BENCH_r07 committed canary reading (r7 host units)
+
+
+def _stage_totals(spark) -> dict[str, float]:
+    """Cumulative per-stage executor metrics from the AppStatusStore
+    (works with spark.ui.enabled=false — the store backs the UI, not the
+    other way round).  Differencing two snapshots around a query gives
+    the query's shuffle-write / spill / scan volume — the fields VERDICT
+    r9 task 1b asks for, so a volatile wall-clock self-adjudicates
+    (spill pressure vs plan drift vs host noise)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    darr = sc._gateway.new_array(sc._gateway.jvm.double, 0)
+    empty = sc._jvm.java.util.ArrayList()
+    totals = {
+        "shuffle_write_mb": 0.0,
+        "shuffle_read_mb": 0.0,
+        "mem_spill_mb": 0.0,
+        "disk_spill_mb": 0.0,
+        "input_mb": 0.0,
+        "executor_run_s": 0.0,
+        # run_s INCLUDES GC and interpretation; cpu_s is actual CPU.
+        # run_s >> cpu_s -> GC / scheduling stalls; cpu_s itself high on
+        # a small input -> code running interpreted (JIT queue/code cache).
+        "executor_cpu_s": 0.0,
+        "executor_gc_s": 0.0,
+    }
+    it = store.stageList(None, False, False, darr, empty).iterator()
+    mb = 1024.0 * 1024.0
+    while it.hasNext():
+        s = it.next()
+        totals["shuffle_write_mb"] += s.shuffleWriteBytes() / mb
+        totals["shuffle_read_mb"] += s.shuffleReadBytes() / mb
+        totals["mem_spill_mb"] += s.memoryBytesSpilled() / mb
+        totals["disk_spill_mb"] += s.diskBytesSpilled() / mb
+        totals["input_mb"] += s.inputBytes() / mb
+        totals["executor_run_s"] += s.executorRunTime() / 1000.0
+        totals["executor_cpu_s"] += s.executorCpuTime() / 1e9
+        totals["executor_gc_s"] += s.jvmGcTime() / 1000.0
+    return totals
 
 
 def _canary(spark) -> float:
@@ -378,17 +423,49 @@ def main() -> None:
     queries["flagship_mktsegment_revenue"].fn(spark, sf_dir).count()
 
     if subset_r4:
-        timings = _run_suite(spark, queries, R4_SET, sf_dir)
+        # Warm-up pass (VERDICT r9 task 1b): run every r4 query ONCE,
+        # untimed-for-the-record but recorded as queries_cold, before the
+        # timed best-of-2.  Three rounds of byte-identical code swung
+        # ref_pipeline_scheduleA2 4.3/9.3/22.6 s fresh-JVM with a flat CPU
+        # canary — cold-parquet/page-cache state the canary can't see.
+        # The timed region tracks steady-state (the record's stated
+        # methodology: every plan runs hot at 100 TB); the cold column plus
+        # per-query shuffle/spill/scan deltas make any residual swing
+        # self-adjudicating instead of un-diagnosable.
+        cold: dict[str, float] = {}
+        metrics: dict[str, dict[str, float]] = {}
+        for name in R4_SET:
+            start = time.perf_counter()
+            queries[name].fn(spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - start, 3)
+        timings = {}
+        for name in R4_SET:
+            spark.sparkContext._jvm.System.gc()
+            before = _stage_totals(spark)
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                queries[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - start)
+            after = _stage_totals(spark)
+            timings[name] = round(best, 3)
+            # delta over the 2 timed runs -> halve to per-run volumes
+            metrics[name] = {
+                k: round((after[k] - before[k]) / 2.0, 2) for k in after
+            }
         subtotal = round(sum(timings.values()), 3)
         print(
             json.dumps(
                 {
                     "metric": "r4_query_set_seconds",
                     "value_r4_query_set": subtotal,
+                    "value_r4_cold_pass": round(sum(cold.values()), 3),
                     "canary_s": canary_s,
                     "host_factor": host_factor,
                     "value_r4_normalized": round(subtotal / host_factor, 3),
                     "queries": timings,
+                    "queries_cold": cold,
+                    "queries_metrics": metrics,
                     "sf": sf,
                 }
             )
@@ -405,17 +482,28 @@ def main() -> None:
     from form700_etl_spark.io import table as _table
     from form700_etl_spark.streaming.events_stream import stream_tumbling_counts
 
+    from form700_etl_spark.streaming import events_stream as _es
+
     n_events = _table(spark, sf_dir, "events").count()
     stream_best = float("inf")
+    best_progress: list[dict] = []
     for _ in range(2):
         start = time.perf_counter()
         stream_tumbling_counts(spark, sf_dir).count()
-        stream_best = min(stream_best, time.perf_counter() - start)
+        elapsed = time.perf_counter() - start
+        if elapsed < stream_best:
+            stream_best = elapsed
+            best_progress = list(_es.LAST_PROGRESS)
     streaming = {
         "query": "stream_tumbling_hourly",
         "sec": round(stream_best, 3),
         "events": n_events,
         "events_per_s": round(n_events / stream_best),
+        # per-batch wall/processing breakdown (VERDICT r9 task 7): the
+        # historical 40.9-66.2k ev/s swing on identical code now carries
+        # its own explanation — batch count x trigger/addBatch ms.
+        "n_batches": len(best_progress),
+        "batches": best_progress,
     }
 
     total = round(sum(timings.values()), 3)
@@ -426,9 +514,12 @@ def main() -> None:
     if r4_fresh is not None:
         r4_value = r4_fresh["value_r4_query_set"]
         r4_mode = "fresh_jvm"
+        # normalize the fresh-JVM number with the fresh JVM's OWN canary
+        r4_host_factor = r4_fresh.get("host_factor", host_factor)
     else:
         r4_value = in_suite_r4
         r4_mode = "in_suite_fallback"
+        r4_host_factor = host_factor
 
     detail = {
         "queries": timings,
@@ -454,6 +545,11 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "value_r4_query_set": r4_value,
                 "r4_mode": r4_mode,
+                # canary on the HEADLINE line too (VERDICT r9 task 1a):
+                # host speed adjudication without digging into the detail
+                "canary_s": canary_s,
+                "host_factor": host_factor,
+                "value_r4_normalized": round(r4_value / r4_host_factor, 3),
                 "streaming_events_per_s": streaming["events_per_s"],
                 "sf": sf,
                 "detail": "BENCH_DETAIL.json",

@@ -502,10 +502,9 @@ def _numcast_sql(expr: str) -> str:
     ),
 )
 def ref_pipeline_cover(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("cover",))["cover"]
+    return pipeline_dataset(spark, sf_dir, "cover")
 
 
 # The scheduleA1 full-recompute flat SQL — shared by the end-to-end
@@ -557,10 +556,9 @@ _A1_PIPELINE_SQL = f"""
     ),
 )
 def ref_pipeline_end_to_end(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("scheduleA1",))["scheduleA1"]
+    return pipeline_dataset(spark, sf_dir, "scheduleA1")
 
 
 @register(
@@ -656,10 +654,9 @@ def ref_pipeline_end_to_end(spark, sf_dir):
     ),
 )
 def ref_pipeline_scheduleA2(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("scheduleA2",))["scheduleA2"]
+    return pipeline_dataset(spark, sf_dir, "scheduleA2")
 
 
 @register(
@@ -730,10 +727,9 @@ def ref_pipeline_scheduleA2(spark, sf_dir):
     ),
 )
 def ref_pipeline_scheduleB(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("scheduleB",))["scheduleB"]
+    return pipeline_dataset(spark, sf_dir, "scheduleB")
 
 
 @register(
@@ -771,10 +767,9 @@ def ref_pipeline_scheduleB(spark, sf_dir):
     ),
 )
 def ref_pipeline_scheduleD(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("scheduleD",))["scheduleD"]
+    return pipeline_dataset(spark, sf_dir, "scheduleD")
 
 
 @register(
@@ -846,10 +841,9 @@ def ref_pipeline_scheduleD(spark, sf_dir):
     ),
 )
 def ref_pipeline_scheduleC(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("scheduleC",))["scheduleC"]
+    return pipeline_dataset(spark, sf_dir, "scheduleC")
 
 
 @register(
@@ -896,10 +890,9 @@ def ref_pipeline_scheduleC(spark, sf_dir):
     ),
 )
 def ref_pipeline_scheduleE(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("scheduleE",))["scheduleE"]
+    return pipeline_dataset(spark, sf_dir, "scheduleE")
 
 
 @register(
@@ -922,10 +915,9 @@ def ref_pipeline_scheduleE(spark, sf_dir):
     ),
 )
 def ref_pipeline_comments(spark, sf_dir):
-    from ..plans.form700 import run_form700_pipeline, synthesize_filings
+    from ..plans.form700 import pipeline_dataset
 
-    filings = synthesize_filings(spark, sf_dir)
-    return run_form700_pipeline(filings, datasets=("comments",))["comments"]
+    return pipeline_dataset(spark, sf_dir, "comments")
 
 
 @register(

@@ -48,7 +48,29 @@ def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | Non
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local mode the driver heap IS the executor heap: 32 task
+        # threads sharing 8g forced the heavy collect_list aggregations
+        # (filing synthesis) to spill unpredictably depending on page-cache
+        # state — the round-7..9 bench volatility.  The target hosts carry
+        # 128 GiB; 32g keeps the hot aggregations in memory while leaving
+        # ample page cache.  On a real cluster this maps to ordinary
+        # executor sizing (4 GiB/core), not a driver-side requirement.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # The JVM default 240 MB code cache fills during a multi-query
+        # session of wide whole-stage-codegen plans (the filing-synthesis
+        # plan alone generates 39-field struct builders); once full, the
+        # JIT stops compiling and plans silently run interpreted — the
+        # "single-JVM suite pressure" round 5 measured (in-suite r4 ~1.2x
+        # fresh-JVM) and the residual scheduleA2 wall-clock volatility.
+        # 1 GiB keeps every plan's generated code compiled for the whole
+        # session; same flag applies per-executor on a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1024m",
+        )
+        # keep the whole bench run's stages in the status store so
+        # bench._stage_totals snapshots never lose history between deltas
+        .config("spark.ui.retainedStages", "10000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

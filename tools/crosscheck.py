@@ -47,7 +47,15 @@ def main() -> int:
     for name in names:
         q = queries[name]
         if q.oracle is None:
-            print(f"{name}: SKIP (rows-only)")
+            # no SQL oracle (approx/float-path op): run it and report the
+            # row count so the artifact still proves it executes at this SF
+            start = time.perf_counter()
+            try:
+                n = q.fn(spark, sf_dir).count()
+                print(f"{name}: ROWS-ONLY rows={n} ({time.perf_counter() - start:.1f}s)")
+            except Exception as exc:  # noqa: BLE001 — report and continue
+                failures.append(name)
+                print(f"{name}: FAIL {str(exc)[:400]}")
             continue
         start = time.perf_counter()
         try:
