@@ -63,3 +63,41 @@ def test_no_rebound_module_constants(path):
         f"these at import while query bodies read them late-bound, so a rebind "
         f"silently desynchronizes Spark from the oracle: {dupes}"
     )
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(QUERIES_DIR.glob("*.py")),
+    ids=lambda p: p.name,
+)
+def test_constants_defined_above_their_registration_site(path):
+    """Freeze-at-registration audit (VERDICT r7 task 7): every module-level
+    CONSTANT a query function's body reads must be assigned ABOVE that
+    function's registration site.  The oracle f-string freezes the
+    constant's value when the ``@register`` decorator line executes at
+    import; the body reads it late-bound at call time — a constant first
+    assigned between the two (or after the function) gives the oracle and
+    the Spark plan two different values with no error anywhere."""
+    tree = ast.parse(path.read_text(), filename=str(path))
+    assigned_at = dict(_module_level_constant_assignments(tree))
+    violations = []
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        # registration executes at the decorator line (or the def line
+        # for undecorated helpers) — the freeze point for its oracle
+        freeze_line = min(
+            [d.lineno for d in node.decorator_list] + [node.lineno]
+        )
+        for ref in ast.walk(node):
+            if (
+                isinstance(ref, ast.Name)
+                and isinstance(ref.ctx, ast.Load)
+                and ref.id in assigned_at
+                and assigned_at[ref.id] > freeze_line
+            ):
+                violations.append(
+                    f"{node.name} (registered line {freeze_line}) reads "
+                    f"{ref.id} assigned later at line {assigned_at[ref.id]}"
+                )
+    assert not violations, f"{path.name}: {sorted(set(violations))}"
