@@ -36,11 +36,16 @@ def _never_driver_sampled_first(names) -> list[str]:
     """Order query names so those NEVER sampled by a prior driver
     correctness round come first.
 
-    The registry (276 queries) outgrew the driver's per-round sample
-    (50), so rotation by registration order left 193 queries that only
-    the local full-sweep harness has ever checked.  Reading the
-    committed CORRECTNESS_r*.json files makes the ordering self-
-    rotating: each round's sample drains the never-sampled pool.
+    The registry (355 queries as of round 10) outgrew the driver's
+    per-round sample (50), so rotation by registration order left a pool
+    of queries that only the local full-sweep harness has ever checked.
+    Reading the committed CORRECTNESS_r*.json files makes the ordering
+    self-rotating: each round's sample drains the never-sampled pool.
+
+    Within the never-sampled pool, names listed in QUEUE_r09.txt (the
+    pool as it stood at the end of round 9) keep their priority; queries
+    registered later queue BEHIND them, so new work never displaces the
+    long-waiting remnants from a round's 50-query sample.
     """
     import glob
     import json
@@ -53,7 +58,17 @@ def _never_driver_sampled_first(names) -> list[str]:
                 seen |= set(json.load(fh))
         except Exception:  # noqa: BLE001 — artifact files are advisory
             continue
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+    try:
+        with open(os.path.join(here, "QUEUE_r09.txt")) as fh:
+            r09_pool = {n.strip() for n in fh if n.strip()}
+    except OSError:
+        r09_pool = set(names)  # no manifest -> original behavior
+    never = [n for n in names if n not in seen]
+    return (
+        [n for n in never if n in r09_pool]
+        + [n for n in never if n not in r09_pool]
+        + [n for n in names if n in seen]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -274,3 +274,40 @@ register(
         "which implementation-defined HLL registers can never be."
     ),
 )(stream_kmv_distinct)
+
+
+from ..streaming.events_stream import (  # noqa: E402
+    LATE_AUDIT_SPLIT_OLD,
+    LATE_AUDIT_SPLIT_RECENT,
+    stream_late_data_audit,
+)
+
+register(
+    "stream_late_data_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS input_rows,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{LATE_AUDIT_SPLIT_OLD}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS accepted_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT DISTINCT date_trunc('hour', ts), event_type
+                FROM events
+                WHERE ts < TIMESTAMP '{LATE_AUDIT_SPLIT_OLD}'
+           )) AS dropped_groups
+    FROM events
+    """,
+    tags=("streaming", "watermark", "audit"),
+    doc=(
+        "Watermark late-data audit: three-batch event-time-reversed "
+        "replay (recent half -> mid-late -> very-late).  The engine "
+        "accepts the first late batch (Spark's late filter lags one "
+        "batch behind the reported watermark) and drops the second; "
+        "the audit row reports input rows, accepted rows (derived from "
+        "the update-mode sink's final per-group counts), and dropped "
+        "GROUPS (numRowsDroppedByWatermark counts post-partial-agg "
+        "groups, not raw rows).  Oracle: the midnight-aligned splits "
+        f"partition events exactly as the engine does — accepted = ts "
+        f">= {LATE_AUDIT_SPLIT_OLD!r}, dropped groups = distinct "
+        "(hour, event_type) below it.  This is the silent-data-loss "
+        "alarm a production stream watches."
+    ),
+)(stream_late_data_audit)
