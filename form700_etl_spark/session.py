@@ -68,6 +68,13 @@ def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | Non
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1024m",
         )
+        # Split generated code into smaller methods than the 1024-byte
+        # default: small methods tier up through C1/C2 in one execution
+        # instead of queueing behind every other plan's giant method
+        # (measured on the widest plan: run-1 latency 4.7 s -> 1.26 s,
+        # steady state unchanged).  At 100 TB the equivalent win is the
+        # first task wave of each stage running compiled, not interpreted.
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
         # keep the whole bench run's stages in the status store so
         # bench._stage_totals snapshots never lose history between deltas
         .config("spark.ui.retainedStages", "10000")
