@@ -1901,6 +1901,13 @@ def text_repeated_substring_spans(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents")
+    # the gram key is the RAW 24-char substring: exact (no hash-collision
+    # caveat) and smaller on the wire than a 32-char md5 hex (the oracle
+    # keys by md5, which classifies equal strings identically); the
+    # duplicate mark is a count window over the gram key, so the gram
+    # stream — the dominant volume — materializes ONCE and shuffles ONCE
+    # (the former groupBy + self-join shape re-derived the explode+hash
+    # lineage on both sides of the join)
     grams = (
         d.filter(F.length("text") >= _XSUB_L)
         .select(
@@ -1908,10 +1915,13 @@ def text_repeated_substring_spans(spark, sf_dir):
             F.explode(F.sequence(F.lit(1), F.length("text") - (_XSUB_L - 1))).alias("i"),
             F.col("text"),
         )
-        .select("doc_id", "i", F.md5(F.col("text").substr(F.col("i"), F.lit(_XSUB_L))).alias("g"))
+        .select("doc_id", "i", F.col("text").substr(F.col("i"), F.lit(_XSUB_L)).alias("g"))
     )
-    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2).select("g")
-    marked = grams.join(dup, "g").select("doc_id", "i")
+    marked = (
+        grams.withColumn("c", F.count(F.lit(1)).over(W.partitionBy("g")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "i")
+    )
     grp = (F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))).alias("grp")
     return (
         marked.select("doc_id", "i", grp)

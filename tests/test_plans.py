@@ -986,14 +986,24 @@ def test_schedule_pipeline_single_agg_broadcast_enrichment(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
-def test_repeated_substring_spans_single_gram_window(spark, sf_dir):
-    """text_repeated_substring_spans: the gaps-and-islands pass must be
-    ONE window over the gram stream — a second window subtree means the
-    gram explosion (the dominant volume) is sorted twice."""
+def test_repeated_substring_spans_joinless_two_window(spark, sf_dir):
+    """text_repeated_substring_spans: the gram stream (the dominant
+    volume) must materialize ONCE — duplicate marking is a count window
+    over the gram key and island grouping a row_number window per doc,
+    with NO join node anywhere (the former groupBy + self-join shape
+    re-derived the explode+hash lineage on both sides)."""
     plan = plan_of(spark, sf_dir, "text_repeated_substring_spans")
-    assert tree_nodes(plan, "Window") == 1, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    assert tree_nodes(plan, "Window") == 2, plan
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, (node, plan)
+    # one scan of documents only
+    assert plan.count("Scan parquet") // 2 <= 1, plan
 
 
 def test_prefix_filter_ssjoin_all_hash_no_python(spark, sf_dir):
