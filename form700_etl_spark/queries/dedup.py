@@ -1046,26 +1046,58 @@ def dedup_containment_pairs(spark, sf_dir):
 )
 def dedup_prefix_filter_join(spark, sf_dir):
     sh = _shingles_cached(spark, sf_dir)  # distinct (doc_id, shingle), uncapped
-    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    # df and size as count windows (r10): the shingle stream — the
+    # dominant volume — shuffles once per key instead of the former
+    # groupBy-then-join shape re-deriving it on both join sides; the n
+    # and pos windows share one doc_id exchange.
     ordered = (
-        sh.join(df_, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("pos", F.row_number().over(w))
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle")),
+        )
     )
     prefix = ordered.filter(
         F.col("pos") <= F.col("n") - F.ceil(0.5 * F.col("n")).cast("int") + 1
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
-    b = prefix.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2"))
+    ).select("doc_id", "shingle", "n", "pos")
+    a = prefix.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("shingle").alias("s1"),
+        F.col("n").alias("n1"),
+        F.col("pos").alias("p1"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("shingle").alias("s2"),
+        F.col("n").alias("n2"),
+        F.col("pos").alias("p2"),
+    )
+    # PPJoin pruning (both SOUND for J >= t, so the oracle — which
+    # verifies every prefix collision — is unchanged): the length filter
+    # (t*|y| <= |x|) and the positional filter (the best-possible
+    # remaining overlap, 1 + min(n1-p1, n2-p2), must reach the overlap
+    # threshold alpha = ceil(t/(1+t)*(n1+n2))).  Measured at sf0.1:
+    # candidates 409k -> 125k before the verify join.
+    alpha = F.ceil((0.5 / 1.5) * (F.col("n1") + F.col("n2")))
     cand = (
-        a.join(b, (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
+        a.join(
+            b,
+            (F.col("s1") == F.col("s2"))
+            & (F.col("doc1") < F.col("doc2"))
+            & (F.col("n1") >= 0.5 * F.col("n2"))
+            & (F.col("n2") >= 0.5 * F.col("n1")),
+        )
+        .filter(
+            1 + F.least(F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2"))
+            >= alpha
+        )
         .select("doc1", "doc2")
         .distinct()
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("cdoc2"), F.col("shingle").alias("sh2"))
     common = (
