@@ -546,9 +546,13 @@ def main() -> None:
                 "value_r4_query_set": r4_value,
                 "r4_mode": r4_mode,
                 # canary on the HEADLINE line too (VERDICT r9 task 1a):
-                # host speed adjudication without digging into the detail
+                # host speed adjudication without digging into the detail.
+                # canary_s = THIS suite process; r4_canary_s = the fresh
+                # JVM that measured value_r4_query_set (its own canary is
+                # the one value_r4_normalized divides by).
                 "canary_s": canary_s,
                 "host_factor": host_factor,
+                "r4_canary_s": (r4_fresh or {}).get("canary_s", canary_s),
                 "value_r4_normalized": round(r4_value / r4_host_factor, 3),
                 "streaming_events_per_s": streaming["events_per_s"],
                 "sf": sf,
