@@ -1048,12 +1048,15 @@ def dedup_prefix_filter_join(spark, sf_dir):
     sh = _shingles_cached(spark, sf_dir)  # distinct (doc_id, shingle), uncapped
     from pyspark.sql import Window as W
 
-    # df and size as count windows (r10): the shingle stream — the
-    # dominant volume — shuffles once per key instead of the former
-    # groupBy-then-join shape re-deriving it on both join sides; the n
-    # and pos windows share one doc_id exchange.
+    # df stays a groupBy + join (NOT a count window): the aggregate gets
+    # map-side partial combine, so only the distinct-shingle table
+    # shuffles — a shingle-partitioned window would shuffle the FULL
+    # stream unreduced (probed 5.4x vs 1.1x time at 10x data).  The doc
+    # side DOES use windows: n and pos share one doc_id exchange+sort,
+    # replacing the former second join.
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        sh.join(df_, "shingle")
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
         .withColumn(
             "pos",

@@ -992,42 +992,66 @@ def _bpe_pairs(toks):
     ).select("doc_id", "p.i", "p.w1", "p.w2")
 
 
-# Greedy left-to-right merge of the broadcast pair (w1, w2), entirely
-# IN-ROW: a higher-order aggregate runs the canonical BPE state machine
-# (pending token + output array) over each doc's token array.  Zero
-# shuffles per apply — the former shape (explode positions, run window,
-# parity filter, three broadcast joins, groupBy collect_list reassembly)
-# shuffled the whole token stream twice per merge round.  Per-element
-# array concat is O(len^2) copies per row, constant-bounded by the
-# fixture's <= ~100-token docs (and by chunking upstream at 100 TB).
-# Equivalence to the run-parity window formulation (and to the DuckDB
-# oracle, which still uses it): verified token-array-exact over 4
-# chained rounds at sf0.01.
-_BPE_MERGE_EXPR = """
-    CASE WHEN size(tk) <= 1 THEN tk ELSE
-    aggregate(
-        slice(tk, 2, size(tk) - 1),
-        named_struct('acc', CAST(array() AS array<string>),
-                     'pending', element_at(tk, 1)),
-        (s, t) -> CASE
-            WHEN s.pending IS NOT NULL AND s.pending = w1 AND t = w2 THEN
-                named_struct('acc', concat(s.acc, array(concat(w1, '_', w2))),
-                             'pending', CAST(NULL AS STRING))
-            WHEN s.pending IS NULL THEN named_struct('acc', s.acc, 'pending', t)
-            ELSE named_struct('acc', concat(s.acc, array(s.pending)), 'pending', t)
-        END,
-        s -> CASE WHEN s.pending IS NULL THEN s.acc
-                  ELSE concat(s.acc, array(s.pending)) END
-    ) END
-"""
-
-
 def _bpe_apply_top(toks, top):
     """Apply the 1-row merge ``top(w1, w2)`` to ``toks`` greedily
-    left-to-right, in-row (see _BPE_MERGE_EXPR) — shared by the
-    training rounds and the held-out encoder."""
-    return toks.crossJoin(F.broadcast(top.select("w1", "w2"))).select(
-        "doc_id", F.expr(_BPE_MERGE_EXPR).alias("tk")
+    left-to-right, entirely IN-ROW — zero shuffles per merge round,
+    where the former shape (position explode, run window, parity
+    filter, three broadcast joins, collect_list reassembly) shuffled
+    the whole token stream twice per round.
+
+    The greedy semantics (in a run of consecutive matching positions,
+    merges land at even offsets) is the gaps-and-islands computation,
+    done per row over the STARTS array — only the matching positions,
+    a handful per doc — never a sequential state machine over all
+    tokens (an aggregate() with per-element array concat is O(len^2)
+    copies per row and probed 2.7x slower at 10x data):
+
+      starts  = positions i with tk[i]=w1, tk[i+1]=w2
+      grps[j] = starts[j] - j            (island id)
+      kept    = starts[j] where (j - first_index_of(grps[j])) is even
+      merged  = tokens with kept starts replaced by w1_w2 and the
+                token right after each kept start dropped
+
+    Equivalence to the run-parity window formulation (and to the DuckDB
+    oracle, which still uses it): verified token-array-exact over 4
+    chained rounds at sf0.01."""
+    return (
+        toks.crossJoin(F.broadcast(top.select("w1", "w2")))
+        .withColumn(
+            "starts",
+            F.expr(
+                "CASE WHEN size(tk) < 2 THEN CAST(array() AS array<int>) ELSE "
+                "filter(sequence(1, size(tk) - 1), "
+                "i -> element_at(tk, i) = w1 AND element_at(tk, i + 1) = w2) END"
+            ),
+        )
+        .withColumn(
+            "grps",
+            F.expr(
+                "CASE WHEN size(starts) = 0 THEN CAST(array() AS array<int>) ELSE "
+                "zip_with(starts, sequence(1, size(starts)), (s, j) -> s - j) END"
+            ),
+        )
+        .withColumn(
+            "keptpos",
+            F.expr(
+                "CASE WHEN size(starts) = 0 THEN CAST(array() AS array<int>) ELSE "
+                "transform(filter(zip_with(starts, sequence(1, size(starts)),"
+                " (s, j) -> named_struct('s', s, 'j', j)),"
+                " x -> (x.j - array_position(grps, element_at(grps, x.j))) % 2 = 0),"
+                " x -> x.s) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(keptpos) = 0 THEN tk ELSE "
+                "filter(transform(sequence(1, size(tk)), i -> "
+                "CASE WHEN array_contains(keptpos, i) THEN concat(w1, '_', w2) "
+                "WHEN array_contains(keptpos, i - 1) THEN CAST(NULL AS STRING) "
+                "ELSE element_at(tk, i) END), t -> t IS NOT NULL) END"
+            ).alias("tk"),
+        )
     )
 
 
