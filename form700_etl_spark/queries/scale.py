@@ -2319,7 +2319,7 @@ def _modularity_oracle() -> str:
            CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, dc.d_tot,
            round(CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / mm.m
                  - (CAST(dc.d_tot AS DOUBLE) / (2.0 * mm.m))
-                   * (CAST(dc.d_tot AS DOUBLE) / (2.0 * mm.m)), 6)
+                   * (CAST(dc.d_tot AS DOUBLE) / (2.0 * mm.m)), 6) + 0.0
              AS q_contrib
     FROM dc LEFT JOIN ein ON dc.community = ein.community
     CROSS JOIN mm
@@ -2380,10 +2380,14 @@ def graph_modularity_lpa(spark, sf_dir):
             "size",
             F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
             "d_tot",
-            F.round(
-                F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / F.col("m")
-                - half * half,
-                6,
+            (
+                F.round(
+                    F.coalesce(F.col("e_in"), F.lit(0)).cast("double")
+                    / F.col("m")
+                    - half * half,
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 -> +0.0 (IEEE), identity elsewhere
             ).alias("q_contrib"),
         )
         .orderBy("community")

@@ -12,6 +12,11 @@ cross-engine results:
   at the end (bigint→double is exact below 2^53, and the final IEEE
   division is identical in both engines);
 - ratio outputs are rounded to a fixed number of decimals;
+- any final rounded double that can reach exact zero from below adds
+  ``+ 0.0`` after the round on BOTH sides: DuckDB's ``round`` emits
+  IEEE ``-0.0`` for tiny negatives where Spark emits ``+0.0`` —
+  numerically equal but distinct under the driver's value hash (the
+  round-10 ``graph_modularity_lpa`` escape);
 - timestamps are returned as formatted strings or DATEs, never raw;
 - every computed column is aliased identically on both sides.
 """

@@ -2,10 +2,16 @@
 """Cross-engine spot check at an arbitrary scale factor.
 
 The oracle suite runs at sf0.001 (pytest) and sf0.01 (driver); this
-tool replays the same cell-exact comparison at any SF for any query
-subset — the round ritual uses it at sf0.1, where float-path bugs
-that small fixtures cannot expose (e.g. the round-4 interpolation FMA
-ulp) have been caught before.
+tool replays the same comparison at any SF for any query subset — the
+round ritual uses it at sf0.01 and sf0.1, where float-path bugs that
+small fixtures cannot expose (the round-4 interpolation FMA ulp, the
+round-10 -0.0-vs-+0.0 modularity escape) have been caught before.
+
+The comparator is tests/oracle_harness.compare — repr-level exact on
+every cell, floats included, so it distinguishes -0.0 from +0.0 and
+1e-9 from 0.0 exactly like the driver's value hash.  (Until round 11
+this file used pandas assert_frame_equal with its default rtol=1e-5,
+which is precisely the window where the modularity escape hid.)
 
 Usage:
     python tools/crosscheck.py sf_dir [query ...]
@@ -23,26 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    import duckdb
-    import pandas as pd
-
-    from form700_etl_spark.io import TABLE_NAMES
     from form700_etl_spark.registry import all_queries
     from form700_etl_spark.session import get_spark
+    from tests.oracle_harness import compare, duckdb_connection
 
     sf_dir = sys.argv[1]
     queries = all_queries()
     if "--all" in sys.argv[2:]:
         names = [n for n, q in sorted(queries.items()) if q.oracle]
     else:
-        names = sys.argv[2:]
+        names = [n for n in sys.argv[2:] if not n.startswith("--")]
 
     spark = get_spark("crosscheck")
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connection(sf_dir)
     failures = []
     for name in names:
         q = queries[name]
@@ -59,14 +58,9 @@ def main() -> int:
             continue
         start = time.perf_counter()
         try:
-            a = q.fn(spark, sf_dir).toPandas()
-            e = con.execute(q.oracle).df()
-            cols = sorted(a.columns)
-            assert cols == sorted(e.columns), f"columns {cols} vs {sorted(e.columns)}"
-            a = a[cols].sort_values(cols).reset_index(drop=True)
-            e = e[cols].sort_values(cols).reset_index(drop=True)
-            pd.testing.assert_frame_equal(a, e, check_dtype=False)
-            print(f"{name}: OK rows={len(a)} ({time.perf_counter() - start:.1f}s)")
+            df = q.fn(spark, sf_dir)
+            compare(df, con, q.oracle, name=name)
+            print(f"{name}: OK ({time.perf_counter() - start:.1f}s)")
         except Exception as exc:  # noqa: BLE001 — report and continue
             failures.append(name)
             print(f"{name}: FAIL {str(exc)[:400]}")
