@@ -121,12 +121,12 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of queries.events.events_tumbling_hourly (same oracle)."""
+def _tumbling_hourly_agg(events: DataFrame) -> DataFrame:
+    """The tumbling-hourly aggregation shared by the oracle-checked
+    query and the bench throughput drive."""
     from ..functions.money import cents
 
-    events = read_events_stream(spark, sf_dir)
-    agg = (
+    return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -134,13 +134,107 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("value")) / F.lit(100.0)).alias("total_value"),
         )
     )
-    out = run_to_completion(agg, "complete")
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries.events.events_tumbling_hourly (same oracle)."""
+    events = read_events_stream(spark, sf_dir)
+    out = run_to_completion(_tumbling_hourly_agg(events), "complete")
     return out.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",
         "total_value",
     )
+
+
+def bench_tumbling_throughput(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> dict:
+    """Steady-state throughput drive for bench.py (not a registry query).
+
+    The single-file fixture replays as ONE micro-batch, so a wall-clock
+    over it measures JVM/state initialization, not throughput (the
+    committed r10 number: 38.8k ev/s where 2.1 s of the 2.6 s total was
+    the lone batch's trigger).  This drive splits the events table into
+    ``n_files`` parquet files and replays them with maxFilesPerTrigger=1
+    — >= n_files micro-batches — then reports events/second over the
+    post-first-batch window (batch 0 pays source listing + state store
+    setup; batches 1.. are the steady state a long-running deployment
+    lives in).  Returns the progress breakdown so the number stays
+    self-adjudicating round over round.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import ensure_session_confs, normalize_ts, table
+
+    ensure_session_confs(spark)
+    events = table(spark, sf_dir, "events")
+    n_events = events.count()
+    src = tempfile.mkdtemp(prefix="bench_stream_src_")
+    try:
+        events.repartition(n_files).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        stream = raw.withColumn("ts", normalize_ts(schema["ts"].dataType))
+        agg = _tumbling_hourly_agg(stream)
+        name = f"bench_stream_{uuid.uuid4().hex[:12]}"
+        import time as _time
+
+        start = _time.perf_counter()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            total_sec = _time.perf_counter() - start
+            batches = []
+            for p in q.recentProgress:
+                d = p if isinstance(p, dict) else json.loads(p.json)
+                if not d.get("numInputRows"):
+                    continue
+                dur = d.get("durationMs") or {}
+                batches.append(
+                    {
+                        "batch_id": d.get("batchId"),
+                        "num_input_rows": d.get("numInputRows"),
+                        "trigger_ms": dur.get("triggerExecution"),
+                        "add_batch_ms": dur.get("addBatch"),
+                    }
+                )
+            n_rows = spark.table(name).count()
+        finally:
+            q.stop()
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    steady = [b for b in batches if b["batch_id"] and b["trigger_ms"]]
+    steady_rows = sum(b["num_input_rows"] for b in steady)
+    steady_ms = sum(b["trigger_ms"] for b in steady)
+    return {
+        "query": "stream_tumbling_hourly",
+        "sec": round(total_sec, 3),
+        "events": n_events,
+        "result_rows": n_rows,
+        "n_batches": len(batches),
+        # steady-state: batches AFTER batch 0, rows / trigger wall
+        "events_per_s": round(steady_rows / (steady_ms / 1000.0))
+        if steady_ms
+        else 0,
+        "events_per_s_overall": round(n_events / total_sec),
+        "batches": batches,
+    }
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +825,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two are reconciled by the oracle instead.
     """
     import os
+    import shutil
     import tempfile
 
     from ..io import table
@@ -745,62 +840,76 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("1_mid", (F.col("ts") >= old) & (F.col("ts") < recent), 2_000_000_000),
         ("2_old", F.col("ts") < old, 3_000_000_000),
     )
-    for prefix, cond, mtime in batches_spec:
-        sub = os.path.join(staging, prefix)
-        events.where(cond).coalesce(1).write.parquet(sub, mode="overwrite")
-        part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
-        dst = os.path.join(replay_dir, f"{prefix}.parquet")
-        os.rename(os.path.join(sub, part), dst)
-        # the file source orders unprocessed files by modification time:
-        # pin mtimes so replay order is deterministic (write order
-        # usually suffices, but ms-granularity ties would flake)
-        os.utime(dst, (mtime, mtime))
-
-    stream = (
-        spark.readStream.schema(events.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(replay_dir)
-    )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     name = f"late_audit_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
-        input_rows = 0
-        dropped_groups = 0
-        n_batches = 0
-        for p in q.recentProgress:
-            d = p if isinstance(p, dict) else json.loads(p.json)
-            if not d.get("numInputRows"):
-                continue
-            n_batches += 1
-            input_rows += d["numInputRows"]
-            for op in d.get("stateOperators") or []:
-                dropped_groups += op.get("numRowsDroppedByWatermark", 0)
-        # update-mode sink: one row per group per updating batch; the
-        # last (max) n per group is its final accepted count
-        accepted = (
-            spark.table(name)
-            .groupBy("w", "event_type")
-            .agg(F.max("n").alias("n"))
-            .agg(F.sum("n").alias("s"))
-            .collect()[0]["s"]
-            or 0
+        for prefix, cond, mtime in batches_spec:
+            sub = os.path.join(staging, prefix)
+            events.where(cond).coalesce(1).write.parquet(sub, mode="overwrite")
+            part = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+            dst = os.path.join(replay_dir, f"{prefix}.parquet")
+            os.rename(os.path.join(sub, part), dst)
+            # the file source orders unprocessed files by modification time:
+            # pin mtimes so replay order is deterministic (write order
+            # usually suffices, but ms-granularity ties would flake)
+            os.utime(dst, (mtime, mtime))
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(replay_dir)
         )
+        # numRowsDroppedByWatermark counts POST-PARTIAL-AGG rows entering
+        # the state operator, so its value is one-per-group only if each
+        # batch's partial aggregation ran on a single input partition.
+        # The coalesce(1) files above guarantee that only while each file
+        # fits in one maxSplitBytes split; repartition(1) pins it for any
+        # file size, making dropped_groups split-invariant (this is an
+        # audit probe over one micro-batch's worth of late data, not a
+        # data-plane shuffle — 1 partition is the semantics, not a
+        # bottleneck).
+        agg = (
+            stream.repartition(1)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            input_rows = 0
+            dropped_groups = 0
+            n_batches = 0
+            for p in q.recentProgress:
+                d = p if isinstance(p, dict) else json.loads(p.json)
+                if not d.get("numInputRows"):
+                    continue
+                n_batches += 1
+                input_rows += d["numInputRows"]
+                for op in d.get("stateOperators") or []:
+                    dropped_groups += op.get("numRowsDroppedByWatermark", 0)
+            # update-mode sink: one row per group per updating batch; the
+            # last (max) n per group is its final accepted count
+            accepted = (
+                spark.table(name)
+                .groupBy("w", "event_type")
+                .agg(F.max("n").alias("n"))
+                .agg(F.sum("n").alias("s"))
+                .collect()[0]["s"]
+                or 0
+            )
+        finally:
+            q.stop()
+        spark.catalog.dropTempView(name)
     finally:
-        q.stop()
-    spark.catalog.dropTempView(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)
     if n_batches < 3:
         raise RuntimeError(
             f"late-data audit needs the three-batch replay, got {n_batches}"

@@ -320,3 +320,66 @@ def test_stream_kmv_distinct_deterministic_across_micro_batches(
         }
 
     assert run(1) == run(4)
+
+
+def test_late_audit_one_batch_lag_is_version_pinned(spark, sf_dir):
+    """stream_late_data_audit's accepted_rows oracle bakes in a pyspark
+    4.1.x behavior: the state operator's late-record filter evaluates
+    against the watermark as of the PREVIOUS batch's start, so the first
+    late batch (8-22 days behind a 1-hour watermark) is ACCEPTED and
+    only the second late batch drops.  If a Spark upgrade tightens the
+    filter to the current watermark, accepted_rows shrinks to the
+    on-time count and this test localizes the break before the oracle
+    sweep does.  Also locks the ADVICE r10 split-invariance fix: the
+    dropped-group count must equal the distinct (hour, event_type)
+    pairs below the old split regardless of how the replay files split
+    into input partitions (repartition(1) pins the partial agg)."""
+    import pyspark
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.streaming.events_stream import (
+        LATE_AUDIT_SPLIT_OLD,
+        LATE_AUDIT_SPLIT_RECENT,
+        stream_late_data_audit,
+    )
+
+    assert pyspark.__version__.startswith("4.1."), (
+        "the one-batch watermark-filter lag was measured on pyspark "
+        f"4.1.x; re-verify stream_late_data_audit on {pyspark.__version__}"
+    )
+    row = stream_late_data_audit(spark, sf_dir).collect()[0]
+    events = table(spark, sf_dir, "events")
+    on_time = events.where(F.col("ts") >= LATE_AUDIT_SPLIT_RECENT).count()
+    mid_late = events.where(
+        (F.col("ts") >= LATE_AUDIT_SPLIT_OLD)
+        & (F.col("ts") < LATE_AUDIT_SPLIT_RECENT)
+    ).count()
+    dropped_expected = (
+        events.where(F.col("ts") < LATE_AUDIT_SPLIT_OLD)
+        .select(F.date_trunc("hour", "ts"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert row.input_rows == events.count()
+    # the lag, explicitly: accepted = on-time PLUS the first late batch
+    assert row.accepted_rows == on_time + mid_late
+    assert row.dropped_groups == dropped_expected
+
+
+def test_bench_tumbling_throughput_steady_state(spark, sf_dir):
+    """The bench streaming drive must (a) run the multi-batch replay it
+    claims (>= 5 micro-batches from the 8-file split), (b) produce the
+    same result-group count as the single-batch oracle-checked query,
+    and (c) report a steady-state events/s computed from post-batch-0
+    progress rows."""
+    from form700_etl_spark.streaming.events_stream import (
+        bench_tumbling_throughput,
+        stream_tumbling_counts,
+    )
+
+    run = bench_tumbling_throughput(spark, sf_dir, n_files=8)
+    assert run["n_batches"] >= 5
+    assert run["result_rows"] == stream_tumbling_counts(spark, sf_dir).count()
+    assert run["events_per_s"] > 0
+    steady = [b for b in run["batches"] if b["batch_id"]]
+    assert sum(b["num_input_rows"] for b in steady) < run["events"]
