@@ -24,6 +24,23 @@ def cpu_count() -> int:
         return os.cpu_count() or 4
 
 
+def _default_driver_mem() -> str:
+    """Default driver heap: 32g on the 128 GiB target hosts, but capped
+    at ~half of detected physical RAM elsewhere — an uncapped 32g heap
+    on a smaller host turns would-be spills into OOM kills (ADVICE r10).
+    SPARK_GRAFT_DRIVER_MEM always wins."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        phys = os.sysconf("SC_PHYS_PAGES")
+        total_gib = page * phys / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "32g"
+    return f"{max(2, min(32, int(total_gib / 2)))}g"
+
+
 def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpu_count()
     if shuffle_partitions is None:
@@ -55,7 +72,9 @@ def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | Non
         # 128 GiB; 32g keeps the hot aggregations in memory while leaving
         # ample page cache.  On a real cluster this maps to ordinary
         # executor sizing (4 GiB/core), not a driver-side requirement.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # (capped at half of physical RAM on smaller hosts, see
+        # _default_driver_mem)
+        .config("spark.driver.memory", _default_driver_mem())
         # The JVM default 240 MB code cache fills during a multi-query
         # session of wide whole-stage-codegen plans (the filing-synthesis
         # plan alone generates 39-field struct builders); once full, the

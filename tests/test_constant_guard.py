@@ -101,3 +101,58 @@ def test_constants_defined_above_their_registration_site(path):
                     f"{ref.id} assigned later at line {assigned_at[ref.id]}"
                 )
     assert not violations, f"{path.name}: {sorted(set(violations))}"
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(QUERIES_DIR.glob("*.py")),
+    ids=lambda p: p.name,
+)
+def test_helper_generated_oracles_stable_after_import(path):
+    """Freeze-at-registration audit for HELPER-GENERATED oracles
+    (VERDICT r10 task 7): some oracles are built by a module function
+    (e.g. ``_modularity_oracle`` splicing ``_lpa_layers()``) whose
+    output depends on other module state.  The registry froze the
+    helper's output at import; if later module state would make the
+    helper emit different SQL today, the engine (which reads that state
+    late-bound) and the frozen oracle have silently diverged.  Re-run
+    every helper-call oracle expression in the module's CURRENT
+    namespace and require byte-identical output to the registered
+    string."""
+    import importlib
+
+    from form700_etl_spark.registry import all_queries
+
+    src = path.read_text()
+    tree = ast.parse(src, filename=str(path))
+    sites = []
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "register"
+        ):
+            continue
+        qname = (
+            node.args[0].value
+            if node.args and isinstance(node.args[0], ast.Constant)
+            else None
+        )
+        oracle_exprs = [
+            kw.value for kw in node.keywords if kw.arg == "oracle"
+        ] + node.args[1:2]
+        for expr in oracle_exprs:
+            if isinstance(expr, ast.Call):
+                sites.append((qname, ast.get_source_segment(src, expr)))
+    if not sites:
+        pytest.skip("no helper-generated oracles in this module")
+    qs = all_queries()
+    mod = importlib.import_module(f"form700_etl_spark.queries.{path.stem}")
+    for qname, seg in sites:
+        assert qname in qs, f"{path.name}: unparsed register() name for {seg}"
+        live = eval(seg, vars(mod))  # noqa: S307 — repo-controlled source
+        assert live == qs[qname].oracle, (
+            f"{qname}: oracle helper {seg!r} emits different SQL now than "
+            f"at registration — module state it reads was changed after "
+            f"the @register line ran"
+        )
