@@ -79,7 +79,9 @@ FILER_COLS = (
 )
 
 
-def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_filings(
+    spark: SparkSession, sf_dir: str, datasets: tuple[str, ...] | None = None
+) -> DataFrame:
     """One nested row per filing: cover fields + ``offices``
     array<struct> + one array<struct> per schedule (FIXTURES.md §F1).
 
@@ -88,7 +90,24 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters produce, so a single groupBy yields every array without
     re-shuffling lineitem per schedule (the reference re-traverses all
     pages per schedule, Form700.py:166,178 — an anti-pattern SURVEY §4.1
-    flags)."""
+    flags).
+
+    ``datasets`` (None = everything) prunes the CONSTRUCTED tree to the
+    named pipeline datasets: single-dataset callers get a source plan
+    carrying only the filer columns plus their one schedule array.
+    Catalyst's column pruning already removes the unused arrays from
+    the OPTIMIZED plan, but the driver still pays py4j construction +
+    analysis + codegen for the full ~300-field tree first — on a fresh
+    JVM that cost ran 36 s for ref_pipeline_scheduleA2 at sf0.1 vs
+    1.9 s warm (BENCH_DETAIL r10 queries_cold).  Pruned and unpruned
+    plans produce identical values for every retained column."""
+    want = set(datasets) if datasets is not None else None
+
+    def need(name: str) -> bool:
+        return want is None or name in want
+
+    need_cover = need("cover")
+    wanted_arrays = [n for n in SCHEDULE_NAMES[:-1] if need(n)]
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     l = table(spark, sf_dir, "lineitem")
@@ -114,7 +133,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add("l_shipdate", 30), "yyyyMMdd"),
     )
     # full reference scheduleA1 item (form700_scheduleA1_schema.csv)
-    a1 = F.struct(
+    a1 = lambda: F.struct(
         m.alias("id"),
         F.concat(F.lit("Desc-"), rf).alias("businessDescription"),
         ship_ymd.alias("dateAcquired"),
@@ -166,7 +185,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full reference scheduleA2 item (form700_scheduleA2_schema.csv) —
     # every scalar the schema declares, so the P1 projection over the
     # full 38-column inventory resolves
-    a2 = F.struct(
+    a2 = lambda: F.struct(
         m.alias("id"),
         F.concat(okey_s, F.lit(" Commerce Way")).alias("address"),
         F.when(pk % 2 == 0, "Owner").otherwise("Partner").alias("businessPosition"),
@@ -212,7 +231,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_s = F.concat(F.lit("9410"), m.cast("string"))
     term_s = F.when(qty > 30, "30 years").otherwise("15 years")
     # full reference scheduleB item (form700_scheduleB_schema.csv)
-    b = F.struct(
+    b = lambda: F.struct(
         m.alias("id"),
         ship.alias("city"),
         ship_ymd.alias("dateAcquired"),
@@ -256,7 +275,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # full reference scheduleC item (form700_scheduleC_schema.csv; the
     # reference's C loan* fields are FLAT names, unlike B's dotted loan.*)
-    c_item = F.struct(
+    c_item = lambda: F.struct(
         m.alias("id"),
         F.concat(okey_s, F.lit(" Income Ave")).alias("incomeAddress"),
         F.lit("Consulting").alias("incomeBusinessActivity"),
@@ -301,7 +320,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(ship, F.lit(f" gift {i}")).alias("description"),
         F.date_format(F.date_add("l_shipdate", i), "yyyyMMdd").alias("giftDate"),
     )
-    d = F.struct(
+    d = lambda: F.struct(
         m.alias("id"),
         F.concat(okey_s, F.lit(" Gift Ln")).alias("address"),
         F.lit("Retail").alias("businessActivity"),
@@ -316,7 +335,7 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # full reference scheduleE item (form700_scheduleE_schema.csv)
-    e = F.struct(
+    e = lambda: F.struct(
         m.alias("id"),
         F.concat(okey_s, F.lit(" Travel Rd")).alias("address"),
         F.concat(qty_s, F.when(rf == "N", "n").otherwise("")).alias("amount"),
@@ -350,41 +369,54 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst prune all seven array builds out of that plan (a
     # size(collect_list) formulation would force the full nested
     # payload to materialize just to be counted).
-    items = l.groupBy("l_orderkey").agg(
-        sched(F.lit(True), a1).alias("scheduleA1"),
-        sched(m % 2 == 0, a2).alias("scheduleA2"),
-        sched(m % 3 == 1, b).alias("scheduleB"),
-        sched(m % 3 == 2, c_item).alias("scheduleC"),
-        sched(m % 4 == 1, d).alias("scheduleD"),
-        sched(m % 5 == 2, e).alias("scheduleE"),
-        F.count(F.lit(1)).alias("__nA1"),
-        F.count(F.when(m % 2 == 0, 1)).alias("__nA2"),
-        F.count(F.when(m % 3 == 1, 1)).alias("__nB"),
-        F.count(F.when(m % 3 == 2, 1)).alias("__nC"),
-        F.count(F.when(m % 4 == 1, 1)).alias("__nD"),
-        F.count(F.when(m % 5 == 2, 1)).alias("__nE"),
+    # Each item builder is a zero-arg lambda: a pruned construction
+    # (``datasets``) never pays the py4j expression building for the
+    # schedules it skips.
+    arr_defs = (
+        ("scheduleA1", F.lit(True), a1),
+        ("scheduleA2", m % 2 == 0, a2),
+        ("scheduleB", m % 3 == 1, b),
+        ("scheduleC", m % 3 == 2, c_item),
+        ("scheduleD", m % 4 == 1, d),
+        ("scheduleE", m % 5 == 2, e),
     )
+    agg_exprs = [
+        sched(cond, mk()).alias(nm)
+        for nm, cond, mk in arr_defs
+        if nm in wanted_arrays
+    ]
+    if need_cover:
+        agg_exprs += [
+            F.count(F.lit(1)).alias("__nA1"),
+            F.count(F.when(m % 2 == 0, 1)).alias("__nA2"),
+            F.count(F.when(m % 3 == 1, 1)).alias("__nB"),
+            F.count(F.when(m % 3 == 2, 1)).alias("__nC"),
+            F.count(F.when(m % 4 == 1, 1)).alias("__nD"),
+            F.count(F.when(m % 5 == 2, 1)).alias("__nE"),
+        ]
+    items = l.groupBy("l_orderkey").agg(*agg_exprs) if agg_exprs else None
 
     year_start = F.date_trunc("year", F.col("o_orderdate"))
     okey = F.col("o_orderkey")
     custkey_s = F.col("o_custkey").cast("string")
     filing_ymd = F.date_format("o_orderdate", "yyyyMMdd")
     period_start = F.date_format(year_start, "yyyyMMdd")
-    cover = (
-        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left")
-        .select(
-            # keys stay LONG in the nested source (join key below); the
-            # clean pass casts them to the schema's declared text type
-            okey.alias("filingId"),
-            F.col("o_custkey").alias("filerId"),
-            F.coalesce(F.col("c_name"), F.lit("")).alias("filerName"),
-            F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("departmentName"),
-            F.concat(F.lit("Pos-"), F.col("o_orderstatus")).alias("positionName"),
-            period_start.alias("periodStart"),
-            F.date_format(
-                F.date_sub(F.add_months(year_start, 12), 1), "yyyyMMdd"
-            ).alias("periodEnd"),
-            filing_ymd.alias("filingDate"),
+    cover_exprs = [
+        # keys stay LONG in the nested source (join key below); the
+        # clean pass casts them to the schema's declared text type
+        okey.alias("filingId"),
+        F.col("o_custkey").alias("filerId"),
+        F.coalesce(F.col("c_name"), F.lit("")).alias("filerName"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("departmentName"),
+        F.concat(F.lit("Pos-"), F.col("o_orderstatus")).alias("positionName"),
+        period_start.alias("periodStart"),
+        F.date_format(
+            F.date_sub(F.add_months(year_start, 12), 1), "yyyyMMdd"
+        ).alias("periodEnd"),
+        filing_ymd.alias("filingDate"),
+    ]
+    if need_cover:
+        cover_exprs += [
             # full reference cover inventory (form700_cover_schema.csv) —
             # deterministic functions of the order row so the DuckDB
             # oracle mirrors each cell exactly
@@ -428,13 +460,20 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(okey % 17 == 0, period_start).alias("leavingStatementStartDate"),
             F.col("o_orderstatus").alias("transactionType"),
             F.date_format("o_orderdate", "yyyy").alias("year"),
-            F.array(
-                F.struct(
-                    F.concat(F.lit("Office-"), F.col("o_orderpriority")).alias("office"),
-                    F.col("o_orderstatus").alias("position"),
-                )
-            ).alias("offices"),
-            # comments: one per filing, embedded newline exercises C7
+        ]
+    # offices rides with FILER_COLS onto every schedule row, so it is
+    # unconditional; comments is its own dataset (cover DROPS it)
+    cover_exprs.append(
+        F.array(
+            F.struct(
+                F.concat(F.lit("Office-"), F.col("o_orderpriority")).alias("office"),
+                F.col("o_orderstatus").alias("position"),
+            )
+        ).alias("offices")
+    )
+    if need("comments"):
+        # comments: one per filing, embedded newline exercises C7
+        cover_exprs.append(
             F.array(
                 F.struct(
                     okey.alias("id"),
@@ -443,12 +482,18 @@ def synthesize_filings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     F.col("o_orderstatus").alias("transactionType"),
                 )
-            ).alias("comments"),
+            ).alias("comments")
         )
+    cover = o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        *cover_exprs
     )
+    if items is None:
+        return cover
     filings = cover.join(items, cover.filingId == items.l_orderkey, "left").drop(
         "l_orderkey"
     )
+    if not need_cover:
+        return filings
     # per-schedule counts (cover schema's schedule*Count audit columns,
     # form700_cover_schema.csv:41-47) — sizes of the just-built arrays,
     # so the counts are consistent with the nested payload by
@@ -581,7 +626,10 @@ def pipeline_dataset(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     if key not in _DATASET_PLAN_CACHE:
         if len(_DATASET_PLAN_CACHE) > 256:  # bound across many test sessions
             _DATASET_PLAN_CACHE.clear()
-        filings = synthesize_filings(spark, sf_dir)
+        # prune the SOURCE construction to this dataset too (round 11):
+        # the un-pruned nested tree cost 36 s of fresh-JVM driver work
+        # at sf0.1 before Catalyst ever pruned a column
+        filings = synthesize_filings(spark, sf_dir, datasets=(base,))
         _DATASET_PLAN_CACHE[key] = run_form700_pipeline(
             filings, datasets=(base,)
         )[base]
