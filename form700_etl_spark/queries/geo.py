@@ -263,10 +263,47 @@ def geo_knn_grid_join(spark, sf_dir):
 
 _MIN_PTS = 4  # DBSCAN minPts, |N_eps(p)| counting p itself
 
+# Core-graph CC rounds for the oracle's layered min-label propagation.
+# Worst case for PURE propagation is the core graph's hop diameter,
+# geometrically bounded by box-diagonal/eps = sqrt(222^2+175^2)/4 ~ 71
+# hops (an eps-edge spans <= 4 km inside the fixed 2x2-degree box); the
+# pointer-jump step only accelerates.  Measured convergence: 1 round at
+# sf0.001, 6 at sf0.01, 34 at sf0.1, 30 at 10x density — 72 covers the
+# geometric bound outright and is >2x every measurement.  If rounds
+# were ever insufficient the mismatch is LOUD (the engine runs exact
+# union-find CC), never silent.
+_DBSCAN_CC_ROUNDS = 72
 
-@register(
-    "geo_dbscan_clusters",
-    oracle=f"""
+
+def _dbscan_cc_layers() -> tuple[str, str]:
+    """Layered min-label + pointer-jump connected components over the
+    ``core_edges`` CTE, seeded from ``core``.  Returns (sql, last_name).
+
+    Replaces the r<=10 RECURSIVE transitive-closure walk, which
+    enumerated every (node, reachable-seed) pair — O(sum of component
+    size^2) rows.  At sf0.1 density EVERY point is core and one
+    component spans the box, so the walk was ~200M pairs times ~70
+    semi-naive rounds and never finished; these layers keep O(n) label
+    state per round (measured: 34 rounds, ~1 s at sf0.1)."""
+    parts = ["cc0 AS MATERIALIZED (SELECT c_custkey AS doc, c_custkey AS label FROM core)"]
+    for r in range(1, _DBSCAN_CC_ROUNDS + 1):
+        parts.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT doc, MIN(label) AS label FROM (
+            SELECT doc, label FROM cc{r - 1}
+            UNION ALL
+            SELECT e.a AS doc, l.label FROM core_edges e JOIN cc{r - 1} l ON l.doc = e.b
+        ) GROUP BY doc
+    ),
+    cc{r} AS MATERIALIZED (
+        SELECT p1.doc, p2.label FROM p{r} p1 JOIN p{r} p2 ON p2.doc = p1.label
+    )""")
+    return ",\n".join(parts), f"cc{_DBSCAN_CC_ROUNDS}"
+
+
+def _dbscan_oracle() -> str:
+    cc_sql, cc_last = _dbscan_cc_layers()
+    return f"""
     WITH pts AS ({_COORD_SQL}),
     celled AS (
         SELECT c_custkey, lat, lon,
@@ -285,36 +322,22 @@ _MIN_PTS = 4  # DBSCAN minPts, |N_eps(p)| counting p itself
         JOIN celled b ON p.px = b.cx AND p.py = b.cy
         WHERE p.c_custkey <> b.c_custkey
     ),
-    nbr AS (
+    nbr AS MATERIALIZED (
         SELECT c_custkey, nbr_key FROM cand WHERE d_km <= {_RADIUS_KM}
     ),
-    core AS (
+    core AS MATERIALIZED (
         SELECT c_custkey FROM nbr GROUP BY c_custkey
         HAVING COUNT(*) + 1 >= {_MIN_PTS}
     ),
-    core_edges AS (
+    core_edges AS MATERIALIZED (
         SELECT n.c_custkey AS a, n.nbr_key AS b
         FROM nbr n
         JOIN core c1 ON n.c_custkey = c1.c_custkey
         JOIN core c2 ON n.nbr_key = c2.c_custkey
     ),
-    reach AS (
-        SELECT DISTINCT a AS doc, a AS label FROM core_edges
-        UNION
-        (
-            WITH RECURSIVE walk(doc, label) AS (
-                SELECT DISTINCT a, a FROM core_edges
-                UNION
-                SELECT e.a, w.label FROM core_edges e JOIN walk w ON e.b = w.doc
-            )
-            SELECT doc, label FROM walk
-        )
-    ),
+    {cc_sql},
     core_labels AS (
-        SELECT c.c_custkey,
-               COALESCE(MIN(r.label), c.c_custkey) AS cluster_id
-        FROM core c LEFT JOIN reach r ON r.doc = c.c_custkey
-        GROUP BY c.c_custkey
+        SELECT doc AS c_custkey, label AS cluster_id FROM {cc_last}
     ),
     border AS (
         SELECT n.c_custkey, MIN(l.cluster_id) AS cluster_id
@@ -333,7 +356,12 @@ _MIN_PTS = 4  # DBSCAN minPts, |N_eps(p)| counting p itself
     LEFT JOIN core_labels cl ON cl.c_custkey = p.c_custkey
     LEFT JOIN border bo ON bo.c_custkey = p.c_custkey
     ORDER BY p.c_custkey
-    """,
+    """
+
+
+@register(
+    "geo_dbscan_clusters",
+    oracle=_dbscan_oracle(),
     tags=("geo", "graph", "scale"),
     doc=(
         "Grid-blocked DBSCAN (Ester et al. 1996) over the hash-derived "
@@ -350,7 +378,10 @@ _MIN_PTS = 4  # DBSCAN minPts, |N_eps(p)| counting p itself
         "dependent; min-label makes it replayable).  Output is every "
         "point classified core/border/noise with its cluster id — the "
         "spatial-clustering workhorse for location dedup and POI "
-        "extraction at corpus scale."
+        "extraction at corpus scale.  The oracle's CC is layered "
+        "min-label + pointer-jump (see _dbscan_cc_layers): the previous "
+        "RECURSIVE transitive closure was O(sum component_size^2) and "
+        "infeasible at sf0.1, where one eps-component spans the box."
     ),
 )
 def geo_dbscan_clusters(spark, sf_dir):
