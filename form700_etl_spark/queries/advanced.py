@@ -3937,9 +3937,16 @@ _DEMING_SLOPE_SQL = (
     "round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) + 4 * cxy * cxy))"
     " / (2 * cxy), 6)"
 )
+# intercept is INTEGER cents: at sf0.1 the intercept magnitude (~3.7e10)
+# reaches the region where a 6-decimal rounding grain is finer than the
+# double spacing (~3.8e-6), and Spark's HALF_UP-BigDecimal round vs
+# DuckDB's multiply-round-divide disagree by one ulp exactly there
+# (found by the r11 repr-exact sf0.1 sweep; the sub-cent digits of a
+# 1e10-cent intercept are noise anyway).  Slope stays at 6 decimals —
+# its magnitude (~1e7) keeps the grain 500x coarser than double spacing.
 _DEMING_ICEPT_SQL = (
-    "round((s_y - ((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)"
-    " + 4 * cxy * cxy)) / (2 * cxy)) * s_x) / n, 6)"
+    "CAST(round((s_y - ((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)"
+    " + 4 * cxy * cxy)) / (2 * cxy)) * s_x) / n) AS BIGINT)"
 )
 
 

@@ -17,6 +17,12 @@ cross-engine results:
   IEEE ``-0.0`` for tiny negatives where Spark emits ``+0.0`` —
   numerically equal but distinct under the driver's value hash (the
   round-10 ``graph_modularity_lpa`` escape);
+- the rounding grain must stay well above the double spacing at the
+  output's magnitude: ``round(x, 6)`` on a ~1e10 value asks for more
+  precision than the double carries, and the two engines' rounding
+  implementations disagree by one ulp exactly there (the round-11
+  ``stats_deming_regression`` intercept) — outputs that grow past ~1e9
+  emit integer units (``CAST(round(x) AS BIGINT)``) instead;
 - timestamps are returned as formatted strings or DATEs, never raw;
 - every computed column is aliased identically on both sides.
 """
