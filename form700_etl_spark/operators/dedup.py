@@ -229,13 +229,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     cluster keeps min-doc_id as canonical).  Returns (doc_id,
     component_id).
 
-    Hybrid strategy, chosen by edge count:
+    Hybrid strategy, chosen by undirected pair count:
 
-    - ``n_edges <= driver_threshold``: collect the edge list and run
+    - ``n_pairs <= driver_threshold``: collect the pair list and run
       union-find on the driver.  The LSH/Jaccard pair graph is already
       the similarity-pruned RESIDUE of the corpus — even at 100 TB it
-      is typically millions of edges, not billions, and a 1M-edge
-      collect (~16 MB) + O(n alpha(n)) union-find beats paying
+      is typically millions of edges, not billions, and a 1M-pair
+      collect (~16-32 MB) + O(n alpha(n)) union-find beats paying
       diameter-many distributed shuffle rounds of pure scheduling
       overhead.  This is the same judgment call as broadcasting a
       small join side.
@@ -246,17 +246,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
       count.
 
     Both paths produce identical labels (min doc_id per component)."""
-    # materialize the PAIRS first: the symmetrizing self-union below has
-    # two branches, and each would otherwise re-run the (possibly
-    # expensive) pair-generation lineage from scratch
-    pairs = pairs.select("doc1", "doc2").localCheckpoint()
-    edges = (
-        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-        .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
-        .localCheckpoint()
-    )
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
+    # Probe-and-collect in ONE action: union-find is direction-blind, so
+    # the driver path needs neither the symmetrizing self-union nor a
+    # separate count — limit(threshold+1).collect() both decides the
+    # path and, when small, already holds every undirected pair.  (The
+    # previous shape ran four jobs before any union-find work — two
+    # localCheckpoint materializations, a count, and the collect — pure
+    # fixed cost that dominated this operator's wall at every SF, since
+    # the LSH residue is far under the threshold even at sf0.1.)
+    pairs = pairs.select("doc1", "doc2")
+    probe = pairs.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -267,9 +267,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
-        for r in rows:
-            a, b = r["a"], r["b"]
+        for r in probe:
+            a, b = r["doc1"], r["doc2"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -280,6 +279,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         spark = pairs.sparkSession
         out = [(x, find(x)) for x in parent]
         return spark.createDataFrame(out, "doc_id long, component_id long")
+    # Pregel path: materialize the pairs once (the symmetrizing union
+    # has two branches that would each re-run the pair lineage), then
+    # iterate min-label propagation.
+    pairs = pairs.localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
     # size the loop's parallelism to the graph, not the session default —
     # per-iteration scheduling overhead dominates at high partition counts
     n_parts = max(1, min(32, n_edges // 100_000 + 1))
