@@ -473,25 +473,28 @@ def main() -> None:
         spark.stop()
         return
 
-    timings = _run_suite(spark, queries, HEADLINE, sf_dir)
-
-    # Streaming throughput (separate from the batch total so round-over-
-    # round batch comparisons stay apples-to-apples): steady-state drive
-    # (VERDICT r10 task 5) — the events fixture split into 8 files,
-    # replayed one file per micro-batch; events_per_s is measured over
-    # the post-first-batch window, so it tracks per-batch processing
-    # cost, not JVM/state-store startup (the r<=10 single-batch number
-    # was startup-dominated and swung 38.8-66.2k on identical code).
+    # Streaming throughput FIRST — before the 164-query suite builds up
+    # single-JVM pressure (measured: the same drive reads 77.8k ev/s on
+    # a fresh session vs 49.5k after the suite).  Steady-state drive
+    # (VERDICT r10 task 5): the FULL events table replayed once per
+    # micro-batch (8 batches); events_per_s is measured over the
+    # post-first-batch window, so it tracks per-batch processing cost,
+    # not JVM/state-store startup (the r<=10 single-batch number was
+    # startup-dominated and swung 38.8-66.2k on identical code; the
+    # first v2 cut split the table into 8 small slices and measured
+    # per-batch machinery instead of processing).
     from form700_etl_spark.streaming.events_stream import (
         bench_tumbling_throughput,
     )
 
     streaming = {}
     for _ in range(2):
-        run = bench_tumbling_throughput(spark, sf_dir, n_files=8)
+        run = bench_tumbling_throughput(spark, sf_dir, n_batches=8)
         if not streaming or run["events_per_s"] > streaming["events_per_s"]:
             streaming = run
-    streaming["method"] = "steady_state_v2_8batch"
+    streaming["method"] = "steady_state_v3_fulltable_8batch"
+
+    timings = _run_suite(spark, queries, HEADLINE, sf_dir)
 
     total = round(sum(timings.values()), 3)
     in_suite_r4 = round(sum(timings[n] for n in R4_SET), 3)

@@ -149,20 +149,27 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bench_tumbling_throughput(
-    spark: SparkSession, sf_dir: str, n_files: int = 8
+    spark: SparkSession, sf_dir: str, n_batches: int = 8
 ) -> dict:
     """Steady-state throughput drive for bench.py (not a registry query).
 
     The single-file fixture replays as ONE micro-batch, so a wall-clock
     over it measures JVM/state initialization, not throughput (the
     committed r10 number: 38.8k ev/s where 2.1 s of the 2.6 s total was
-    the lone batch's trigger).  This drive splits the events table into
-    ``n_files`` parquet files and replays them with maxFilesPerTrigger=1
-    — >= n_files micro-batches — then reports events/second over the
-    post-first-batch window (batch 0 pays source listing + state store
+    the lone batch's trigger).  This drive replays the FULL events
+    table once per micro-batch (``n_batches`` file copies,
+    maxFilesPerTrigger=1) and reports events/second over the
+    post-first-batch window: batch 0 pays source listing + state-store
     setup; batches 1.. are the steady state a long-running deployment
-    lives in).  Returns the progress breakdown so the number stays
-    self-adjudicating round over round.
+    lives in.  Full-table batches, not an n-way split — a 1/n slice of
+    the fixture is small enough that per-micro-batch machinery (offset
+    log, state commit, planning) dominates and the number measures
+    overhead, not processing (first r11 cut: 12.5k-row batches ->
+    12.3k ev/s of pure batch overhead).  Complete-mode aggregation
+    ignores the watermark's late filter, so every replayed batch is
+    fully aggregated (asserted in tests).  Returns the per-batch
+    progress breakdown so the number stays self-adjudicating round
+    over round.
     """
     import os
     import shutil
@@ -175,8 +182,15 @@ def bench_tumbling_throughput(
     n_events = events.count()
     src = tempfile.mkdtemp(prefix="bench_stream_src_")
     try:
-        events.repartition(n_files).write.mode("overwrite").parquet(src)
-        schema = spark.read.parquet(src).schema
+        stage = os.path.join(src, "_stage")
+        events.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i in range(n_batches):
+            shutil.copyfile(
+                os.path.join(stage, part), os.path.join(src, f"replay{i}.parquet")
+            )
+        shutil.rmtree(stage)
+        schema = spark.read.parquet(os.path.join(src, "replay0.parquet")).schema
         raw = (
             spark.readStream.schema(schema)
             .format("parquet")
@@ -222,17 +236,19 @@ def bench_tumbling_throughput(
     steady = [b for b in batches if b["batch_id"] and b["trigger_ms"]]
     steady_rows = sum(b["num_input_rows"] for b in steady)
     steady_ms = sum(b["trigger_ms"] for b in steady)
+    total_rows = sum(b["num_input_rows"] for b in batches)
     return {
         "query": "stream_tumbling_hourly",
         "sec": round(total_sec, 3),
         "events": n_events,
+        "events_processed": total_rows,  # n_batches full-table replays
         "result_rows": n_rows,
         "n_batches": len(batches),
         # steady-state: batches AFTER batch 0, rows / trigger wall
         "events_per_s": round(steady_rows / (steady_ms / 1000.0))
         if steady_ms
         else 0,
-        "events_per_s_overall": round(n_events / total_sec),
+        "events_per_s_overall": round(total_rows / total_sec),
         "batches": batches,
     }
 

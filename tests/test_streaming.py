@@ -368,18 +368,23 @@ def test_late_audit_one_batch_lag_is_version_pinned(spark, sf_dir):
 
 def test_bench_tumbling_throughput_steady_state(spark, sf_dir):
     """The bench streaming drive must (a) run the multi-batch replay it
-    claims (>= 5 micro-batches from the 8-file split), (b) produce the
-    same result-group count as the single-batch oracle-checked query,
-    and (c) report a steady-state events/s computed from post-batch-0
+    claims (>= 5 micro-batches, one full-table copy each), (b) actually
+    aggregate EVERY replayed batch — complete mode must not late-drop
+    the replays (the drive's watermark is inert by design), (c) produce
+    the same result-group KEYS as the single-pass oracle-checked query,
+    and (d) report a steady-state events/s computed from post-batch-0
     progress rows."""
     from form700_etl_spark.streaming.events_stream import (
         bench_tumbling_throughput,
         stream_tumbling_counts,
     )
 
-    run = bench_tumbling_throughput(spark, sf_dir, n_files=8)
+    run = bench_tumbling_throughput(spark, sf_dir, n_batches=8)
     assert run["n_batches"] >= 5
+    assert run["events_processed"] == run["n_batches"] * run["events"]
     assert run["result_rows"] == stream_tumbling_counts(spark, sf_dir).count()
     assert run["events_per_s"] > 0
     steady = [b for b in run["batches"] if b["batch_id"]]
-    assert sum(b["num_input_rows"] for b in steady) < run["events"]
+    assert sum(b["num_input_rows"] for b in steady) == (
+        (run["n_batches"] - 1) * run["events"]
+    )
