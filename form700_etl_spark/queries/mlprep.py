@@ -652,6 +652,23 @@ def _power_iter_oracle() -> str:
     ),
 )
 def embedding_power_iteration_top_pc(spark, sf_dir):
+    # ONE distributed pass + an exact driver loop (round 11; was 12
+    # distributed rounds x ~4 jobs each).  z = Y^T (Y v) = (Y^T Y) v in
+    # EXACT integer arithmetic, so the d x d Gram matrix G = Y^T Y —
+    # computed once as a decimal-exact hash aggregate — reproduces the
+    # oracle's per-row z for every round by associativity; the 12-round
+    # renormalization loop then runs on the driver over O(d^2) state
+    # with the engines' shared double semantics replicated exactly
+    # (repr-based HALF_UP = Java BigDecimal.valueOf rounding).  At
+    # 100 TB this is the sufficient-statistic design: the corpus is
+    # scanned once (map-side combine leaves d^2 partials per task) and
+    # the iteration costs zero cluster round-trips.  The arithmetic
+    # trade (N*d^2 multiply-adds vs 2*N*d per round) favors the Gram
+    # form whenever rounds > d/2 is false ONLY on CPU terms — on a
+    # cluster the 12 eliminated shuffle+barrier rounds dominate.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     e = table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -671,51 +688,42 @@ def embedding_power_iteration_top_pc(spark, sf_dir):
             (F.col("i0") + 1).cast("int").alias("i"),
             (F.col("n") * F.col("x") - F.col("sd")).cast("long").alias("yd"),
         )
-        .localCheckpoint()  # both per-round passes re-consume it
-    )
-    v = (
-        y.select("i")
-        .distinct()
-        .select(
-            "i",
-            F.lit(round(1e6 / (_PI_DIMS ** 0.5))).cast("long").alias("val"),
-        )
+        .localCheckpoint()  # consumed by both sides of the Gram join
     )
     dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    gram_rows = (
+        y.select("vec_id", F.col("i").alias("gi"), F.col("yd").alias("ya"))
+        .join(
+            y.select("vec_id", F.col("i").alias("gj"), F.col("yd").alias("yb")),
+            "vec_id",
+        )
+        .where(F.col("gj") >= F.col("gi"))  # G is symmetric: agg the
+        .groupBy("gi", "gj")                # upper triangle, mirror below
+        .agg(F.sum(dec("ya") * dec("yb")).alias("g"))
+        .collect()
+    )
+    G = {(r.gi, r.gj): int(r.g) for r in gram_rows}
+    G.update({(j, i): g for (i, j), g in list(G.items())})
+    dims = sorted({i for i, _ in G})
+
+    def jround(x: float) -> int:
+        # Spark's round(double) = BigDecimal.valueOf(x).setScale(0,
+        # HALF_UP): valueOf goes through Double.toString (shortest
+        # round-trip repr), which Python's repr() mirrors — NOT the
+        # exact binary expansion Decimal(float) would give.
+        return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    v = {i: round(1e6 / (_PI_DIMS ** 0.5)) for i in dims}
     for _ in range(_PI_ROUNDS):
-        yv = (
-            y.join(F.broadcast(v), "i")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("yd") * F.col("val")).cast("long").alias("s"))
-        )
-        z = (
-            y.join(yv, "vec_id")
-            .groupBy("i")
-            .agg(F.sum(dec("yd") * dec("s")).alias("z"))
-        )
-        m = z.agg(F.max(F.abs(F.col("z"))).alias("m"))
-        sc = z.crossJoin(F.broadcast(m)).select(
-            "i",
-            F.round(
-                1e6 * F.col("z").cast("double") / F.col("m").cast("double")
-            )
-            .cast("long")
-            .alias("s"),
-        )
-        nrm = sc.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("nrm")
-        )
-        v = (
-            sc.crossJoin(F.broadcast(nrm))
-            .select(
-                "i",
-                F.round(1e6 * F.col("s").cast("double") / F.col("nrm"))
-                .cast("long")
-                .alias("val"),
-            )
-            .localCheckpoint()
-        )
-    return v.select(
+        z = {i: sum(G[(i, j)] * v[j] for j in dims) for i in dims}
+        m = max(abs(zv) for zv in z.values())
+        sc = {i: jround(1e6 * float(z[i]) / float(m)) for i in dims}
+        nrm = math.sqrt(float(sum(s * s for s in sc.values())))
+        v = {i: jround(1e6 * float(sc[i]) / nrm) for i in dims}
+    out = spark.createDataFrame(
+        sorted(v.items()), "i int, val long"
+    )
+    return out.select(
         F.col("i").cast("long").alias("dim"),
         F.round(F.col("val").cast("double") / 1e6, 6).alias("loading"),
     ).orderBy("dim")
