@@ -40,7 +40,7 @@ REPORT_QUERIES = [
     ("dedup_prefix_filter_join", "rarity-ordered prefix candidates; complete at J>=0.5, no hot-shingle pairs"),
     # fifth/sixth-wave representatives
     ("timeseries_ewma", "16 lag columns share ONE user-keyed window/exchange"),
-    ("graph_triangle_count", "degree-ordered orientation; wedge joins stay hashed"),
+    ("graph_triangle_count", "degree-ordered orientation; adjacency-intersect closing (no wedge rows)"),
     ("text_winnowing_shared_pairs", "one bigint window-min selection; checkpointed fingerprint reuse"),
     ("sample_dsir_importance", "256-bucket broadcast histograms; TakeOrdered top-100"),
     ("text_repeated_substring_spans", "gram groupBy with partial counts; island window"),
