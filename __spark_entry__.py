@@ -32,52 +32,91 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_mktsegment_revenue(spark, SMOKE_SF_DIR)
 
 
-def _never_driver_sampled_first(names) -> list[str]:
-    """Order query names so those NEVER sampled by a prior driver
-    correctness round come first.
-
-    The registry (355 queries as of round 10) outgrew the driver's
-    per-round sample (50), so rotation by registration order left a pool
-    of queries that only the local full-sweep harness has ever checked.
-    Reading the committed CORRECTNESS_r*.json files makes the ordering
-    self-rotating: each round's sample drains the never-sampled pool.
-
-    Within the never-sampled pool, names listed in QUEUE_r09.txt (the
-    pool as it stood at the end of round 9) keep their priority; queries
-    registered later queue BEHIND them, so new work never displaces the
-    long-waiting remnants from a round's 50-query sample.
-    """
+def _last_sampled_rounds(here: str) -> dict[str, int]:
+    """name -> latest driver round that sampled it (from committed
+    CORRECTNESS_r*.json artifacts); absent names were never sampled."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(f) as fh:
-                seen |= set(json.load(fh))
+                for n in json.load(fh):
+                    last[n] = max(last.get(n, 0), rnd)
         except Exception:  # noqa: BLE001 — artifact files are advisory
             continue
+    return last
+
+
+def _reverify_priority(here: str, last: dict[str, int]) -> list[str]:
+    """Names from QUEUE_REVERIFY.txt still awaiting a post-fix driver
+    sample.  Each line is ``<name><TAB><fixed_round>``: the query's
+    implementation or oracle changed during round ``fixed_round`` AFTER
+    its most recent driver sample.  Priority is self-clearing — once the
+    driver samples the name in a round >= fixed_round + 1, the committed
+    CORRECTNESS artifact raises its last-sampled round past
+    ``fixed_round`` and the entry stops matching (stale lines are inert,
+    so the file never needs emergency edits between rounds).
+    """
+    out: list[str] = []
     try:
-        with open(os.path.join(here, "QUEUE_r09.txt")) as fh:
-            r09_pool = {n.strip() for n in fh if n.strip()}
+        with open(os.path.join(here, "QUEUE_REVERIFY.txt")) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) != 2 or not parts[1].isdigit():
+                    continue
+                name, fixed_round = parts[0], int(parts[1])
+                if last.get(name, 0) <= fixed_round:
+                    out.append(name)
     except OSError:
-        r09_pool = set(names)  # no manifest -> original behavior
-    never = [n for n in names if n not in seen]
-    return (
-        [n for n in never if n in r09_pool]
-        + [n for n in never if n not in r09_pool]
-        + [n for n in names if n in seen]
+        pass
+    return out
+
+
+def _least_recently_sampled_first(names) -> list[str]:
+    """Order query names for the driver's 50-query correctness sample.
+
+    Rotation v2 (round 12): the never-sampled pool drained to zero in
+    round 11, so "never-sampled first" degenerated to registration order
+    and the driver would re-check the same 50-name prefix forever.  The
+    new ordering is:
+
+    1. QUEUE_REVERIFY.txt names fixed after their last driver sample
+       (in file order) — so a post-sample correctness fix always gets
+       driver re-verification the very next round;
+    2. everything else by last-sampled round ASCENDING (never-sampled
+       queries sort first at round 0, preserving the old guarantee for
+       newly registered queries), tie-broken by registration order.
+
+    With a 355-query registry and a 50-query sample this re-cycles every
+    query through the driver roughly every 7 rounds.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    last = _last_sampled_rounds(here)
+    names = list(names)
+    reg_index = {n: i for i, n in enumerate(names)}
+    prio = [n for n in _reverify_priority(here, last) if n in reg_index]
+    prio_set = set(prio)
+    rest = sorted(
+        (n for n in names if n not in prio_set),
+        key=lambda n: (last.get(n, 0), reg_index[n]),
     )
+    return prio + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     qs = spark_queries()
-    return {n: qs[n] for n in _never_driver_sampled_first(qs)}
+    return {n: qs[n] for n in _least_recently_sampled_first(qs)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
     os_ = oracle_sqls()
-    return {n: os_[n] for n in _never_driver_sampled_first(os_)}
+    return {n: os_[n] for n in _least_recently_sampled_first(os_)}
