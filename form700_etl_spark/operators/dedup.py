@@ -231,11 +231,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
 
     Hybrid strategy, chosen by undirected pair count:
 
-    - ``n_pairs <= driver_threshold``: collect the pair list and run
-      union-find on the driver.  The LSH/Jaccard pair graph is already
-      the similarity-pruned RESIDUE of the corpus — even at 100 TB it
-      is typically millions of edges, not billions, and a 1M-pair
-      collect (~16-32 MB) + O(n alpha(n)) union-find beats paying
+    - ``n_pairs <= driver_threshold``: pull the pair list to the driver
+      as Arrow columns and run union-find there.  The LSH/Jaccard pair
+      graph is already the similarity-pruned RESIDUE of the corpus —
+      even at 100 TB it is typically millions of edges, not billions,
+      and a 1M-pair Arrow transfer (two int64 columns ≈ 16 MB; NOT 1M
+      Python Row objects) + O(n alpha(n)) union-find beats paying
       diameter-many distributed shuffle rounds of pure scheduling
       overhead.  This is the same judgment call as broadcasting a
       small join side.
@@ -245,18 +246,26 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
       stops early at a fixed point).  No collect — scales to any edge
       count.
 
-    Both paths produce identical labels (min doc_id per component)."""
-    # Probe-and-collect in ONE action: union-find is direction-blind, so
-    # the driver path needs neither the symmetrizing self-union nor a
-    # separate count — limit(threshold+1).collect() both decides the
-    # path and, when small, already holds every undirected pair.  (The
-    # previous shape ran four jobs before any union-find work — two
-    # localCheckpoint materializations, a count, and the collect — pure
-    # fixed cost that dominated this operator's wall at every SF, since
-    # the LSH residue is far under the threshold even at sf0.1.)
-    pairs = pairs.select("doc1", "doc2")
-    probe = pairs.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    ``driver_threshold`` counts UNDIRECTED pairs as emitted by the
+    LSH/Jaccard stage (one row per {doc1, doc2}), not symmetrized
+    directed edges — a threshold of 1M admits graphs of up to 2M
+    directed edges to the driver path.  Both paths produce identical
+    labels (min doc_id per component)."""
+    # Probe WITHOUT a driver transfer: persist the pair frame (lazy),
+    # then count() — ONE job whose result is a single long, so the
+    # BIG-graph path ships zero pair rows to the driver (the old shape
+    # collected threshold+1 Row objects, hundreds of MB, just to discard
+    # them).  A limit(t+1).count() probe would stop scanning early on
+    # huge graphs, but CollectLimit executes as several incremental
+    # scale-up jobs and the full count is never wasted here: it
+    # populates the cache that either the small path's Arrow toPandas or
+    # the Pregel path's localCheckpoint immediately drains.  Small path
+    # total: exactly two actions, pair lineage computed once.
+    pairs = pairs.select("doc1", "doc2").persist()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        pdf = pairs.toPandas()  # Arrow path: two int64 numpy columns
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -267,8 +276,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                 parent[x], x = root, parent[x]
             return root
 
-        for r in probe:
-            a, b = r["doc1"], r["doc2"]
+        for a, b in zip(pdf["doc1"].tolist(), pdf["doc2"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -281,8 +289,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         return spark.createDataFrame(out, "doc_id long, component_id long")
     # Pregel path: materialize the pairs once (the symmetrizing union
     # has two branches that would each re-run the pair lineage), then
-    # iterate min-label propagation.
+    # iterate min-label propagation.  localCheckpoint is eager, so the
+    # probe-time cache can be dropped immediately after.
+    pairs_cached = pairs
     pairs = pairs.localCheckpoint()
+    pairs_cached.unpersist()
     edges = (
         pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
         .unionByName(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))

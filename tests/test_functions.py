@@ -278,6 +278,69 @@ def test_connected_components_paths_agree(spark, sf_dir):
     assert fast == distributed and len(fast) > 0
 
 
+def test_connected_components_big_path_ships_no_pair_rows(spark, sf_dir, monkeypatch):
+    """With the graph above driver_threshold, the path probe must be a
+    count (a single long to the driver) — never a collect/toPandas of
+    pair rows (the pre-r12 shape collected threshold+1 Row objects just
+    to discard them)."""
+    from form700_etl_spark.operators.dedup import connected_components
+    from form700_etl_spark.queries.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2").localCheckpoint()
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract base
+    # in Spark 4; classic instances override its methods)
+    DataFrame = type(pairs)
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("big-graph path must not transfer pair rows")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = connected_components(pairs, driver_threshold=0)
+    monkeypatch.undo()
+    assert out.count() > 0
+
+
+def test_connected_components_small_path_is_two_actions(spark, sf_dir, monkeypatch):
+    """Small-graph path: one probe count + one Arrow toPandas, with the
+    probed frame persisted so the second action re-reads cached
+    partitions and the pair lineage never runs twice.  (Job-id counting
+    is the wrong granularity here — AQE legitimately splits a single
+    count() action into shuffle-stage sub-jobs.)"""
+    from form700_etl_spark.operators.dedup import connected_components
+    from form700_etl_spark.queries.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2").localCheckpoint()
+    DataFrame = type(pairs)  # concrete classic DataFrame class
+    calls = {"count": 0, "toPandas": 0, "collect": 0, "cached_at_toPandas": None}
+    orig_count, orig_topandas = DataFrame.count, DataFrame.toPandas
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_topandas(self):
+        calls["toPandas"] += 1
+        calls["cached_at_toPandas"] = self.storageLevel.useMemory
+        return orig_topandas(self)
+
+    def counting_collect(self, *a, **k):
+        calls["collect"] += 1
+        return []
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "toPandas", counting_topandas)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    connected_components(pairs)
+    monkeypatch.undo()
+    assert calls == {
+        "count": 1,
+        "toPandas": 1,
+        "collect": 0,
+        "cached_at_toPandas": True,
+    }, calls
+
+
 def test_udtf_chunker_matches_builtin_plan(spark, sf_dir):
     """The Python UDTF twin must emit exactly the rows of the builtin
     sequence/slice/explode chunker."""
