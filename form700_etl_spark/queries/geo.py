@@ -264,14 +264,15 @@ def geo_knn_grid_join(spark, sf_dir):
 _MIN_PTS = 4  # DBSCAN minPts, |N_eps(p)| counting p itself
 
 # Core-graph CC rounds for the oracle's layered min-label propagation.
-# Worst case for PURE propagation is the core graph's hop diameter,
-# geometrically bounded by box-diagonal/eps = sqrt(222^2+175^2)/4 ~ 71
-# hops (an eps-edge spans <= 4 km inside the fixed 2x2-degree box); the
-# pointer-jump step only accelerates.  Measured convergence: 1 round at
-# sf0.001, 6 at sf0.01, 34 at sf0.1, 30 at 10x density — 72 covers the
-# geometric bound outright and is >2x every measurement.  If rounds
-# were ever insufficient the mismatch is LOUD (the engine runs exact
-# union-find CC), never silent.
+# The convergence guarantee rests on the POINTER-JUMP step: each round
+# halves the remaining label-tree depth, so 72 doubling rounds converge
+# any component of hop diameter up to ~2^72 — every feasible graph.
+# (Box-diagonal/eps ~ 71 is only a LOWER bound on hops between the
+# farthest points; a snake-shaped eps-component can exceed it, so pure
+# min-label propagation alone would not be safely bounded by it.)
+# Measured convergence: 1 round at sf0.001, 6 at sf0.01, 34 at sf0.1,
+# 30 at 10x density.  If rounds were ever insufficient the mismatch is
+# LOUD (the engine runs exact union-find CC), never silent.
 _DBSCAN_CC_ROUNDS = 72
 
 

@@ -710,12 +710,21 @@ def embedding_power_iteration_top_pc(spark, sf_dir):
         # Spark's round(double) = BigDecimal.valueOf(x).setScale(0,
         # HALF_UP): valueOf goes through Double.toString (shortest
         # round-trip repr), which Python's repr() mirrors — NOT the
-        # exact binary expansion Decimal(float) would give.
+        # exact binary expansion Decimal(float) would give.  The
+        # shortest-repr guarantee of Double.toString is only exact on
+        # JDK 19+ (JDK-4511638 fixed the old excess-digit cases); this
+        # repo pins Java 17 where Double.toString can emit a non-shortest
+        # repr for a tiny set of doubles, but every value reaching this
+        # path is a quantized 1e6-scale ratio whose repr round-trips —
+        # revisit if jround inputs ever stop being quantized.
         return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
     v = {i: round(1e6 / (_PI_DIMS ** 0.5)) for i in dims}
     for _ in range(_PI_ROUNDS):
-        z = {i: sum(G[(i, j)] * v[j] for j in dims) for i in dims}
+        # G.get(..., 0): a dimension pair with no co-occurring vec_id is
+        # absent from the collected Gram rows; the old join-based z
+        # treated that as an implicit 0 (matters for ragged embeddings)
+        z = {i: sum(G.get((i, j), 0) * v[j] for j in dims) for i in dims}
         m = max(abs(zv) for zv in z.values())
         sc = {i: jround(1e6 * float(z[i]) / float(m)) for i in dims}
         nrm = math.sqrt(float(sum(s * s for s in sc.values())))

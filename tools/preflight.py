@@ -59,7 +59,25 @@ def run_pytest() -> tuple[bool, str]:
     return proc.returncode == 0, summary
 
 
-def run_crosscheck(sf_dir: str = "/root/testdata/sf0.01") -> tuple[bool, str]:
+def _default_crosscheck_dir() -> str:
+    """sf0.01 fixture dir for the crosscheck stage.  Honors
+    SPARK_GRAFT_SF001_DIR, else derives a sf0.01 sibling of
+    SPARK_GRAFT_SF_DIR (which the bench stage honors), else the
+    canonical harness path — so the preflight ritual works on hosts
+    with a different data layout."""
+    explicit = os.environ.get("SPARK_GRAFT_SF001_DIR")
+    if explicit:
+        return explicit
+    bench_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if bench_dir:
+        sibling = os.path.join(os.path.dirname(bench_dir.rstrip("/")), "sf0.01")
+        if os.path.isdir(sibling):
+            return sibling
+    return "/root/testdata/sf0.01"
+
+
+def run_crosscheck(sf_dir: str | None = None) -> tuple[bool, str]:
+    sf_dir = sf_dir or _default_crosscheck_dir()
     proc = subprocess.run(
         [sys.executable, "tools/crosscheck.py", sf_dir, "--all"],
         cwd=REPO,
