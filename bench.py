@@ -364,7 +364,7 @@ def _run_suite(spark, queries, names, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def _r4_fresh_jvm(sf_dir: str) -> dict | None:
+def _r4_fresh_jvm_once(sf_dir: str) -> dict | None:
     """Run the 24-query r4-comparable set in a FRESH JVM subprocess.
 
     Round 5's in-suite r4 subtotal inflated ~1.2x purely from single-JVM
@@ -397,6 +397,39 @@ def _r4_fresh_jvm(sf_dir: str) -> dict | None:
     return None
 
 
+_R4_RUNS = 3
+
+
+def _r4_fresh_jvm(sf_dir: str) -> tuple[dict | None, dict | None]:
+    """Median-of-3 fresh-JVM r4 measurement.
+
+    Round 11 measured 17.597 / 18.46 / 19.34 s on BYTE-IDENTICAL code —
+    a ~9% spread — and the best-of was committed as a record while the
+    driver's single run published the worst-of.  Running the fresh-JVM
+    subprocess _R4_RUNS times and reporting the MEDIAN (plus the full
+    spread) makes the headline number reproducible: claims are worded
+    against the median, and any single-run artifact (the driver's or
+    ours) should land inside the published spread.
+
+    Returns (median_run_payload, spread_dict)."""
+    runs = [r for r in (_r4_fresh_jvm_once(sf_dir) for _ in range(_R4_RUNS)) if r]
+    if not runs:
+        return None, None
+    ordered = sorted(runs, key=lambda r: r["value_r4_query_set"])
+    median = ordered[len(ordered) // 2]
+    values = [r["value_r4_query_set"] for r in ordered]
+    spread = {
+        "runs": values,
+        "best": values[0],
+        "median": median["value_r4_query_set"],
+        "worst": values[-1],
+        "rel_spread": round((values[-1] - values[0]) / values[0], 4)
+        if values[0]
+        else None,
+    }
+    return median, spread
+
+
 def main() -> None:
     import sys
 
@@ -406,11 +439,11 @@ def main() -> None:
     subset_r4 = "--subset" in sys.argv and "r4" in sys.argv
 
     if not subset_r4:
-        # Fresh-JVM pass for the comparable subtotal BEFORE this process
+        # Fresh-JVM passes for the comparable subtotal BEFORE this process
         # builds up suite pressure (and so its JSON can't interleave).
-        r4_fresh = _r4_fresh_jvm(sf_dir)
+        r4_fresh, r4_spread = _r4_fresh_jvm(sf_dir)
     else:
-        r4_fresh = None
+        r4_fresh, r4_spread = None, None
 
     spark = get_spark("form700-etl-spark-bench")
     queries = all_queries()
@@ -502,8 +535,8 @@ def main() -> None:
     # measured in its own fresh JVM (see _r4_fresh_jvm).  Falls back to
     # the in-suite subtotal if the subprocess failed for any reason.
     if r4_fresh is not None:
-        r4_value = r4_fresh["value_r4_query_set"]
-        r4_mode = "fresh_jvm"
+        r4_value = r4_fresh["value_r4_query_set"]  # median of _R4_RUNS
+        r4_mode = "fresh_jvm_median_of_%d" % _R4_RUNS
         # normalize the fresh-JVM number with the fresh JVM's OWN canary
         r4_host_factor = r4_fresh.get("host_factor", host_factor)
     else:
@@ -514,6 +547,7 @@ def main() -> None:
     detail = {
         "queries": timings,
         "r4_fresh_jvm": r4_fresh,
+        "r4_spread": r4_spread,
         "value_r4_in_suite": in_suite_r4,
         "streaming": streaming,
         "sf": sf,
@@ -540,6 +574,7 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "value_r4_query_set": r4_value,
                 "r4_mode": r4_mode,
+                "r4_spread": r4_spread,
                 # canary on the HEADLINE line too (VERDICT r9 task 1a):
                 # host speed adjudication without digging into the detail.
                 # canary_s = THIS suite process; r4_canary_s = the fresh

@@ -1100,23 +1100,57 @@ def dedup_prefix_filter_join(spark, sf_dir):
         .select("doc1", "doc2")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("cdoc2"), F.col("shingle").alias("sh2"))
+    # Verify via per-doc shingle-SET intersection (the same shape that
+    # rewrote graph_triangle_count in round 11): build each doc's
+    # shingle array once, then |S1 ∩ S2| evaluates inside codegen per
+    # candidate row — two doc-grain hash joins against the candidate
+    # list.  This replaces the r<=11 explode-verify, which expanded
+    # every candidate by its full shingle list (candidates x ~|S| rows)
+    # through an equi-join plus a (doc1, doc2) re-aggregation shuffle —
+    # at sf0.1 that intermediate was the query's dominant cost.  The
+    # per-row intersection is O(|S1|+|S2|) with doc-bounded arrays; the
+    # suffix filter (PPJoin+) was considered and skipped: it prunes
+    # candidates entering verification, but verification is now cheaper
+    # per candidate than the filter's own per-collision binary search.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=False)  # consumed by both candidate sides
+    # explicit partition count: at fixture scale AQE coalesces the
+    # ~2 MB candidate list to ONE partition, which would serialize all
+    # the array intersections onto a single core; an explicit N keeps
+    # the verify stage parallel (and at real scale the shuffle is a
+    # rounding error next to candidate generation)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = cand.repartition(nparts, "doc1")
     common = (
-        cand.join(s1, "doc1")
-        .join(s2, (F.col("doc2") == F.col("cdoc2")) & (F.col("sh1") == F.col("sh2")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc1"),
+                F.col("arr").alias("arr1"),
+                F.col("n").alias("n1"),
+            ),
+            "doc1",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc2"),
+                F.col("arr").alias("arr2"),
+                F.col("n").alias("n2"),
+            ),
+            "doc2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            "n1",
+            "n2",
+            F.size(F.array_intersect("arr1", "arr2")).alias("common"),
+        )
     )
-    z1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
     jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
-        common.join(z1, "doc1")
-        .join(z2, "doc2")
-        .filter(jac >= 0.5)
-        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    return common.filter(jac >= 0.5).select(
+        "doc1", "doc2", F.round(jac, 6).alias("jaccard")
     )
 
 

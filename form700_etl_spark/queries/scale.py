@@ -1440,8 +1440,11 @@ def graph_bfs_hops(spark, sf_dir):
     src = co.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("long").alias("hop")
     )
-    # level-synchronous expansion; frontiers checkpoint so level h+1
-    # builds on materialized level h instead of re-deriving the chain
+    # level-synchronous expansion; each FRONTIER checkpoints (it is
+    # consumed twice: the expansion join and the visited union), but
+    # `visited` stays a lazy union over the already-materialized levels
+    # — its consumers just re-scan k cached RDDs, so checkpointing the
+    # union again was one pure-scheduling job per level for nothing
     visited = src.localCheckpoint()
     frontier = visited
     for h in range(1, _BFS_MAX_HOPS + 1):
@@ -1453,7 +1456,7 @@ def graph_bfs_hops(spark, sf_dir):
             .select("node", F.lit(h).cast("long").alias("hop"))
             .localCheckpoint()
         )
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited.select(
         F.col("node").cast("bigint").alias("node"), "hop"
@@ -1768,7 +1771,7 @@ def graph_kcore_peel_profile(spark, sf_dir):
     _, adj = _stable_co_edges(spark, sf_dir)
     adj = adj.localCheckpoint()
     keep = adj.select("w").distinct().localCheckpoint()
-    counts: list[int] = []
+    survivors: list[DataFrame] = []
     for _ in range(_KCORE_ROUNDS):
         keep = (
             adj.join(keep, "w", "left_semi")
@@ -1779,9 +1782,24 @@ def graph_kcore_peel_profile(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("w")
-            .localCheckpoint()
+            .localCheckpoint()  # consumed by BOTH semi-joins next round
         )
-        counts.append(keep.count())
+        survivors.append(keep)
+    # ONE action for every per-round profile count: union the (already
+    # materialized) survivor sets tagged by round and count per tag —
+    # replaces _KCORE_ROUNDS separate count() jobs whose per-job
+    # scheduling cost dominated this query's wall (the r11 lesson:
+    # iterative-graph cost is per-round ACTIONS, not per-row work).
+    tagged = survivors[0].sparkSession.createDataFrame([], "round int, w long")
+    for i, s in enumerate(survivors):
+        tagged = tagged.unionByName(s.select(F.lit(i + 1).alias("round"), "w"))
+    counts_by_round = {
+        r: n
+        for r, n in tagged.groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = [counts_by_round.get(i + 1, 0) for i in range(_KCORE_ROUNDS)]
     converged = len(counts) >= 2 and counts[-1] == counts[-2]
     rows = [
         (i + 1, n, converged) for i, n in enumerate(counts)
@@ -1912,11 +1930,17 @@ def _lpa_labels(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("c"))
         )
         wv = W.partitionBy("w").orderBy(F.col("c").desc(), F.col("label"))
+        # NO per-round checkpoint: each round's labels are consumed
+        # exactly once (by the next round's join, or by the caller), so
+        # the lineage stays linear and the whole loop executes as ONE
+        # job — 4 materialization actions of pure scheduling cost
+        # removed (measured 4.18 -> 3.95 s warm, 8.8 -> 5.1 s cold at
+        # sf0.1).  Callers that consume the final labels more than once
+        # (graph_modularity_lpa) checkpoint the result themselves.
         labels = (
             counted.withColumn("rk", F.row_number().over(wv))
             .filter(F.col("rk") == 1)
             .select("w", "label")
-            .localCheckpoint()
         )
     return co, adj, labels
 
@@ -2238,14 +2262,19 @@ def graph_hits_hubs_authorities(spark, sf_dir):
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("a_raw"))
         )
-        # checkpoint each half-round: the max-agg consumes the raw
-        # scores a second time, so an unbroken lineage doubles per
-        # half-round (2^8 replays by round 4)
+        # ONE checkpoint per half-round, on the raw shuffle agg: the
+        # max-agg consumes the raw scores a second time, so an unbroken
+        # lineage doubles per half-round (2^8 replays by round 4).  The
+        # normalized projection stays LAZY — it is a broadcast of a
+        # 1-row max plus a narrow map over the checkpointed scores
+        # (~|nodes| rows), so its consumers replay only that, and the
+        # action count drops from 4 to 2 materializations per round
+        # (r12: 12.9 -> ~6.5 s at sf0.1, scheduling cost not row work).
         a_raw = a_raw.localCheckpoint()
         amax = a_raw.agg(F.max("a_raw").alias("amax"))
         a = a_raw.crossJoin(F.broadcast(amax)).select(
             "s", F.expr("CAST((a_raw * 1000000) DIV amax AS BIGINT)").alias("a")
-        ).localCheckpoint()
+        )
         h_raw = (
             edges.join(a, "s")
             .groupBy("c")
@@ -2255,7 +2284,7 @@ def graph_hits_hubs_authorities(spark, sf_dir):
         hmax = h_raw.agg(F.max("h_raw").alias("hmax"))
         h = h_raw.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("CAST((h_raw * 1000000) DIV hmax AS BIGINT)").alias("h")
-        ).localCheckpoint()
+        )
     top_a = a.select(
         F.lit("authority").alias("side"),
         F.col("s").cast("long").alias("key"),
