@@ -246,6 +246,24 @@ def synth_tables(out_dir: str) -> None:
     orders = con.execute(f"SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')").df()
     lineitem = con.execute(f"SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')").df()
     okey_stride = int(orders["o_orderkey"].max()) + 1
+    # SCALE_PROBE_SCALE_BASKETS=1: permute l_partkey per replica with an
+    # affine map over the part-key rank space (A coprime with |parts|),
+    # so each replica's baskets pair DIFFERENT parts.  Default replicas
+    # reuse the base baskets verbatim, which grows co-purchase SUPPORT
+    # but not DISTINCT edges — fine for support-filtered probes, but it
+    # left the triangle intersect stage unprobed: out-degree arrays
+    # never grew (VERDICT r11 task 6).  With the permutation, distinct
+    # edges grow ~SCALEx and per-node degree ~SCALEx while the node set
+    # stays fixed — exactly the axis the O(sqrt(m)) orientation bound
+    # is about.
+    scale_baskets = os.environ.get("SCALE_PROBE_SCALE_BASKETS") == "1"
+    if scale_baskets:
+        import math
+
+        pk_sorted = np.sort(lineitem["l_partkey"].unique())
+        n_pk = len(pk_sorted)
+        pk_rank = pd.Series(np.arange(n_pk), index=pk_sorted)
+        base_rank = pk_rank[lineitem["l_partkey"].to_numpy()].to_numpy()
     o_frames, l_frames = [orders], [lineitem]
     for i in range(1, SCALE):
         o_rep = orders.copy()
@@ -255,6 +273,11 @@ def synth_tables(out_dir: str) -> None:
         o_frames.append(o_rep)
         l_rep = lineitem.copy()
         l_rep["l_orderkey"] = l_rep["l_orderkey"] + i * okey_stride
+        if scale_baskets:
+            a = 2 * i + 3
+            while math.gcd(a, n_pk) != 1:
+                a += 2
+            l_rep["l_partkey"] = pk_sorted[(base_rank * a + 17 * i) % n_pk]
         l_frames.append(l_rep)
     pq.write_table(
         pa.Table.from_pandas(pd.concat(o_frames, ignore_index=True), preserve_index=False),
@@ -295,6 +318,74 @@ def synth_tables(out_dir: str) -> None:
         )
 
 
+def _triangle_stages(spark, sf_dir: str) -> dict:
+    """Stage-split replay of queries/scale.py::graph_triangle_count —
+    pair generation + orientation materialized first, then the
+    adjacency-build + intersect stage timed on its own, plus the
+    out-degree profile that the O(sqrt(m)) orientation bound governs.
+    Probe-only duplication of the query's plan, kept in lockstep by the
+    n_triangles cross-print."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    t0 = _t.perf_counter()
+    co = (
+        li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i+2, size(ps)), y -> struct(x AS u, y AS v))))"
+        )).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionByName(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    okey = deg.select("node", (F.col("d") * 1000000000 + F.col("node")).alias("k"))
+    ku = okey.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = okey.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    oriented = (
+        co.join(ku, "u").join(kv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    pairgen_s = _t.perf_counter() - t0
+    n_edges = oriented.count()
+    outdeg = oriented.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    od = outdeg.agg(
+        F.max("od").alias("mx"), F.avg("od").alias("avg")
+    ).collect()[0]
+    t0 = _t.perf_counter()
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
+    tri = (
+        oriented.join(adj, "s")
+        .join(adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t")), "t")
+        .select(F.size(F.array_intersect("nbrs", "nbrs_t")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
+    ).collect()[0][0]
+    intersect_s = _t.perf_counter() - t0
+    return {
+        "n_edges": n_edges,
+        "max_outdeg": int(od["mx"]),
+        "avg_outdeg": round(float(od["avg"]), 2),
+        "sqrt_2m": round((2 * n_edges) ** 0.5, 1),
+        "pairgen_s": round(pairgen_s, 2),
+        "intersect_s": round(intersect_s, 2),
+        "n_triangles": int(tri),
+    }
+
+
 def main() -> None:
     from form700_etl_spark.registry import all_queries
     from form700_etl_spark.session import get_spark
@@ -306,6 +397,14 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     queries = all_queries()
+    if "--triangle-stages" in sys.argv:
+        # run with SCALE_PROBE_SCALE_BASKETS=1 (+ its own SCALE_PROBE_DIR)
+        # so distinct edges actually grow between the two corpora
+        for label, d in (("sf0.1", SF_DIR), (f"{SCALE}x", out_dir)):
+            r = _triangle_stages(spark, d)
+            print(f"triangle_stages[{label}]: {r}", flush=True)
+        spark.stop()
+        return
     probe = [a for a in sys.argv[1:] if not a.startswith("-")] or PROBE_QUERIES
     print(f"| query | sf0.1 s | 10x s | time ratio | sf0.1 rows | 10x rows | row ratio |")
     print(f"|---|---|---|---|---|---|---|")
