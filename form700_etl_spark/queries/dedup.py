@@ -86,7 +86,25 @@ def _shingles_cached(spark, sf_dir, max_df: int | None = None) -> DataFrame:
     key = (app_id, sf_dir, max_df)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
-        df = _shingles(spark, sf_dir, max_df=max_df).cache()
+        if max_df is not None:
+            # Derive the capped table from the CACHED uncapped one
+            # instead of re-running the full scan+explode+distinct
+            # lineage: the cap is just a df-groupBy + broadcast
+            # anti-join on top of the distinct shingle set, identical
+            # to what operators.dedup.shingle(max_shingle_df=...)
+            # computes internally.  Cold-profiling (r12) showed each
+            # variant cost ~5-7 s to populate independently at sf0.1 —
+            # almost all of it the shared upstream stages.
+            base = _shingles_cached(spark, sf_dir, max_df=None)
+            hot = (
+                base.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_df)
+                .select("shingle")
+            )
+            df = base.join(F.broadcast(hot), "shingle", "left_anti").cache()
+        else:
+            df = _shingles(spark, sf_dir, max_df=max_df).cache()
         _SHINGLE_CACHE[key] = df
     return df
 
