@@ -51,6 +51,7 @@ def main() -> None:
 
     print("| variant | recall@k vs exact | sec (vs exact " f"{t_truth:.2f}s) |")
     print("|---|---|---|")
+    artifact = {"sf_dir": sf_dir, "truth_sec": round(t_truth, 2), "variants": {}}
     for name in VARIANTS:
         start = time.perf_counter()
         approx = _pairs(queries[name].fn(spark, sf_dir))
@@ -63,6 +64,37 @@ def main() -> None:
         k_var = max((len(v) for v in approx.values()), default=0)
         denom = sum(min(len(truth[q]), k_var) for q in truth)
         print(f"| {name} | {hits}/{denom} = {hits / max(denom, 1):.2f} | {sec:.2f} |")
+        artifact["variants"][name] = {
+            "recall": round(hits / max(denom, 1), 4),
+            "hits": hits,
+            "denom": denom,
+            "k": k_var,
+            "sec": round(sec, 2),
+        }
+    # Known fixture artifact, annotated so a 0 doesn't read as a silent
+    # regression: single-probe 8-bit sign-LSH over the weakly-clustered
+    # 2k-vector fixture has ~2% expected collision recall at the true
+    # neighbors' ~0.35 cosine (p = (1 - theta/pi)^8); the variant's
+    # value is the bucket-prune SHAPE (search one bucket, exact rerank
+    # inside), the scale path where corpora are large and multi-probe
+    # raises recall.  Its exactness is oracle-checked; this table tracks
+    # drift, and the IVF/PQ rows are the meaningful recall signals.
+    artifact["variants"]["ann_lsh_signbit_topk"]["note"] = (
+        "single-probe 8-bit LSH: ~2% expected recall on this fixture by "
+        "design; tracked for drift, not quality"
+    )
+    # Committed per-round artifact: the rows-only ANN family
+    # (IVF/PQ/matmul/LSH) has no SQL oracle, so this JSON is its tracked
+    # quality metric the way BENCH_r{N}.json tracks time — regressions
+    # in recall show up as a diff, not a vibe (VERDICT r11 task 8).
+    import json
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN_EVAL.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"# wrote {out_path}")
     spark.stop()
 
 
