@@ -42,12 +42,35 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _negzero_columns(df: pd.DataFrame) -> list[str]:
+    """Columns containing IEEE -0.0 — banned by the registry convention
+    (registry.py docstring): any final rounded double that can reach
+    exact zero from below must add ``+ 0.0`` on BOTH sides, because the
+    engines disagree on the sign of a rounded tiny negative (the
+    round-10 graph_modularity_lpa escape).  Making the rule mechanical:
+    a -0.0 in EITHER engine's output means a missing guard, even when
+    both sides happen to agree today."""
+    bad = []
+    for col in df.columns:
+        for v in df[col]:
+            if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+                bad.append(col)
+                break
+    return bad
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> None:
     actual = spark_df.toPandas()
     expected = con.execute(sql).df()
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"{name}: column mismatch spark={sorted(actual.columns)} duckdb={sorted(expected.columns)}"
     )
+    for side, df in (("spark", actual), ("duckdb", expected)):
+        bad = _negzero_columns(df)
+        assert not bad, (
+            f"{name}: {side} emits -0.0 in {bad} — add '+ 0.0' after the "
+            "final round on both sides (registry signed-zero convention)"
+        )
     assert len(actual) == len(expected), (
         f"{name}: row count mismatch spark={len(actual)} duckdb={len(expected)}"
     )
