@@ -266,6 +266,11 @@ HEADLINE = [
     "recsys_item_item_jaccard_topk",
     "linkage_sorted_neighborhood",
     "events_markov_removal_attribution",
+    # round-12: personalized PageRank (sparse random-walk-with-restart,
+    # single-lineage loop) and the SCD2 as-of fact join (equi join on
+    # the key + validity residual).
+    "graph_personalized_pagerank",
+    "temporal_scd2_asof_join",
 ]
 
 

@@ -644,6 +644,199 @@ def graph_pagerank_bipartite(spark, sf_dir):
     )
 
 
+_PPR_ITERS = 3
+
+
+def _ppr_sql(iters: int) -> str:
+    parts = [
+        """pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    src AS (SELECT MIN(u) AS s FROM edges WHERE u % 2 = 0),
+    r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS rank FROM src)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    r{i} AS (
+        SELECT node, CAST(SUM(val) AS BIGINT) AS rank FROM (
+            SELECT e.v AS node,
+                   (850 * SUM(r.rank // d.d)) // 1000 AS val
+            FROM edges e
+            JOIN r{i - 1} r ON r.node = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+            UNION ALL
+            SELECT s AS node, CAST(150000 AS BIGINT) AS val FROM src
+        ) GROUP BY node
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS key, rank AS rank_micro
+    FROM r{iters} ORDER BY rank_micro DESC, node LIMIT 20
+    """
+    )
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_sql(_PPR_ITERS),
+    tags=("graph", "iterative", "scale"),
+    doc=(
+        f"Personalized PageRank (random walk with restart; Haveliwala "
+        f"2002), {_PPR_ITERS} iterations from the lowest-id customer "
+        "over the bipartite purchase graph: r = 0.15*e_src + 0.85*W r, "
+        "in the registry's integer micro-unit discipline (DIV "
+        "throughout, exact on both engines).  The rank table stays "
+        "SPARSE — only reached nodes carry rows, the property that "
+        "makes PPR the scalable per-user recommender primitive (the "
+        "frontier is the source's neighborhood, never the full graph; "
+        "global PageRank by contrast iterates a dense vector).  Per "
+        "iteration: one edge join against the sparse ranks + one "
+        "destination agg + a 1-row restart union; the whole loop is "
+        "ONE lazy lineage (no per-round materialization — each round's "
+        "ranks are consumed exactly once, the round-12 LPA lesson).  "
+        "Top-20 by rank with the PageRank tie order."
+    ),
+)
+def graph_personalized_pagerank(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)  # reused by deg, src, and every iteration
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    src = edges.filter(F.col("u") % 2 == 0).agg(F.min("u").alias("node"))
+    ranks = src.select("node", F.lit(1000000).cast("long").alias("rank"))
+    restart = src.select("node", F.lit(150000).cast("long").alias("val"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.u == ranks.node)
+            .join(deg, "u")
+            .groupBy("v")
+            .agg(F.expr("CAST((850 * SUM(rank DIV d)) DIV 1000 AS BIGINT)").alias("val"))
+            .select(F.col("v").alias("node"), "val")
+        )
+        ranks = (
+            contrib.unionByName(restart)
+            .groupBy("node")
+            .agg(F.sum("val").cast("long").alias("rank"))
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("CAST(node DIV 2 AS BIGINT)").alias("key"),
+            F.col("rank").alias("rank_micro"),
+        )
+        .orderBy(
+            F.desc("rank_micro"),
+            F.asc(F.expr("key * 2 + CAST(node_type = 'supplier' AS INT)")),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "temporal_scd2_asof_join",
+    oracle=f"""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               '1992-01-01' AS valid_from, '9999-12-31' AS valid_to
+        FROM customer
+    ),
+    chg AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment, '1995-06-01' AS change_date
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    dim AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+               CASE WHEN g.c_custkey IS NOT NULL THEN g.change_date
+                    ELSE c.valid_to END AS valid_to
+        FROM cur c LEFT JOIN chg g ON c.c_custkey = g.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, change_date AS valid_from,
+               '9999-12-31' AS valid_to
+        FROM chg
+    )
+    -- validity bounds are ISO-8601 strings (the scd2_apply fixture
+    -- convention); the order date casts to 'YYYY-MM-DD', which orders
+    -- lexicographically exactly like the date
+    SELECT d.c_mktsegment AS segment_asof,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql('o.o_totalprice')}) AS BIGINT) / 100.0 AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND CAST(o.o_orderdate AS VARCHAR) >= d.valid_from
+              AND CAST(o.o_orderdate AS VARCHAR) < d.valid_to
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("scale", "merge", "join", "temporal"),
+    doc=(
+        "AS-OF join of a fact against an SCD type-2 dimension: every "
+        "order picks the customer-segment version VALID AT its order "
+        "date (valid_from inclusive, valid_to exclusive) — the "
+        "production consumption side of scd2_history_equivalence, which "
+        "only builds the history.  The dim is built by the same "
+        "operators/merge.py::scd2_apply (keys %7 change segment on "
+        "1995-06-01, inside the order-date range so both versions "
+        "receive facts); the join is an EQUI join on the key with the "
+        "validity window as a residual predicate — per-key version "
+        "counts are small by construction in any SCD2 table, so this "
+        "beats a range join, and at 100 TB fact and dim bucket on the "
+        "key making the exchange free.  Exactly one version matches "
+        "per fact row (windows partition the timeline), asserted by "
+        "the oracle equality on n_orders.  Revenue in exact cents."
+    ),
+)
+def temporal_scd2_asof_join(spark, sf_dir):
+    from ..operators.merge import scd2_apply
+
+    c = table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1992-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("1995-06-01").alias("change_date"),
+    )
+    dim = scd2_apply(current, changes, "c_custkey", open_marker="9999-12-31")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    od = F.col("o_orderdate").cast("string")  # ISO form: string order == date order
+    joined = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (od >= dim.valid_from)
+        & (od < dim.valid_to),
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment_asof"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(cents("o_totalprice")).cast("long") / 100.0).alias("revenue"),
+        )
+        .orderBy("segment_asof")
+    )
+
+
 @register(
     "table_diff_orders_snapshot",
     oracle=f"""
