@@ -1086,3 +1086,32 @@ def test_connected_components_result_is_materialized_not_relineaged(spark, sf_di
     plan = plan_of(spark, sf_dir, "dedup_clusters_connected")
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_asof_join_partitions_every_fact_exactly_once(spark, sf_dir):
+    """temporal_scd2_asof_join: the validity windows partition the
+    timeline, so Σ n_orders must equal COUNT(orders) — no fact dropped,
+    none double-matched — and the plan must stay an equi hash join
+    (validity as residual), never a cartesian/range expansion."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+
+    rows = QUERIES["temporal_scd2_asof_join"].fn(spark, sf_dir).collect()
+    total = sum(r.n_orders for r in rows)
+    assert total == table(spark, sf_dir, "orders").count()
+    assert any(r.segment_asof == "MOVED" for r in rows)  # post-change mass
+    plan = plan_of(spark, sf_dir, "temporal_scd2_asof_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_personalized_pagerank_mass_is_source_anchored(spark, sf_dir):
+    """graph_personalized_pagerank: the restart keeps the source the
+    top-ranked node (0.15 mass re-injected there every round while all
+    other mass divides over out-edges), and every returned rank is a
+    positive integer micro-unit — the exactness contract."""
+    rows = QUERIES["graph_personalized_pagerank"].fn(spark, sf_dir).collect()
+    assert rows and rows[0].node_type == "customer"
+    assert all(r.rank_micro > 0 for r in rows)
+    assert rows[0].rank_micro == max(r.rank_micro for r in rows)
