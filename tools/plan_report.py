@@ -64,6 +64,8 @@ REPORT_QUERIES = [
     # value-grain rank tests, bucket-blocked interval join, fusion.
     ("embedding_kmeans_lloyd", "broadcast-centers assignment: no join, no window, one hash agg"),
     ("graph_kcore_peel_profile", "per-round semi-joins + degree agg over the checkpointed survivor set"),
+    ("graph_personalized_pagerank", "sparse random-walk-with-restart: one lazy lineage, 1-row restart union per round"),
+    ("temporal_scd2_asof_join", "SCD2 as-of fact join: equi join on the key, validity window as residual predicate"),
     ("stats_kruskal_wallis", "one value-grain rank window, micro-quantized k-term combine"),
     ("intervals_overlap_join", "week-bucket equi join + distinct + exact overlap verify"),
     ("ann_hybrid_rrf_fusion", "two streamed WindowGroupLimit rankings (hoisted norms) + exact RRF combine"),
