@@ -271,6 +271,7 @@ HEADLINE = [
     # the key + validity residual).
     "graph_personalized_pagerank",
     "temporal_scd2_asof_join",
+    "sketch_ams_f2_selfjoin",
 ]
 
 

@@ -870,3 +870,140 @@ def sketch_kmv_set_ops(spark, sf_dir):
             6,
         ).alias("exact_jaccard"),
     ).orderBy("type_a", "type_b")
+
+
+# AMS tug-of-war layout: median of GROUP MEANS, the canonical bias-safe
+# shape — the median of single estimators X = (sum +-f)^2 sits near
+# 0.455*F2 (chi-square-1 median), which a first draft of this query
+# reproduced exactly (measured 0.24-0.46*F2).  5 groups x 13 estimators:
+# group-mean stddev = sqrt(2/13)*F2 ~ 0.39*F2, and the 5-way median is
+# a pure integer order statistic over group SUMS (the /13 happens once,
+# at the end).
+_AMS_GROUPS = 5
+_AMS_PER_GROUP = 13
+_AMS_STREAMS = _AMS_GROUPS * _AMS_PER_GROUP  # 65 <= 128 md5 sign bits
+
+
+def _ams_sign_sql(j: int) -> str:
+    """+-1 for stream j from bit (j-1)//32 of hex digit (j-1)%32+1 of
+    the portable md5 — 4 independent sign bits per digit, the same
+    engine-reproducible hash discipline as the KMV sketch.  Pure
+    integer arithmetic ((v // 2^b) % 2), identical in both engines."""
+    digit = (j - 1) % 32 + 1
+    shift = 1 << ((j - 1) // 32)
+    return (
+        "CASE WHEN ((instr('0123456789abcdef', "
+        f"substr(md5(CAST(l_partkey AS VARCHAR)), {digit}, 1)) - 1) "
+        f"// {shift}) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+def _ams_group_sql(g: int) -> str:
+    """Group g's sum of squared stream sums, over the z{j} columns."""
+    terms = " + ".join(
+        f"z{j} * z{j}"
+        for j in range(g * _AMS_PER_GROUP + 1, (g + 1) * _AMS_PER_GROUP + 1)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "sketch_ams_f2_selfjoin",
+    oracle=f"""
+    WITH sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS stream_rows,
+               {", ".join(f"CAST(SUM({_ams_sign_sql(j)}) AS BIGINT) AS z{j}"
+                          for j in range(1, _AMS_STREAMS + 1))}
+        FROM lineitem
+    ),
+    est AS (
+        SELECT stream_rows,
+               CAST(round(CAST(list_sort([{", ".join(_ams_group_sql(g)
+                                          for g in range(_AMS_GROUPS))}])
+                   [{_AMS_GROUPS // 2 + 1}] AS DOUBLE)
+                   / {_AMS_PER_GROUP}.0) AS BIGINT) AS ams_estimate_f2
+        FROM sums
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey
+        )
+    )
+    SELECT e.stream_rows, x.exact_f2, e.ams_estimate_f2,
+           round((CAST(e.ams_estimate_f2 AS DOUBLE) - x.exact_f2)
+                 / x.exact_f2, 4) + 0.0 AS rel_error
+    FROM est e CROSS JOIN exact x
+    """,
+    tags=("approx", "sketch", "scale"),
+    doc=(
+        "AMS F2 / self-join-size sketch (Alon-Matias-Szegedy 1996, the "
+        "tug-of-war estimator in its canonical median-of-means shape): "
+        "65 independent +-1 sign streams (md5 bit extraction — engine-"
+        "reproducible like the KMV hash) summed in ONE map-side pass; "
+        "squared stream sums average within 5 groups of 13 and the odd "
+        "group-count MEDIAN is a pure integer order statistic over "
+        "group sums, so sketch content, estimate, and relative error "
+        "are all oracle-checked cell-exact.  F2 = sum_k f(k)^2 = "
+        "|lineitem JOIN lineitem ON l_partkey| — the classic pre-join "
+        "cardinality probe: at 100 TB the 65 counters cost one scan "
+        "with constant state, merge by ADDITION across shards (law "
+        "test), and bound a join's output before any shuffle is paid; "
+        "the exact side here is the audit, not the production path.  "
+        "The signed rel_error adds the registry's + 0.0 guard (a tiny "
+        "negative rounds to -0.0 on one engine otherwise)."
+    ),
+)
+def sketch_ams_f2_selfjoin(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    signs = li.select(
+        *[
+            F.expr(_ams_sign_sql(j).replace("AS VARCHAR", "AS STRING").replace("//", "DIV"))
+            .cast("long")
+            .alias(f"s{j}")
+            for j in range(1, _AMS_STREAMS + 1)
+        ]
+    )
+    sums = signs.agg(
+        F.count(F.lit(1)).cast("long").alias("stream_rows"),
+        *[
+            F.sum(f"s{j}").cast("long").alias(f"z{j}")
+            for j in range(1, _AMS_STREAMS + 1)
+        ],
+    )
+    groups = [
+        F.expr(
+            " + ".join(
+                f"z{j} * z{j}"
+                for j in range(g * _AMS_PER_GROUP + 1, (g + 1) * _AMS_PER_GROUP + 1)
+            )
+        ).cast("long")
+        for g in range(_AMS_GROUPS)
+    ]
+    est = sums.select(
+        "stream_rows",
+        F.round(
+            F.element_at(F.sort_array(F.array(*groups)), _AMS_GROUPS // 2 + 1)
+            .cast("double")
+            / float(_AMS_PER_GROUP)
+        )
+        .cast("long")
+        .alias("ams_estimate_f2"),
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "stream_rows",
+        "exact_f2",
+        "ams_estimate_f2",
+        (
+            F.round(
+                (F.col("ams_estimate_f2").cast("double") - F.col("exact_f2"))
+                / F.col("exact_f2"),
+                4,
+            )
+            + 0.0
+        ).alias("rel_error"),
+    )

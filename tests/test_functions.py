@@ -871,3 +871,43 @@ class TestAudioFingerprint:
             .collect()
         }
         assert got == expect, (len(got), len(expect))
+
+
+def test_ams_f2_sketch_merges_by_addition(spark, sf_dir):
+    """AMS tug-of-war law: the 17 sign-stream sums computed per shard
+    and ADDED equal the whole-stream sums (the sketch's mergeability —
+    at scale each shard ships 17 counters, never rows), and the median
+    estimate lands within the error band of the median-of-means layout
+    (group-mean stddev sqrt(2/13)*F2 ~ 0.39*F2; the 5-way median stays
+    within +-60% w.h.p. — loose, but locks sign conventions, the
+    bias-safe estimator shape, and scale)."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.queries.sqlapi import _AMS_STREAMS, _ams_sign_sql
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    sign_cols = [
+        F.expr(_ams_sign_sql(j).replace("AS VARCHAR", "AS STRING").replace("//", "DIV"))
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(1, _AMS_STREAMS + 1)
+    ]
+    sums = [F.sum(f"s{j}").cast("long").alias(f"z{j}") for j in range(1, _AMS_STREAMS + 1)]
+    whole = li.select(*sign_cols).agg(*sums).collect()[0]
+    shards = (
+        li.withColumn("shard", (F.col("l_orderkey") % 3).cast("int"))
+        .select("shard", *sign_cols)
+        .groupBy("shard")
+        .agg(*sums)
+        .collect()
+    )
+    assert len(shards) == 3
+    for j in range(1, _AMS_STREAMS + 1):
+        assert sum(r[f"z{j}"] for r in shards) == whole[f"z{j}"], j
+
+    from form700_etl_spark.queries.sqlapi import sketch_ams_f2_selfjoin
+
+    row = sketch_ams_f2_selfjoin(spark, sf_dir).collect()[0]
+    assert abs(row.rel_error) <= 0.6, row
+    assert row.ams_estimate_f2 > 0 and row.exact_f2 > 0
