@@ -79,7 +79,7 @@ def _reverify_priority(here: str, last: dict[str, int]) -> list[str]:
     return out
 
 
-def _least_recently_sampled_first(names) -> list[str]:
+def _least_recently_sampled_first(names, here: str | None = None) -> list[str]:
     """Order query names for the driver's 50-query correctness sample.
 
     Rotation v2 (round 12): the never-sampled pool drained to zero in
@@ -97,7 +97,8 @@ def _least_recently_sampled_first(names) -> list[str]:
     With a 355-query registry and a 50-query sample this re-cycles every
     query through the driver roughly every 7 rounds.
     """
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     last = _last_sampled_rounds(here)
     names = list(names)
     reg_index = {n: i for i, n in enumerate(names)}

@@ -43,21 +43,15 @@ def _write_artifacts(tmp_path, samples: dict[int, list[str]]):
         (tmp_path / f"CORRECTNESS_r{rnd}.json").write_text(json.dumps(payload))
 
 
-def test_lrs_orders_by_last_round_then_registration(tmp_path, monkeypatch):
+def test_lrs_orders_by_last_round_then_registration(tmp_path):
     _write_artifacts(tmp_path, {1: ["a", "c"], 2: ["c", "d"]})
     last = adapter._last_sampled_rounds(str(tmp_path))
     assert last == {"a": 1, "c": 2, "d": 2}
-    monkeypatch.setattr(
-        adapter.os.path, "dirname", lambda p: str(tmp_path), raising=True
-    )
     # registration order: b never sampled (round 0) -> first; then a (r1);
     # then c,d (r2) in registration order.
-    assert adapter._least_recently_sampled_first(["a", "b", "c", "d"]) == [
-        "b",
-        "a",
-        "c",
-        "d",
-    ]
+    assert adapter._least_recently_sampled_first(
+        ["a", "b", "c", "d"], here=str(tmp_path)
+    ) == ["b", "a", "c", "d"]
 
 
 def test_reverify_priority_is_self_clearing(tmp_path):
@@ -69,34 +63,40 @@ def test_reverify_priority_is_self_clearing(tmp_path):
     assert adapter._reverify_priority(str(tmp_path), last) == ["x"]
 
 
-def test_priority_names_lead_and_rest_stay_lrs(tmp_path, monkeypatch):
+def test_priority_names_lead_and_rest_stay_lrs(tmp_path):
     _write_artifacts(tmp_path, {5: ["p", "q"], 9: ["r"]})
     (tmp_path / "QUEUE_REVERIFY.txt").write_text("r\t9\nmissing\t9\n")
-    monkeypatch.setattr(
-        adapter.os.path, "dirname", lambda p: str(tmp_path), raising=True
-    )
     # r has priority (fixed in r9, last sampled r9 -> still <= fixed_round);
     # "missing" is not registered and must be dropped; p,q follow by LRS.
-    assert adapter._least_recently_sampled_first(["p", "q", "r"]) == ["r", "p", "q"]
+    assert adapter._least_recently_sampled_first(
+        ["p", "q", "r"], here=str(tmp_path)
+    ) == ["r", "p", "q"]
 
 
 # ------------------------------------------------------------- real repo
 
 
-def test_round12_sample_leads_with_fixed_queries():
-    """The two queries fixed in round 11 AFTER their last driver sample
-    (graph_modularity_lpa r10, stats_deming_regression r6) must lead the
-    round-12 sample, followed by the stalest names."""
+def test_next_sample_leads_with_reverify_queue_then_stalest():
+    """Whatever the CURRENT repo artifacts say, the next driver sample
+    must lead with the still-pending QUEUE_REVERIFY names (in file
+    order) and follow with the registry's least-recently-sampled names.
+    Expectations are derived from _reverify_priority()/_last_sampled_rounds
+    at runtime so committing a new CORRECTNESS_r{n}.json (which self-clears
+    satisfied priorities) cannot break the test."""
     if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
         pytest.skip("driver artifacts not present")
     sys.path.insert(0, REPO)
     from form700_etl_spark.registry import oracle_sqls
 
-    names = adapter._least_recently_sampled_first(list(oracle_sqls()))
-    assert names[0] == "graph_modularity_lpa"
-    assert names[1] == "stats_deming_regression"
+    registered = list(oracle_sqls())
+    names = adapter._least_recently_sampled_first(registered)
     last = adapter._last_sampled_rounds(REPO)
-    tail_rounds = [last.get(n, 0) for n in names[2:50]]
+    expected_prio = [
+        n for n in adapter._reverify_priority(REPO, last) if n in set(registered)
+    ]
+    assert names[: len(expected_prio)] == expected_prio
+    k = len(expected_prio)
+    tail_rounds = [last.get(n, 0) for n in names[k:50]]
     # the rest of the 50-sample is strictly the stalest of the registry
-    rest_sorted = sorted(last.get(n, 0) for n in names[2:])
-    assert tail_rounds == rest_sorted[:48]
+    rest_sorted = sorted(last.get(n, 0) for n in names[k:])
+    assert tail_rounds == rest_sorted[: 50 - k]
