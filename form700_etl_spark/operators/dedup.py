@@ -260,8 +260,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     # scale-up jobs and the full count is never wasted here: it
     # populates the cache that either the small path's Arrow toPandas or
     # the Pregel path's localCheckpoint immediately drains.  Small path
-    # total: exactly two actions, pair lineage computed once.
-    pairs = pairs.select("doc1", "doc2").persist()
+    # total: exactly two actions, pair lineage computed once.  The probe
+    # cache is DISK_ONLY: on the big path the localCheckpoint writes a
+    # second (block-store) copy before this one is dropped, and holding
+    # two memory-resident copies of a billion-edge list at peak would
+    # undercut the any-edge-count claim — spilling the probe copy keeps
+    # the peak at one in-memory copy plus one sequential-disk copy.
+    from pyspark import StorageLevel
+
+    pairs = pairs.select("doc1", "doc2").persist(StorageLevel.DISK_ONLY)
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
         pdf = pairs.toPandas()  # Arrow path: two int64 numpy columns

@@ -321,7 +321,10 @@ def test_connected_components_small_path_is_two_actions(spark, sf_dir, monkeypat
 
     def counting_topandas(self):
         calls["toPandas"] += 1
-        calls["cached_at_toPandas"] = self.storageLevel.useMemory
+        # DISK_ONLY probe cache (big path holds a block-store copy too,
+        # so the probe copy deliberately stays off-heap-of-memory)
+        lvl = self.storageLevel
+        calls["cached_at_toPandas"] = bool(lvl.useDisk or lvl.useMemory)
         return orig_topandas(self)
 
     def counting_collect(self, *a, **k):
@@ -874,9 +877,10 @@ class TestAudioFingerprint:
 
 
 def test_ams_f2_sketch_merges_by_addition(spark, sf_dir):
-    """AMS tug-of-war law: the 17 sign-stream sums computed per shard
-    and ADDED equal the whole-stream sums (the sketch's mergeability —
-    at scale each shard ships 17 counters, never rows), and the median
+    """AMS tug-of-war law: the _AMS_STREAMS (5 groups x 13 = 65)
+    sign-stream sums computed per shard and ADDED equal the whole-stream
+    sums (the sketch's mergeability — at scale each shard ships 65
+    counters, never rows), and the median
     estimate lands within the error band of the median-of-means layout
     (group-mean stddev sqrt(2/13)*F2 ~ 0.39*F2; the 5-way median stays
     within +-60% w.h.p. — loose, but locks sign conventions, the
