@@ -47,10 +47,13 @@ from ..operators.similarity import (  # noqa: E402
     oracle=None,  # ANN with approximate recall: rows-only; recall tested vs exact
     tags=("similarity", "topk", "ivf"),
     doc=(
-        "IVF ANN: distributed Lloyd k-means centroids (10 clusters, 2 "
-        "iterations; numpy-assign + JVM per-dimension mean update), corpus "
-        "bucketed by nearest centroid, 3-probe search with exact rerank — "
-        "scans ~30% of the corpus per query."
+        "IVF ANN: sample-trained Lloyd k-means centroids (10 clusters, "
+        "farthest-point init, 8 iterations on a driver-side hash sample), "
+        "corpus bucketed by nearest centroid, 3-probe search with exact "
+        "rerank — scans ~30% of the corpus per query.  Fixture recall is "
+        "bounded by the scanned fraction (noise-driven neighbor structure; "
+        "see ANN_EVAL.json fixture_diagnosis/clustered_crossover for when "
+        "IVF beats the exact matmul scan)."
     ),
 )
 def ann_ivf_topk(spark, sf_dir):
@@ -136,7 +139,9 @@ _BUCKET_SQL = (
     sims AS (
         SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
                {_COS_SQL} AS cosine
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        FROM v a JOIN v b
+          ON bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 3
+         AND a.vec_id <> b.vec_id
         WHERE a.vec_id % 50 = 0
     ),
     ranked AS (
@@ -149,11 +154,19 @@ _BUCKET_SQL = (
     """,
     tags=("similarity", "lsh"),
     doc=(
-        "Sign-bit LSH ANN: 8 hyperplane-sign bits bucket the space; search only "
-        "the query's bucket (the IVF-style scale path), exact rerank inside."
+        "Multi-probe sign-bit LSH ANN (Lv et al., VLDB 2007): 8 "
+        "hyperplane-sign bits bucket the space; each query probes every "
+        "bucket within Hamming radius 3 (93 of 256 — the broadcast side "
+        "explodes, the corpus side stays an equi-join on its one bucket), "
+        "exact rerank inside.  Measured recall@3 0.65 at 36% scan on the "
+        "fixture; the prior single-probe default returned ZERO true "
+        "neighbors there (weakly-separated vectors, per-bit agreement "
+        "~0.62) and survives only as the radius=0 parameterization."
     ),
 )
 def ann_lsh_signbit_topk(spark, sf_dir):
+    from ..operators.similarity import lsh_multiprobe_topk
+
     v = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_double().alias("vec"), signbit_bucket().alias("bucket")
     )
@@ -163,7 +176,7 @@ def ann_lsh_signbit_topk(spark, sf_dir):
     cand = v.select(
         F.col("vec_id").alias("neighbor_id"), F.col("bucket").alias("nbucket"), F.col("vec").alias("nvec")
     )
-    return topk_neighbors(q, cand, k=3, bucket_join=True).select(
+    return lsh_multiprobe_topk(q, cand, k=3, bits=8, radius=3).select(
         "query_id", "bucket", "rk", "neighbor_id", "cosine"
     )
 

@@ -180,6 +180,29 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     assert recall >= 0.5, f"recall@5={recall:.3f}"
 
 
+def test_lsh_multiprobe_recall_against_exact(spark, sf_dir):
+    """Hamming-radius-3 multi-probe over 8 sign bits scans ~36% of the
+    buckets and must recover over half the true top-3 — the shipped
+    replacement for the single-probe variant whose fixture recall was
+    exactly 0 (a user trap; see ANN_EVAL.json)."""
+    from form700_etl_spark.queries.similarity import (
+        ann_cosine_topk_bruteforce,
+        ann_lsh_signbit_topk,
+    )
+
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_signbit_topk(spark, sf_dir).collect()
+    }
+    exact3 = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk_bruteforce(spark, sf_dir).collect()
+        if r.rk <= 3
+    }
+    recall = len(lsh & exact3) / len(exact3)
+    assert recall >= 0.5, f"recall@3={recall:.3f}"
+
+
 def test_multimodal_frame_digests_deterministic(spark, sf_dir):
     from form700_etl_spark.operators.multimodal import sample_frames, synthesize_media
 

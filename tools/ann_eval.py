@@ -36,6 +36,110 @@ def _pairs(df) -> dict[int, set[int]]:
     return out
 
 
+def _fixture_diagnosis(sf_dir: str) -> dict:
+    """Why partition-based ANN recall saturates on THIS fixture: the
+    true-neighbor structure is noise-driven (only ~6% of exact top-5
+    neighbors share the query's label), so any coarse quantizer's
+    recall tracks the scanned fraction almost linearly no matter how
+    well the centroids are trained.  Measured here, not asserted."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    labels = np.array(t["label"])
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qmask = ids % 50 == 0
+    qids, Q = ids[qmask], Vn[qmask]
+    sims = Q @ Vn.T
+    same_label = 0
+    truth = {}
+    for i, qid in enumerate(qids):
+        s = sims[i].copy()
+        s[ids == qid] = -9.0
+        top = np.argsort(-s)[:5]
+        truth[int(qid)] = set(int(x) for x in ids[top])
+        same_label += int((labels[top] == labels[ids == qid][0]).sum())
+
+    def kmeans_recall(k, probes, iters):
+        cm = np.array([V[0]])
+        for _ in range(k - 1):
+            d = np.min([((V - c) ** 2).sum(1) for c in cm], axis=0)
+            cm = np.vstack([cm, V[int(np.argmax(d))]])
+        for _ in range(iters):
+            d = -2 * V @ cm.T + (cm * cm).sum(1)[None, :]
+            lab = np.argmin(d, 1)
+            for c in range(k):
+                m = V[lab == c]
+                if len(m):
+                    cm[c] = m.mean(0)
+        d = -2 * V @ cm.T + (cm * cm).sum(1)[None, :]
+        lab = np.argmin(d, 1)
+        hits = 0
+        for i, qid in enumerate(qids):
+            qv = V[ids == qid][0]
+            probe = set(np.argsort(((cm - qv) ** 2).sum(1))[:probes])
+            cand = set(int(x) for x in ids[np.isin(lab, list(probe))])
+            hits += len(truth[int(qid)] & cand)
+        return round(hits / (5 * len(qids)), 3)
+
+    sweep = {
+        f"k{k}_probe{p}": {"recall": kmeans_recall(k, p, 10),
+                           "scan_frac": round(p / k, 2)}
+        for k, p in [(10, 3), (16, 6), (10, 5), (16, 8)]
+    }
+    return {
+        "same_label_frac_of_true_top5": round(same_label / (5 * len(qids)), 3),
+        "ivf_recall_vs_scan_sweep": sweep,
+        "conclusion": (
+            "neighbor structure is isotropic-noise-driven; IVF recall ~ "
+            "scanned fraction regardless of centroid quality.  IVF beats "
+            "the exact matmul scan when (a) neighbors are cluster-aligned "
+            "(see clustered_crossover) AND (b) the corpus exceeds what a "
+            "full scan can stream per query batch — neither holds at this "
+            "fixture's 2000x64."
+        ),
+    }
+
+
+def _clustered_crossover(spark) -> dict:
+    """The same ivf_topk operator on a corpus whose neighbor structure
+    IS cluster-aligned (strong signal, same 2000x64 shape): recall at a
+    30% scan should be ~1.0, demonstrating the operator is sound and
+    the fixture is the adversarial case."""
+    import numpy as np
+
+    from form700_etl_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64)) * 3.0
+    labels = np.arange(2000) % 10
+    V = centers[labels] + rng.normal(size=(2000, 64)) * 0.4
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qmask = np.arange(2000) % 50 == 0
+    sims = Vn[qmask] @ Vn.T
+    truth = {}
+    for i, qid in enumerate(np.flatnonzero(qmask)):
+        s = sims[i].copy()
+        s[qid] = -9.0
+        truth[int(qid)] = set(int(x) for x in np.argsort(-s)[:5])
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    q = df.filter("vec_id % 50 = 0").selectExpr("vec_id AS query_id", "vec AS qvec")
+    c = df.selectExpr("vec_id AS neighbor_id", "vec AS nvec")
+    got = ivf_topk(q, c, k=5, n_centroids=10, n_probe=3).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(by_q.get(qid, set()) & t) for qid, t in truth.items())
+    return {
+        "corpus": "synthetic 2000x64, 10 strong clusters (seed 7)",
+        "params": {"n_centroids": 10, "n_probe": 3, "scan_frac": 0.3},
+        "recall_at_5": round(hits / (5 * len(truth)), 3),
+    }
+
+
 def main() -> None:
     from form700_etl_spark.registry import all_queries
     from form700_etl_spark.session import get_spark
@@ -71,18 +175,14 @@ def main() -> None:
             "k": k_var,
             "sec": round(sec, 2),
         }
-    # Known fixture artifact, annotated so a 0 doesn't read as a silent
-    # regression: single-probe 8-bit sign-LSH over the weakly-clustered
-    # 2k-vector fixture has ~2% expected collision recall at the true
-    # neighbors' ~0.35 cosine (p = (1 - theta/pi)^8); the variant's
-    # value is the bucket-prune SHAPE (search one bucket, exact rerank
-    # inside), the scale path where corpora are large and multi-probe
-    # raises recall.  Its exactness is oracle-checked; this table tracks
-    # drift, and the IVF/PQ rows are the meaningful recall signals.
     artifact["variants"]["ann_lsh_signbit_topk"]["note"] = (
-        "single-probe 8-bit LSH: ~2% expected recall on this fixture by "
-        "design; tracked for drift, not quality"
+        "multi-probe (Hamming radius 3, 93/256 buckets ~= 36% scan): "
+        "recall lifted from the single-probe variant's 0.0 on this "
+        "weakly-separated fixture (per-bit agreement ~0.62 at the true "
+        "neighbors' ~0.37 cosine)"
     )
+    artifact["fixture_diagnosis"] = _fixture_diagnosis(sf_dir)
+    artifact["clustered_crossover"] = _clustered_crossover(spark)
     # Committed per-round artifact: the rows-only ANN family
     # (IVF/PQ/matmul/LSH) has no SQL oracle, so this JSON is its tracked
     # quality metric the way BENCH_r{N}.json tracks time — regressions
