@@ -386,6 +386,66 @@ def _triangle_stages(spark, sf_dir: str) -> dict:
     }
 
 
+def _shingle_stages(spark, sf_dir: str) -> dict:
+    """Stage-split replay of the dedup family's shared pipeline
+    (VERDICT r12 task 8): the shingle-cache POPULATE (scan -> 3-gram
+    explode -> distinct), the df-cap derivation on top of it, the
+    12-hash minhash signature agg, and the banded LSH candidate join —
+    each timed cold in sequence, so the populate the bench now reports
+    as a prestep has a measured growth ratio, not an asserted one.
+    Model: every stage is row-linear at roughly constant per-shingle df
+    (the probe corpus scales vocabulary with the corpus per Heaps' law,
+    so df stays fixture-like); the band join adds an n_docs x n_bands
+    shuffle.  Expect ~SCALEx wall per stage at 10x docs."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        lsh_candidates,
+        minhash_signatures,
+        shingle,
+    )
+    from form700_etl_spark.io import table
+
+    docs = table(spark, sf_dir, "documents")
+    t0 = _t.perf_counter()
+    sh = shingle(docs, n=3).localCheckpoint()
+    n_shingle_rows = sh.count()
+    populate_s = _t.perf_counter() - t0
+
+    t0 = _t.perf_counter()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
+    n_capped = capped.count()
+    cap_s = _t.perf_counter() - t0
+
+    t0 = _t.perf_counter()
+    sig = minhash_signatures(sh).localCheckpoint()
+    n_docs = sig.count()
+    signature_s = _t.perf_counter() - t0
+
+    t0 = _t.perf_counter()
+    n_candidates = lsh_candidates(sig).count()
+    band_join_s = _t.perf_counter() - t0
+    return {
+        "n_docs": n_docs,
+        "n_shingle_rows": n_shingle_rows,
+        "n_capped_rows": n_capped,
+        "n_candidates": n_candidates,
+        "populate_s": round(populate_s, 2),
+        "cap_s": round(cap_s, 2),
+        "signature_s": round(signature_s, 2),
+        "band_join_s": round(band_join_s, 2),
+    }
+
+
 def main() -> None:
     from form700_etl_spark.registry import all_queries
     from form700_etl_spark.session import get_spark
@@ -397,6 +457,17 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     queries = all_queries()
+    if "--shingle-stages" in sys.argv:
+        # warm codegen/JIT at sf0.01 first (same convention as the query
+        # probes) — an unwarmed first pass measures compilation, not
+        # data: observed populate 5.69 s cold at sf0.1 vs 2.79 s for
+        # 10x the rows immediately after
+        _shingle_stages(spark, "/root/testdata/sf0.01")
+        for label, d in (("sf0.1", SF_DIR), (f"{SCALE}x", out_dir)):
+            r = _shingle_stages(spark, d)
+            print(f"shingle_stages[{label}]: {r}", flush=True)
+        spark.stop()
+        return
     if "--triangle-stages" in sys.argv:
         # run with SCALE_PROBE_SCALE_BASKETS=1 (+ its own SCALE_PROBE_DIR)
         # so distinct edges actually grow between the two corpora
