@@ -272,6 +272,12 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "temporal_scd2_asof_join",
     "sketch_ams_f2_selfjoin",
+    # round-13: sequence-level contamination (seed-gram diagonal runs —
+    # the suffix-array check, Spark-native) and SPLADE-style
+    # impact-pruned sparse retrieval (quantized impacts, top-P postings
+    # per term, term-at-a-time scoring).
+    "contamination_longest_match",
+    "text_impact_sparse_retrieval",
 ]
 
 

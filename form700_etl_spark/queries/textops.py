@@ -3939,3 +3939,243 @@ def linkage_sorted_neighborhood(spark, sf_dir):
         )
         .orderBy("p1", "p2")
     )
+
+
+# --------------------------------- sequence-level contamination (r13)
+
+_CONTAM_K = 4  # seed gram length in tokens; the selectivity lever at scale
+_CONTAM_MIN = 4  # report maximal matches of >= this many tokens
+
+
+@register(
+    "contamination_longest_match",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(w, i, i + {_CONTAM_K - 1}), ' ') AS g
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {_CONTAM_K - 1})) AS i
+            FROM toks WHERE len(w) >= {_CONTAM_K}
+        )
+    ),
+    seeds AS (
+        SELECT t.doc_id AS train_doc, t.i AS i,
+               b.doc_id AS bench_doc, t.i - b.i AS d
+        FROM g t JOIN g b ON t.g = b.g
+        WHERE t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+    ),
+    runs AS (
+        SELECT train_doc, bench_doc, d, i,
+               i - row_number() OVER (PARTITION BY train_doc, bench_doc, d
+                                      ORDER BY i) AS grp
+        FROM seeds
+    ),
+    matches AS (
+        SELECT train_doc, bench_doc,
+               CAST(COUNT(*) + {_CONTAM_K - 1} AS BIGINT) AS match_len,
+               MIN(i) AS start_i
+        FROM runs GROUP BY train_doc, bench_doc, d, grp
+    ),
+    best AS (
+        SELECT train_doc, bench_doc, match_len,
+               row_number() OVER (PARTITION BY train_doc
+                                  ORDER BY match_len DESC, bench_doc,
+                                           start_i) AS rk
+        FROM matches
+    )
+    SELECT train_doc, bench_doc, match_len
+    FROM best WHERE rk = 1 AND match_len >= {_CONTAM_MIN}
+    ORDER BY match_len DESC, train_doc LIMIT 50
+    """,
+    tags=("text", "dedup", "contamination"),
+    doc=(
+        "Sequence-level benchmark contamination: the LONGEST contiguous "
+        "token match between each training document and any benchmark "
+        "document (bench = doc_id % 97 == 0), the check Lee et al. 2022 "
+        "and the GPT-3/PaLM cards run with suffix arrays.  Spark-native "
+        f"equivalent: {_CONTAM_K}-token seed grams equi-join train x "
+        "bench, then maximal runs of consecutive seeds along each "
+        "(train, bench, offset-difference) DIAGONAL via gaps-and-islands "
+        f"— a run of r seeds is a contiguous match of r+{_CONTAM_K - 1} "
+        "tokens, exactly (every inner seed of a true match must itself "
+        "match, so islands never undercount).  No suffix sort: one "
+        "gram-keyed shuffle, linear in corpus tokens; seed length is "
+        "the selectivity lever at scale (longer seeds -> rarer "
+        "collisions), and the benchmark side is the small one, as in "
+        "production decontamination.  Top-50 train docs by match "
+        "length, one best row each (bench-doc/start tie-broken)."
+    ),
+)
+def contamination_longest_match(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= _CONTAM_K)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - (_CONTAM_K - 1))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ", F.expr(f"slice(w, i, {_CONTAM_K})")
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc"), F.col("i"), "g"
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_doc"), F.col("i").alias("j"), "g"
+    )
+    seeds = train.join(bench, "g").select(
+        "train_doc", "i", "bench_doc", (F.col("i") - F.col("j")).alias("d")
+    )
+    wrun = W.partitionBy("train_doc", "bench_doc", "d").orderBy("i")
+    matches = (
+        seeds.withColumn("grp", F.col("i") - F.row_number().over(wrun))
+        .groupBy("train_doc", "bench_doc", "d", "grp")
+        .agg(
+            (F.count(F.lit(1)) + (_CONTAM_K - 1)).cast("bigint").alias("match_len"),
+            F.min("i").alias("start_i"),
+        )
+    )
+    wbest = W.partitionBy("train_doc").orderBy(
+        F.col("match_len").desc(), "bench_doc", "start_i"
+    )
+    return (
+        matches.withColumn("rk", F.row_number().over(wbest))
+        .filter((F.col("rk") == 1) & (F.col("match_len") >= _CONTAM_MIN))
+        .orderBy(F.col("match_len").desc(), "train_doc")
+        .limit(50)
+        .select("train_doc", "bench_doc", "match_len")
+    )
+
+
+# ------------------------------ impact-weighted sparse retrieval (r13)
+
+_IMPACT_TOP_POSTINGS = 64  # static index pruning: keep top-P docs per term
+_IMPACT_TOPK = 10
+
+# Quantized impact weight: round(ln(1+tf) * (ln((N+1)/(df+1)) + 1) * 1e6)
+# — exact ints feed ln on both engines, so the doubles (and the rounded
+# bigint) are identical; products/sums below stay exact bigint math.
+_IMPACT_SQL = (
+    "CAST(round(ln(1.0 + tf) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "text_impact_sparse_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    impacts AS (
+        SELECT doc_id, term, {_IMPACT_SQL} AS impact
+        FROM tf JOIN dfc USING (term) CROSS JOIN stats
+    ),
+    postings AS (
+        SELECT term, doc_id, impact FROM (
+            SELECT term, doc_id, impact,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY impact DESC, doc_id) AS pr
+            FROM impacts
+        ) WHERE pr <= {_IMPACT_TOP_POSTINGS}
+    ),
+    queries AS (
+        SELECT doc_id AS query_doc, term, impact AS w_q
+        FROM impacts WHERE doc_id % 50 = 0
+    ),
+    scored AS (
+        SELECT q.query_doc, p.doc_id,
+               CAST(SUM(q.w_q * p.impact) AS BIGINT) AS score_micro2,
+               CAST(COUNT(*) AS INT) AS n_terms
+        FROM queries q JOIN postings p USING (term)
+        WHERE p.doc_id <> q.query_doc
+        GROUP BY q.query_doc, p.doc_id
+    )
+    SELECT query_doc, CAST(rk AS INT) AS rk, doc_id, score_micro2, n_terms
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_doc
+                                     ORDER BY score_micro2 DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= {_IMPACT_TOPK}
+    """,
+    tags=("text", "retrieval", "topk"),
+    doc=(
+        "Learned-sparse (SPLADE-style) retrieval machinery: per-(doc, "
+        "term) QUANTIZED impact weights (ln(1+tf)*idf in integer "
+        "micro-units — the role a learned model's term scores play; the "
+        "engine contract is identical), STATIC index pruning keeping the "
+        f"top-{_IMPACT_TOP_POSTINGS} postings per term by impact "
+        "(Carmel et al.'s static pruning, standard in impact-ordered "
+        "serving), and term-at-a-time scoring: queries (their own sparse "
+        "vectors) join the pruned postings on term, score = exact bigint "
+        "SUM(w_q * w_d), top-10 per query.  One tokenize pass feeds tf, "
+        "df, postings, and the query vectors; the postings window and "
+        "the score agg are the only shuffles, both term/doc-keyed — at "
+        "100 TB the pruned index is the bounded artifact (P docs/term) "
+        "and queries broadcast, the standard serving shape."
+    ),
+)
+def text_impact_sparse_retrieval(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = tf.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    impacts = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_IMPACT_SQL).alias("impact"))
+        .localCheckpoint(eager=False)  # postings + query vectors re-consume
+    )
+    wpost = W.partitionBy("term").orderBy(F.col("impact").desc(), "doc_id")
+    postings = (
+        impacts.withColumn("pr", F.row_number().over(wpost))
+        .filter(F.col("pr") <= _IMPACT_TOP_POSTINGS)
+        .select("term", "doc_id", "impact")
+    )
+    queries = impacts.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_doc"), "term", F.col("impact").alias("w_q")
+    )
+    scored = (
+        postings.join(F.broadcast(queries), "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id")
+        .agg(
+            F.sum(F.col("w_q") * F.col("impact")).cast("bigint").alias("score_micro2"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+    )
+    wtop = W.partitionBy("query_doc").orderBy(F.col("score_micro2").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rk") <= _IMPACT_TOPK)
+        .select("query_doc", "rk", "doc_id", "score_micro2", "n_terms")
+    )

@@ -150,6 +150,11 @@ PROBE_QUERIES = [
     "graph_hits_hubs_authorities",
     "stats_roc_auc",
     "mlprep_conformal_intervals",
+    # round-13: both scale with documents (seed-gram join is the
+    # contamination cost driver; the pruned postings bound the
+    # retrieval join at P docs/term regardless of corpus size)
+    "contamination_longest_match",
+    "text_impact_sparse_retrieval",
 ]
 SCALE = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
