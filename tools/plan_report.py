@@ -70,6 +70,9 @@ REPORT_QUERIES = [
     ("intervals_overlap_join", "week-bucket equi join + distinct + exact overlap verify"),
     ("ann_hybrid_rrf_fusion", "two streamed WindowGroupLimit rankings (hoisted norms) + exact RRF combine"),
     ("clean_quantile_normalize_groups", "sorted-union forward as-of window at value grain"),
+    # round-13 additions
+    ("contamination_longest_match", "seed-gram join (benchmark side broadcast); diagonal island window"),
+    ("text_impact_sparse_retrieval", "pruned postings window; broadcast query vectors; exact bigint scores"),
 ]
 
 
