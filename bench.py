@@ -278,6 +278,7 @@ HEADLINE = [
     # per term, term-at-a-time scoring).
     "contamination_longest_match",
     "text_impact_sparse_retrieval",
+    "sample_source_temperature_mix",
 ]
 
 

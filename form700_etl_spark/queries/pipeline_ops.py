@@ -1203,3 +1203,117 @@ def sample_neyman_allocation(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ----------------------- temperature-weighted source mixing (r13)
+
+_MIX_BUDGET = 10_000  # epoch budget (docs) apportioned across sources
+
+
+@register(
+    "sample_source_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        -- alpha = 0.5 temperature: w = n^0.5, quantized to integer
+        -- micro-units BEFORE the total so every later step is exact
+        -- bigint arithmetic (a float total would be summation-order
+        -- sensitive across engines)
+        SELECT source, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS w_micro
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources FROM weighted),
+    quotas AS (
+        SELECT w.source, w.n_docs, w.w_micro, t.w_tot,
+               CAST(({_MIX_BUDGET} * w.w_micro) // t.w_tot AS BIGINT)
+                 AS alloc_floor,
+               CAST({_MIX_BUDGET} * w.w_micro
+                    - (({_MIX_BUDGET} * w.w_micro) // t.w_tot) * t.w_tot
+                 AS BIGINT) AS rem
+        FROM weighted w CROSS JOIN tot t
+    ),
+    shortfall AS (
+        SELECT CAST({_MIX_BUDGET} - SUM(alloc_floor) AS BIGINT) AS r
+        FROM quotas
+    ),
+    ranked AS (
+        SELECT q.*, s.r,
+               row_number() OVER (ORDER BY q.rem DESC, q.source) AS rr
+        FROM quotas q CROSS JOIN shortfall s
+    )
+    SELECT source, n_docs,
+           CAST((w_micro * 1000000000) // w_tot AS BIGINT) AS p_ppb,
+           CAST(alloc_floor + CASE WHEN rr <= r THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc,
+           CAST(((alloc_floor + CASE WHEN rr <= r THEN 1 ELSE 0 END)
+                 * 1000000) // n_docs AS BIGINT) AS upsample_e6
+    FROM ranked
+    ORDER BY source
+    """,
+    tags=("pipeline", "sample"),
+    doc=(
+        "Temperature-weighted source mixing (the alpha-smoothed "
+        "multinomial of XLM-R / CC-style LLM data recipes, alpha=0.5): "
+        "per-source weights n^alpha quantized to integer micro-units, "
+        "then a 10k-doc epoch budget apportioned by the LARGEST-"
+        "REMAINDER (Hamilton) method — floor allocations from exact "
+        "bigint division, the shortfall distributed to the largest "
+        "integer remainders (source tie-break) — so the allocations sum "
+        "to the budget EXACTLY (half-up rounding per stratum, as in the "
+        "Neyman op, can miss the total).  upsample_e6 > 1e6 flags "
+        "sources the temperature upsamples relative to their natural "
+        "share.  One hash agg + a 1-row broadcast total + a "
+        "|sources|-grain window: scale-free in the corpus."
+    ),
+)
+def sample_source_temperature_mix(spark, sf_dir):
+    counts = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = weighted.agg(F.sum("w_micro").cast("long").alias("w_tot"))
+    quotas = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        "w_tot",
+        F.expr(f"CAST(({_MIX_BUDGET} * w_micro) DIV w_tot AS BIGINT)").alias(
+            "alloc_floor"
+        ),
+        F.expr(
+            f"CAST({_MIX_BUDGET} * w_micro"
+            f" - (({_MIX_BUDGET} * w_micro) DIV w_tot) * w_tot AS BIGINT)"
+        ).alias("rem"),
+    )
+    shortfall = quotas.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("alloc_floor")).cast("long").alias("r")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    return (
+        quotas.crossJoin(F.broadcast(shortfall))
+        .withColumn("rr", F.row_number().over(w))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "CAST((w_micro * 1000000000) DIV w_tot AS BIGINT) AS p_ppb",
+            "CAST(alloc_floor + (CASE WHEN rr <= r THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS alloc",
+            "CAST(((alloc_floor + (CASE WHEN rr <= r THEN 1 ELSE 0 END))"
+            " * 1000000) DIV n_docs AS BIGINT) AS upsample_e6",
+        )
+        .orderBy("source")
+    )

@@ -938,3 +938,20 @@ def test_ams_f2_sketch_merges_by_addition(spark, sf_dir):
     row = sketch_ams_f2_selfjoin(spark, sf_dir).collect()[0]
     assert abs(row.rel_error) <= 0.6, row
     assert row.ams_estimate_f2 > 0 and row.exact_f2 > 0
+
+
+def test_temperature_mix_allocations_hit_budget_exactly(spark, sf_dir):
+    """Largest-remainder apportionment law: the per-source allocations
+    sum to the epoch budget EXACTLY (the property per-stratum half-up
+    rounding cannot guarantee), and every source gets >= its floor
+    quota (Hamilton's method never takes below-floor)."""
+    from form700_etl_spark.queries.pipeline_ops import _MIX_BUDGET
+    from form700_etl_spark.registry import all_queries
+
+    rows = (
+        all_queries()["sample_source_temperature_mix"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert sum(r.alloc for r in rows) == _MIX_BUDGET
+    assert all(r.alloc >= 0 for r in rows)
