@@ -279,6 +279,7 @@ HEADLINE = [
     "contamination_longest_match",
     "text_impact_sparse_retrieval",
     "sample_source_temperature_mix",
+    "text_ngram_novelty_score",
 ]
 
 

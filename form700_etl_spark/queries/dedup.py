@@ -1448,3 +1448,60 @@ def dedup_cdc_chunks(spark, sf_dir):
             6,
         ).alias("dedup_ratio"),
     )
+
+
+# --------------------------------------- n-gram novelty scoring (r13)
+
+
+@register(
+    "text_ngram_novelty_score",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST((SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM sh s JOIN first_seen f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+    doc=(
+        "Per-document n-gram NOVELTY: the fraction of a doc's distinct "
+        "word-3-grams whose FIRST corpus occurrence (min doc_id) is this "
+        "doc — the additive-content signal curation recipes use to "
+        "down-rank re-hashed material without dropping it (the soft "
+        "complement to hard near-dup removal; duplicate docs score ~0, "
+        "the first copy keeps its full score).  Reuses the session-"
+        "cached distinct shingle table; one shingle-keyed MIN agg + one "
+        "re-join + one doc-grain agg, all hash-partitioned on keys that "
+        "grow with the corpus — no pair join anywhere, so the cost is "
+        "linear where near-dup pair listing is output-quadratic.  "
+        "novelty_e6 is exact integer math (no float division)."
+    ),
+)
+def text_ngram_novelty_score(spark, sf_dir):
+    sh = _shingles_cached(spark, sf_dir)  # distinct (doc_id, shingle), uncapped
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            "CAST((n_novel * 1000000) DIV n_shingles AS BIGINT) AS novelty_e6",
+        )
+    )
