@@ -4062,6 +4062,7 @@ def contamination_longest_match(spark, sf_dir):
 # ------------------------------ impact-weighted sparse retrieval (r13)
 
 _IMPACT_TOP_POSTINGS = 64  # static index pruning: keep top-P docs per term
+_IMPACT_QUERY_TERMS = 8  # query-side pruning: keep the Q highest-impact terms
 _IMPACT_TOPK = 10
 
 # Quantized impact weight: round(ln(1+tf) * (ln((N+1)/(df+1)) + 1) * 1e6)
@@ -4101,8 +4102,17 @@ _IMPACT_SQL = (
         ) WHERE pr <= {_IMPACT_TOP_POSTINGS}
     ),
     queries AS (
-        SELECT doc_id AS query_doc, term, impact AS w_q
-        FROM impacts WHERE doc_id % 50 = 0
+        -- query-side pruning: each query keeps only its Q highest-
+        -- impact terms (the sparse query vector learned-sparse serving
+        -- actually ships; full-document queries would re-inflate the
+        -- match set with common terms whose pruned postings carry the
+        -- score mass)
+        SELECT query_doc, term, w_q FROM (
+            SELECT doc_id AS query_doc, term, impact AS w_q,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY impact DESC, term) AS qr
+            FROM impacts WHERE doc_id % 50 = 0
+        ) WHERE qr <= {_IMPACT_QUERY_TERMS}
     ),
     scored AS (
         SELECT q.query_doc, p.doc_id,
@@ -4127,13 +4137,20 @@ _IMPACT_SQL = (
         "engine contract is identical), STATIC index pruning keeping the "
         f"top-{_IMPACT_TOP_POSTINGS} postings per term by impact "
         "(Carmel et al.'s static pruning, standard in impact-ordered "
-        "serving), and term-at-a-time scoring: queries (their own sparse "
-        "vectors) join the pruned postings on term, score = exact bigint "
-        "SUM(w_q * w_d), top-10 per query.  One tokenize pass feeds tf, "
-        "df, postings, and the query vectors; the postings window and "
-        "the score agg are the only shuffles, both term/doc-keyed — at "
-        "100 TB the pruned index is the bounded artifact (P docs/term) "
-        "and queries broadcast, the standard serving shape."
+        f"serving), SPARSE query vectors (each query's top-"
+        f"{_IMPACT_QUERY_TERMS} terms by impact — what learned-sparse "
+        "serving actually ships; full-document queries measured 0.05 "
+        "overlap vs exact because common-term posting tails carry the "
+        "mass), and term-at-a-time scoring: score = exact bigint "
+        "SUM(w_q * w_d), top-10 per query.  RETRIEVAL_EVAL.json: index "
+        "pruning at P=64 is overlap 0.9975 vs unpruned on a Zipf corpus "
+        "(the intended regime) and degenerate on the uniform-vocab "
+        "fixture (anti-Zipf worst case, the IVF-fixture analogue).  One "
+        "tokenize pass feeds tf, df, postings, and the query vectors; "
+        "the postings/query windows and the score agg are the only "
+        "shuffles, all term/doc-keyed — at 100 TB the pruned index is "
+        "the bounded artifact (P docs/term) and queries broadcast, the "
+        "standard serving shape."
     ),
 )
 def text_impact_sparse_retrieval(spark, sf_dir):
@@ -4161,8 +4178,16 @@ def text_impact_sparse_retrieval(spark, sf_dir):
         .filter(F.col("pr") <= _IMPACT_TOP_POSTINGS)
         .select("term", "doc_id", "impact")
     )
-    queries = impacts.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_doc"), "term", F.col("impact").alias("w_q")
+    wq = W.partitionBy("doc_id").orderBy(F.col("impact").desc(), "term")
+    queries = (
+        impacts.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= _IMPACT_QUERY_TERMS)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            "term",
+            F.col("impact").alias("w_q"),
+        )
     )
     scored = (
         postings.join(F.broadcast(queries), "term")
