@@ -380,8 +380,18 @@ def _canary(spark) -> float:
 EXTRA_RUNS = {"ref_pipeline_scheduleA2": 4, "linkage_fs_scores": 4}
 
 
-def _run_suite(spark, queries, names, sf_dir: str) -> dict[str, float]:
+def _run_suite(
+    spark, queries, names, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Returns (best-per-query, all-run-walls-per-query).
+
+    The full per-run walls make in-suite anomalies self-adjudicating:
+    run1>>run2 is one-time codegen/JIT, run1~=run2 both slow is
+    execution-level (queue pressure, spill, host) — the distinction
+    VERDICT r13 could not make for dedup_simhash_hamming from a single
+    best-of number."""
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         fn = queries[name].fn
         # force a collection between queries so each timing reflects the
@@ -390,13 +400,14 @@ def _run_suite(spark, queries, names, sf_dir: str) -> dict[str, float]:
         # the inter-query GC vs 20.9s without in the 87-query session,
         # while each query run ISOLATED beats its r4 time (0.91-0.97x).
         spark.sparkContext._jvm.System.gc()
-        best = float("inf")
+        walls: list[float] = []
         for _ in range(EXTRA_RUNS.get(name, 2)):
             start = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
-    return timings
+            walls.append(round(time.perf_counter() - start, 3))
+        timings[name] = min(walls)
+        all_runs[name] = walls
+    return timings, all_runs
 
 
 def _run_presteps(spark, sf_dir: str) -> dict[str, float]:
@@ -557,14 +568,38 @@ def _r4_fresh_jvm(sf_dir: str) -> tuple[dict | None, dict | None]:
     # and equals the true median for odd counts.
     median = ordered[(len(ordered) - 1) // 2]
     values = [r["value_r4_query_set"] for r in ordered]
+    # STABLE gate series (VERDICT r13 task 5): the same runs with
+    # ref_pipeline_scheduleA2 excluded — its fresh-JVM JIT pathology has
+    # its own decomposed measurement (BENCH_DETAIL.scheduleA2_
+    # decomposition) and dominated r13's 0.78 relative spread; the gate
+    # ratio should be computed on the set that measures the engine.
+    ex_a2 = sorted(
+        round(
+            r["value_r4_query_set"]
+            - r.get("queries", {}).get("ref_pipeline_scheduleA2", 0.0),
+            3,
+        )
+        for r in runs
+    )
     spread = {
         "runs": values,
         "n_runs": len(values),  # label the mode by what actually survived
+        # <3 survivors means the lower-middle "median" is really the
+        # better of two runs — flag it instead of publishing silently
+        # (ADVICE r13).
+        "degraded": len(values) < _R4_RUNS,
         "best": values[0],
         "median": median["value_r4_query_set"],
         "worst": values[-1],
         "rel_spread": round((values[-1] - values[0]) / values[0], 4)
         if values[0]
+        else None,
+        "runs_ex_scheduleA2": ex_a2,
+        "median_ex_scheduleA2": ex_a2[(len(ex_a2) - 1) // 2],
+        "rel_spread_ex_scheduleA2": round(
+            (ex_a2[-1] - ex_a2[0]) / ex_a2[0], 4
+        )
+        if ex_a2 and ex_a2[0]
         else None,
     }
     return median, spread
@@ -682,7 +717,14 @@ def main() -> None:
     # r12 task 2).
     presteps = _run_presteps(spark, sf_dir)
 
-    timings = _run_suite(spark, queries, HEADLINE, sf_dir)
+    timings, query_runs = _run_suite(spark, queries, HEADLINE, sf_dir)
+    # EXTRA_RUNS queries get best-of-4 while everything else is
+    # best-of-2 (ADVICE r13): publish BOTH so per-row cross-round
+    # comparison stays uniform — best2 is what a best-of-2 rule would
+    # have recorded, best (== timings[name]) is the steady-state row.
+    extra_runs_best2 = {
+        n: min(query_runs[n][:2]) for n in EXTRA_RUNS if n in query_runs
+    }
 
     total = round(sum(timings.values()), 3)
     in_suite_r4 = round(sum(timings[n] for n in R4_SET), 3)
@@ -694,6 +736,8 @@ def main() -> None:
         r4_mode = "fresh_jvm_median_of_%d" % (
             (r4_spread or {}).get("n_runs", _R4_RUNS)
         )
+        if (r4_spread or {}).get("degraded"):
+            r4_mode += "_degraded"  # <3 survivors: min-of-2, not a median
         # normalize the fresh-JVM number with the fresh JVM's OWN canary
         r4_host_factor = r4_fresh.get("host_factor", host_factor)
     else:
@@ -703,6 +747,8 @@ def main() -> None:
 
     detail = {
         "queries": timings,
+        "queries_runs": query_runs,
+        "extra_runs_best2": extra_runs_best2,
         "presteps": presteps,
         "scheduleA2_decomposition": a2_decomp,
         "r4_fresh_jvm": r4_fresh,
@@ -740,6 +786,12 @@ def main() -> None:
                     sum(v for v in presteps.values() if v > 0), 3
                 ),
                 "value_r4_query_set": r4_value,
+                # the STABLE gate number: same runs minus scheduleA2's
+                # fresh-JVM JIT pathology (decomposed separately in
+                # BENCH_DETAIL.scheduleA2_decomposition)
+                "value_r4_ex_scheduleA2": (r4_spread or {}).get(
+                    "median_ex_scheduleA2"
+                ),
                 "r4_mode": r4_mode,
                 "r4_spread": r4_spread,
                 # canary on the HEADLINE line too (VERDICT r9 task 1a):

@@ -1,0 +1,91 @@
+"""Distributed global prefix sums and ranks — the scalable replacement
+for empty-partition-spec cumulative windows.
+
+A `sum(...).over(Window.orderBy(...))` or `row_number().over(
+Window.orderBy(...))` with no partitionBy forces Spark to move the
+window's ENTIRE input through one `Exchange SinglePartition` and sort
+it in a single task — correct at any SF, catastrophic at 100 TB
+(VERDICT r13; tests/test_plans.py bans the shape registry-wide).
+
+`partitioned_prefix_sum` computes the same global cumulative sums and
+1-based global ranks with the classic two-pass scheme every parallel
+scan primitive uses (it is exactly MPI_Scan / the prefix-sum step of a
+sample sort):
+
+  pass 1: range-partition by the global order, take per-partition
+          totals  (n_partitions tiny rows),
+  fix-up: cumulate those totals into per-partition OFFSETS — a window
+          over <= n_partitions rows (bounded grain, the one
+          SinglePartition window this module is allowed),
+  pass 2: per-partition cumulative windows (partitioned by pid — every
+          partition sorts only its own slice) plus the broadcast
+          offsets.
+
+Requirements: `order_cols` must be a TOTAL order (include a unique
+tie-break column).  Range partitioning assigns equal keys to one
+partition, so with a total order the pid column is deterministic; the
+localCheckpoint pins it across the two consumers regardless.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_PARTITIONS = 32
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    sum_cols: Sequence[str] = (),
+    rank_col: str | None = None,
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> DataFrame:
+    """All of ``df``'s columns plus, for each ``c`` in ``sum_cols``, a
+    running total ``cum_<c>`` over the global order ``order_cols``
+    (inclusive of the current row), and — when ``rank_col`` is given —
+    the global 1-based row number under that order.
+
+    No row-grain data ever crosses a SinglePartition exchange: the only
+    single-partition window runs over the <= ``num_partitions``
+    per-partition totals."""
+    order_cols = list(order_cols)
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # pid must be identical for the totals pass and the fix-up join
+        .localCheckpoint()
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("__p_rows")]
+    aggs += [F.sum(c).alias(f"__p_{c}") for c in sum_cols]
+    stats = parts.groupBy("__pid").agg(*aggs)
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    off_cols = [
+        F.col("__pid"),
+        (F.sum("__p_rows").over(woff) - F.col("__p_rows")).alias("__row_off"),
+    ]
+    off_cols += [
+        (F.sum(f"__p_{c}").over(woff) - F.col(f"__p_{c}")).alias(f"__off_{c}")
+        for c in sum_cols
+    ]
+    offsets = stats.select(*off_cols)  # <= num_partitions rows
+    wrow = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wrk = W.partitionBy("__pid").orderBy(*order_cols)
+    out_cols = [F.col(c) for c in df.columns]
+    out_cols += [
+        (F.sum(c).over(wrow) + F.col(f"__off_{c}")).alias(f"cum_{c}")
+        for c in sum_cols
+    ]
+    if rank_col is not None:
+        out_cols.append(
+            (F.row_number().over(wrk).cast("long") + F.col("__row_off")).alias(
+                rank_col
+            )
+        )
+    return parts.join(F.broadcast(offsets), "__pid").select(*out_cols)

@@ -53,9 +53,13 @@ def lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     The probe expansion is an explode of the (C(bits,0..radius)) XOR
     masks on the BROADCAST query side — the corpus is still reached by
-    a plain equi-join on its single bucket id, so the 100 TB plan shape
-    (bucket-pruned scan, no shuffle of the big side) is unchanged; only
-    the tiny probe table grows (x93 at bits=8, radius=3).
+    a plain equi-join on its single bucket id, so the corpus side never
+    shuffles ON THE JOIN; only the tiny probe table grows (x93 at
+    bits=8, radius=3).  (One caveat, scoped like shingle()'s fan-out
+    note: when the corpus arrives in fewer partitions than the cluster
+    has slots — a local-fixture artifact — it is repartitioned once for
+    parallelism, a real shuffle that a well-partitioned 100 TB corpus
+    would never take.)
 
     Fixture calibration (sf0.1, 2000x64, true-neighbor cosine ~0.37 =>
     per-bit agreement ~0.62): radius 0/1/2/3 measures recall 0.0/0.125/
@@ -69,6 +73,9 @@ def lsh_multiprobe_topk(queries: DataFrame, corpus: DataFrame, k: int,
         "__mask", F.explode(F.array(*[F.lit(m) for m in masks]))
     ).withColumn("__probe", F.col("bucket").bitwiseXOR(F.col("__mask")))
     sc = corpus.sparkSession.sparkContext
+    # one driver-side plan conversion per CALL (not per row) to read the
+    # incoming partition count; the repartition only fires on
+    # under-partitioned local fixtures (see docstring caveat).
     if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
         corpus = corpus.repartition(sc.defaultParallelism)
     cond = (F.col("query_id") != F.col("neighbor_id")) & (
@@ -136,10 +143,24 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
         # on the isotropic-noise fixture it is measured neutral
         # (0.605 -> 0.615 recall), see ANN_EVAL.json crossover notes.
         cm = np.array([init[0][1]], dtype=np.float64)
-        for _ in range(n_centroids - 1):
+        for j in range(n_centroids - 1):
             d = np.min(
                 [((mat - c) ** 2).sum(axis=1) for c in cm], axis=0
             )
+            if float(d.max()) == 0.0:
+                # fewer distinct sample vectors than centroids: argmax
+                # over all-zero distances would re-pick index 0 forever,
+                # yielding duplicate centroids and permanently empty
+                # clusters (ADVICE r13) — pad from the lowest-id init
+                # rows instead and stop seeding.
+                pad = [
+                    v
+                    for _, v in init[1:]
+                    if not any(np.array_equal(np.asarray(v), c) for c in cm)
+                ]
+                need = n_centroids - 1 - j
+                cm = np.vstack([cm, np.array(pad[:need], dtype=np.float64)]) if pad else cm
+                break
             cm = np.vstack([cm, mat[int(np.argmax(d))]])
         for _ in range(iters):
             d = -2.0 * (mat @ cm.T) + (cm * cm).sum(axis=1)[None, :]

@@ -665,8 +665,13 @@ def stats_gini_concentration(spark, sf_dir):
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).cast("bigint").alias("x")
     )
-    w = W.orderBy("x", "o_custkey")
-    ranked = per_cust.select("x", F.row_number().over(w).alias("i"))
+    # Global rank over CUSTOMER grain — unbounded at scale: partitioned
+    # two-pass rank (operators/prefix.py), not an empty-partition window.
+    from ..operators.prefix import partitioned_prefix_sum
+
+    ranked = partitioned_prefix_sum(
+        per_cust, ["x", "o_custkey"], rank_col="i"
+    ).select("x", "i")
     sums = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("decimal(38,0)").alias("s"),

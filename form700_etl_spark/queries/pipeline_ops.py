@@ -846,7 +846,8 @@ _AES_KEY_SQL = (
         "ln(u)/w, order-equivalent and overflow-free — with u a "
         "deterministic md5-derived uniform and w = n_chars, then the "
         "global top-k by key IS the weighted sample.  One scan + one "
-        "TakeOrdered (partial top-k per partition, no full sort/shuffle); "
+        "explicit TakeOrdered (partial top-k per partition, no full "
+        "sort/shuffle), then a rank over the <=50 survivors only; "
         "re-runs and retries reproduce the identical sample, which "
         "rand()-based weighted samplers cannot promise."
     ),
@@ -858,10 +859,15 @@ def sample_weighted_topk_aes(spark, sf_dir):
     h = F.md5(F.col("doc_id").cast("string"))
     u16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint")
     key = F.log((u16.cast("double") + 1) / F.lit(65536.0)) / F.col("n_chars")
+    keyed = d.select("doc_id", "lang", "n_chars", key.alias("k"))
+    # explicit orderBy().limit() -> TakeOrderedAndProject; the window
+    # then ranks ONLY the 50 survivors (same pattern as
+    # sample_dsir_importance), never the whole corpus.
+    top = keyed.orderBy(F.col("k").desc(), "doc_id").limit(50)
     return (
-        d.select("doc_id", "lang", "n_chars", key.alias("k"))
-        .withColumn("rk", F.row_number().over(W.orderBy(F.col("k").desc(), "doc_id")).cast("int"))
-        .filter(F.col("rk") <= 50)
+        top.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("k").desc(), "doc_id")).cast("int")
+        )
         .select("doc_id", "lang", "n_chars", "rk")
     )
 

@@ -1067,9 +1067,16 @@ def ref_pipeline_dual_audit(spark, sf_dir):
 )
 def ref_chunking_audit(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
-    rn = F.row_number().over(W.orderBy("o_orderkey"))
+    # Global row numbers over ROW grain (the chunker's semantics) via
+    # the two-pass partitioned rank (operators/prefix.py) — a global
+    # row_number window would single-partition-sort the whole table.
+    from ..operators.prefix import partitioned_prefix_sum
+
+    numbered = partitioned_prefix_sum(
+        o.select("o_orderkey"), ["o_orderkey"], rank_col="rn"
+    )
     return (
-        o.select("o_orderkey", rn.alias("rn"))
+        numbered
         .select("o_orderkey", (((F.col("rn") - 1) / 1000).cast("int")).alias("chunk_id"))
         .groupBy("chunk_id")
         .agg(

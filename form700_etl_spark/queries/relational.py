@@ -1515,10 +1515,14 @@ def abc_pareto_parts_classification(spark, sf_dir):
         F.sum(cents("l_extendedprice")).cast("long").alias("cents")
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("t"))
-    wcum = W.orderBy(F.col("cents").desc(), "p").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    ranked = rev.select("p", "cents", F.sum("cents").over(wcum).alias("cum"))
+    # Global revenue cumsum over PART grain — unbounded at scale, so it
+    # runs as a two-pass partitioned prefix sum (operators/prefix.py),
+    # never an empty-partition-spec window (plan-contract ban).
+    from ..operators.prefix import partitioned_prefix_sum
+
+    ranked = partitioned_prefix_sum(
+        rev, [F.col("cents").desc(), "p"], sum_cols=("cents",)
+    ).select("p", "cents", F.col("cum_cents").alias("cum"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("cum") * 10 <= F.col("t") * 8, "A")
         .when(F.col("cum") * 100 <= F.col("t") * 95, "B")

@@ -965,8 +965,12 @@ def skew_key_profile(spark, sf_dir):
         F.sum("cnt").cast("bigint").alias("n_rows"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
     )
+    # Explicit TakeOrdered over the (unbounded) keyspace, then rank the
+    # <=20 survivors — the key grain is exactly what grows with skewed
+    # 100 TB inputs, so it must never feed a single-partition window.
+    top = per_key.orderBy(F.col("cnt").desc(), F.col("key")).limit(20)
     w = W.orderBy(F.col("cnt").desc(), F.col("key"))
-    ranked = per_key.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    ranked = top.withColumn("rk", F.row_number().over(w))
     return (
         ranked.join(F.broadcast(stats))
         .select(

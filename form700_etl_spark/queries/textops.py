@@ -1574,10 +1574,14 @@ def text_bm25_topk(spark, sf_dir):
             F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
         )
     )
+    # Explicit TakeOrdered (distributed per-partition top-k), THEN rank
+    # the <=10 survivors.  Spark 4.1's LimitPushDownThroughWindow happens
+    # to rescue the row_number+filter idiom too, but the explicit form
+    # does not depend on an optimizer rule firing (the 100 TB contract).
+    top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(10)
     w = W.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
         .orderBy("rk")
         .select("doc_id", "score_micro", "n_matched_terms", "rk")
     )
@@ -2630,8 +2634,10 @@ def text_good_turing_mass(spark, sf_dir):
         "the vocabulary — natural text sits near -1; synthetic or "
         "templated corpora flatten, making the slope a cheap corpus-"
         "authenticity screen next to audit_benford_first_digit.  Rank "
-        "assignment is a window over the VOCABULARY-grain frequency "
-        "table (deterministic tie-break by term); each term's log-log "
+        "assignment runs as a two-pass partitioned rank over the "
+        "vocabulary-grain frequency table (deterministic tie-break by "
+        "term) — vocabulary grows with the corpus, so no global-sort "
+        "window; each term's log-log "
         "moment contribution quantizes to integer e9 units before the "
         "cross-term sums, so the regression inputs accumulate order-"
         "independently and the slope divides once on identical doubles."
@@ -2642,12 +2648,14 @@ def stats_zipf_slope(spark, sf_dir):
     freq = d.select(F.explode(F.split("text", " ")).alias("term")).groupBy(
         "term"
     ).agg(F.count(F.lit(1)).cast("long").alias("f"))
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(W.orderBy(F.col("f").desc(), "term"))
-        .alias("rnk"),
-    )
+    # Rank over VOCABULARY grain — grows with the corpus (Heaps' law),
+    # so it must not feed an empty-partition-spec window: two-pass
+    # partitioned rank instead (operators/prefix.py).
+    from ..operators.prefix import partitioned_prefix_sum
+
+    ranked = partitioned_prefix_sum(
+        freq, [F.col("f").desc(), "term"], rank_col="rnk"
+    ).select("f", "rnk")
     q = lambda c: F.round(1000000000.0 * F.log(c.cast("double"))).cast("long")
     pts = ranked.select(q(F.col("rnk")).alias("x_e9"), q(F.col("f")).alias("y_e9"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")
@@ -3227,8 +3235,11 @@ def text_js_divergence_sources(spark, sf_dir):
         "buying new vocabulary?), and the empirical basis for the "
         "scale-probe's vocab-scaling rule.  First occurrences come "
         "from one token-grain min-agg (no per-doc state), per-doc "
-        "new-type counts re-join it, and the cumulative windows run "
-        "over DOC grain.  ln terms quantize to nano-units before the "
+        "new-type counts re-join it, and the doc-grain cumulative sums "
+        "run as a two-pass PARTITIONED prefix sum (range-partition -> "
+        "per-partition totals -> broadcast offsets -> per-partition "
+        "windows), never a single-partition global sort.  ln terms "
+        "quantize to nano-units before the "
         "10-point OLS moments, so the fitted exponent replays "
         "cell-exact."
     ),
@@ -3251,13 +3262,23 @@ def text_heaps_vocab_growth(spark, sf_dir):
             .alias("n_new"),
         )
     )
-    wcum = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per_doc.select(
-        "doc_id",
-        F.row_number().over(W.orderBy("doc_id")).alias("rk"),
-        F.sum("n_tok").over(wcum).alias("cum_tokens"),
-        F.sum("n_new").over(wcum).alias("cum_types"),
-    ).localCheckpoint()  # count + checkpoint join re-consume
+    # Two-pass PARTITIONED prefix sum (operators/prefix.py): a global
+    # cumulative window over doc grain would single-partition-sort the
+    # whole corpus — the shape the plan-contract suite bans.
+    from ..operators.prefix import partitioned_prefix_sum
+
+    cum = (
+        partitioned_prefix_sum(
+            per_doc, ["doc_id"], sum_cols=("n_tok", "n_new"), rank_col="rk"
+        )
+        .select(
+            "doc_id",
+            "rk",
+            F.col("cum_n_tok").alias("cum_tokens"),
+            F.col("cum_n_new").alias("cum_types"),
+        )
+        .localCheckpoint()  # count + checkpoint join re-consume
+    )
     n_docs = cum.agg(F.count(F.lit(1)).cast("long").alias("n"))
     deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
     checkpoints = (
@@ -3621,11 +3642,23 @@ def text_ndcg_retrieval_eval(spark, sf_dir):
             .alias("dcg_nano")
         )
     )
-    ideal = rel.select(
+    # Ideal ranking from the corpus rel DISTRIBUTION (<= 5 distinct rel
+    # values = len(_BM25_TERMS)+1), as the docstring promises: position
+    # rk holds rel value r iff lo(r) < rk <= hi(r) where lo/hi are the
+    # cumulative counts over rel DESC.  Gains depend only on rel, so the
+    # doc_id tie-break in the oracle's row_number is irrelevant — no
+    # global sort (or even top-k) of doc-grain rows is ever needed.
+    dist = rel.groupBy("rel").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wd = W.orderBy(F.desc("rel")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    bounds = dist.select(
         "rel",
-        F.row_number().over(W.orderBy(F.desc("rel"), F.asc("doc_id"))).alias("rk"),
-    ).where(F.col("rk") <= _NDCG_K)
-    idcg = ideal.join(F.broadcast(disc), "rk").agg(
+        (F.sum("c").over(wd) - F.col("c")).alias("lo"),
+        F.sum("c").over(wd).alias("hi"),
+    )
+    ideal = F.broadcast(disc).join(
+        bounds, (F.col("rk") > F.col("lo")) & (F.col("rk") <= F.col("hi"))
+    )
+    idcg = ideal.agg(
         F.sum(
             (F.expr("shiftleft(1L, CAST(rel AS INT))") - 1)
             * F.col("disc_nano")
@@ -4066,8 +4099,14 @@ _IMPACT_QUERY_TERMS = 8  # query-side pruning: keep the Q highest-impact terms
 _IMPACT_TOPK = 10
 
 # Quantized impact weight: round(ln(1+tf) * (ln((N+1)/(df+1)) + 1) * 1e6)
-# — exact ints feed ln on both engines, so the doubles (and the rounded
-# bigint) are identical; products/sums below stay exact bigint math.
+# — exact ints feed ln on both engines, so both compute ln of IDENTICAL
+# doubles; products/sums below stay exact bigint math.  Contract note
+# (ADVICE r13): ln() itself is not IEEE correctly-rounded, so a 1-ulp
+# libm-vs-java.lang.Math divergence landing exactly on a round()
+# half-boundary COULD break parity at some untested (tf, df, N) triple;
+# the guarantee here is empirically-verified-per-SF (crosscheck green
+# at sf0.001/0.01/0.1), not a closed-form proof like the pure-integer
+# surrogates used elsewhere (e.g. md5-derived keys).
 _IMPACT_SQL = (
     "CAST(round(ln(1.0 + tf) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
     " * 1000000) AS BIGINT)"

@@ -87,6 +87,18 @@ def get_spark(app_name: str = "form700_etl_spark", shuffle_partitions: int | Non
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1024m",
         )
+        # The generated-class cache defaults to 100 entries; a
+        # multi-query session compiles thousands of codegen classes, so
+        # a query's classes are routinely EVICTED between its cold pass
+        # and its timed runs — forcing a Janino recompile plus a fresh
+        # HotSpot ramp (round 14 measured ref_pipeline_scheduleA2 at
+        # 41.9 s for a run whose plan executes in 3.0 s steady, with 23
+        # other queries' classes having flushed the cache in between;
+        # in isolation the same plan ramps 5.2 -> 1.4 s).  2000 entries
+        # keep every plan of a session compiled; the cost is bounded
+        # bytecode retention, which the 1 GiB code cache above already
+        # budgets for.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Split generated code into smaller methods than the 1024-byte
         # default: small methods tier up through C1/C2 in one execution
         # instead of queueing behind every other plan's giant method

@@ -735,12 +735,16 @@ def test_good_turing_reaggregates_count_grain(spark, sf_dir):
 
 
 def test_zipf_rank_window_runs_over_vocabulary_grain(spark, sf_dir):
-    """The rank window must consume the vocabulary-grain frequency agg
-    (never raw tokens), and the regression moments must be one final
-    agg — single scan, one window."""
+    """Round 14: vocabulary grows with the corpus (Heaps' law), so the
+    rank assignment must be the two-pass partitioned rank
+    (operators/prefix.py) — the row-grain window partitioned by __pid,
+    never an empty-partition-spec global sort.  The frequency agg is
+    checkpointed inside the operator, so the visible plan consumes the
+    checkpointed RDD."""
     plan = plan_of(spark, sf_dir, "stats_zipf_slope")
-    assert plan.count("Scan parquet") // 2 == 1, plan
-    assert plan.count("+- Window (") == 1, plan
+    assert "hashpartitioning(__pid" in plan, plan
+    # the only row_number window is the per-pid one
+    assert "row_number" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
@@ -1115,3 +1119,171 @@ def test_personalized_pagerank_mass_is_source_anchored(spark, sf_dir):
     assert rows and rows[0].node_type == "customer"
     assert all(r.rank_micro > 0 for r in rows)
     assert rows[0].rank_micro == max(r.rank_micro for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide single-partition-window contract (VERDICT r13 task 2)
+#
+# A Window whose required child distribution is a SinglePartition
+# exchange executes as ONE task sorting the window's entire input — the
+# global rank-filter idiom that is invisible at sf0.1 and catastrophic
+# at 100 TB.  Spark 4.1's LimitPushDownThroughWindow happens to rescue
+# `row_number().over(orderBy)` + `filter(rk<=k)` into a TakeOrdered
+# (verified on this build, CROSSCHECK_r14), but the contract must not
+# depend on an optimizer rule firing: this sweep walks EVERY registered
+# query's physical plan — including the subplans that localCheckpoint()
+# would otherwise hide behind a Scan ExistingRDD, captured via an
+# instrumented checkpoint — and fails on any Window fed by an
+# Exchange SinglePartition, unless the window's input is provably
+# bounded (TakeOrdered / limit / global-agg upstream) or the query is
+# allowlisted below with a one-line grain-bound justification.
+
+# Bounded-input evidence in the direct child chain: a TakeOrdered or
+# limit yields <= k rows; a global (keys=[]) aggregate yields exactly
+# one row per upstream — all constant-bounded, safe to window anywhere.
+_BOUNDED_CHAIN = re.compile(
+    r"TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit"
+    r"|Aggregate\(keys=\[\]"
+)
+_PARTITIONED_EXCHANGE = re.compile(r"Exchange (hash|range)partitioning")
+
+# Queries whose SinglePartition-fed windows run over a GRAIN that is
+# bounded by construction (not visible in the plan text).  Every entry
+# names its bound; an unbounded grain (doc/key/row/vocab) never belongs
+# here — those were rewritten onto operators/prefix.py in round 14
+# (abc_pareto, gini, ref_chunking_audit, zipf_slope, heaps).
+_SINGLE_PARTITION_WINDOW_OK = {
+    # --- value grain: input is an aggregate over DISTINCT QUANTIZED
+    # VALUES, bounded by the value domain, not the corpus ---
+    "agg_weighted_percentiles": "distinct cents values",
+    "clean_quantile_bins": "distinct cents values",
+    "clean_quantile_normalize_groups": "distinct cents values",
+    "mlprep_decision_stump": "distinct rounded event values (candidate splits)",
+    "mlprep_conformal_intervals": "distinct integer-cent residual values",
+    "sketch_histogram_quantiles": "fixed histogram bins",
+    "histogram_fixed_width": "fixed bin count",
+    "text_quality_curriculum_bins": "quality scores quantized to 1e-6 in [0,1]",
+    "training_pipeline_near_dedup_curriculum": "quality scores quantized to 1e-6",
+    "stats_kruskal_wallis": "distinct value grain (midranks)",
+    "stats_ks_exponential_interarrival": "distinct interarrival values",
+    "stats_ks_two_sample": "distinct value grain (ECDF steps)",
+    "stats_mann_whitney_u": "distinct value grain (rank sums)",
+    "stats_roc_auc": "distinct score values (quantized)",
+    "stats_spearman_rank_corr": "distinct value grain per variable",
+    "stats_wilcoxon_signed_rank": "distinct |diff| values",
+    # --- calendar grain: day/month/hour spines, bounded by time ---
+    "events_cumulative_new_users": "day grain",
+    "events_kaplan_meier_conversion": "days-since-signup grain",
+    "monthly_revenue_pct_change": "month grain",
+    "timeseries_cusum_changepoint": "day grain",
+    "timeseries_pettitt_changepoint": "day grain",
+    "timeseries_seasonal_decompose": "day grain",
+    "timeseries_spike_detector": "day grain",
+    "stats_hodges_lehmann_shift": "day-pair grain (calendar-bounded cross)",
+    "mlprep_isotonic_calibration": "24-hour calibration grain",
+    # --- small enumerable domains ---
+    "sample_source_temperature_mix": "source grain (few sources)",
+    "skyline_pareto_frontier": "distinct p_size values",
+    "stats_benjamini_hochberg_fdr": "hypothesis grain (event types)",
+    "text_ndcg_retrieval_eval": "rel grain (<= n_query_terms+1 = 5 values)",
+}
+
+
+def _plan_depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*"))
+
+
+def _single_partition_fed_windows(plan: str) -> list[str]:
+    """Window nodes whose direct input chain hits an Exchange
+    SinglePartition before any partitioned exchange / bounded-input
+    operator / branching node.  Walks the toString tree by indentation;
+    conservative: stops (no flag) at joins/unions/scans, where the
+    feeding distribution is no longer a single unary chain."""
+    lines = plan.splitlines()
+    flagged = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow(GroupLimit)? \[", ln):
+            continue
+        d = _plan_depth(ln)
+        j = i + 1
+        while j < len(lines):
+            s = lines[j]
+            if _plan_depth(s) <= d:
+                break
+            if "Exchange SinglePartition" in s:
+                # operators/prefix.py fix-up: the exchange's input is a
+                # per-partition-totals aggregate keyed on __pid — at
+                # most num_partitions rows, bounded by construction.
+                ed = _plan_depth(s)
+                k = j + 1
+                pid_bounded = False
+                while k < len(lines) and _plan_depth(lines[k]) > ed:
+                    if re.search(r"Aggregate\(keys=\[__pid", lines[k]):
+                        pid_bounded = True
+                        break
+                    if "Exchange" in lines[k] or "Join" in lines[k]:
+                        break
+                    k += 1
+                if not pid_bounded:
+                    flagged.append(ln.strip()[:120])
+                break
+            if (
+                _PARTITIONED_EXCHANGE.search(s)
+                or _BOUNDED_CHAIN.search(s)
+                or "Join" in s
+                or "Scan" in s
+                or "Union" in s
+            ):
+                break
+            j += 1
+    return flagged
+
+
+def test_registry_wide_no_single_partition_windows(spark, sf_dir):
+    """EVERY registered query (and every localCheckpoint'd subplan it
+    builds) is screened for the single-partition-window shape.  The
+    instrumented checkpoint captures subplans at checkpoint time and
+    then checkpoints eagerly as usual, so iterative queries keep their
+    bounded lineage."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    captured: list[str] = []
+    orig_ckpt = cdf.DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        try:
+            captured.append(
+                self._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            )
+        except Exception:  # noqa: BLE001 — capture is best-effort
+            pass
+        return orig_ckpt(self, eager)
+
+    cdf.DataFrame.localCheckpoint = capturing
+    offenders: dict[str, list[str]] = {}
+    streaming_skips, other_skips = [], []
+    try:
+        for name in sorted(QUERIES):
+            if "stream" in QUERIES[name].tags or name.startswith("stream_"):
+                streaming_skips.append(name)
+                continue
+            captured.clear()
+            try:
+                df = QUERIES[name].fn(spark, sf_dir)
+                plans = [
+                    df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+                ] + list(captured)
+            except Exception:  # noqa: BLE001 — queries needing extra setup
+                other_skips.append(name)
+                continue
+            hits: list[str] = []
+            for p in plans:
+                hits += _single_partition_fed_windows(p)
+            if hits and name not in _SINGLE_PARTITION_WINDOW_OK:
+                offenders[name] = hits
+    finally:
+        cdf.DataFrame.localCheckpoint = orig_ckpt
+    assert not offenders, offenders
+    assert all(
+        "stream" in n for n in streaming_skips
+    ) and len(other_skips) <= 2, (streaming_skips, other_skips)

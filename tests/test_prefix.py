@@ -1,0 +1,74 @@
+"""Laws for operators/prefix.py — the two-pass partitioned prefix
+sum/rank that replaces empty-partition-spec cumulative windows.
+
+The contract: identical results to the single-partition window it
+replaces, for any input partitioning and any operator partition count —
+while the plan keeps row-grain data out of SinglePartition exchanges
+(asserted registry-wide in test_plans.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from form700_etl_spark.operators.prefix import partitioned_prefix_sum
+
+
+def _fixture(spark, n=1000, slices=7):
+    # non-monotone values with ties; unique id as tie-break
+    return spark.range(0, n, 1, slices).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 11).alias("v"),
+        ((F.col("id") * 13) % 5 + 1).alias("w"),
+    )
+
+
+def test_cumsum_and_rank_match_driver_reference(spark):
+    df = _fixture(spark)
+    out = partitioned_prefix_sum(
+        df, [F.col("v").desc(), "id"], sum_cols=("w",), rank_col="rk"
+    ).collect()
+    rows = sorted(((-r.v, r.id, r.w) for r in out))
+    running, expect = 0, {}
+    for i, (nv, rid, w) in enumerate(rows, start=1):
+        running += w
+        expect[rid] = (i, running)
+    assert len(out) == len(rows)
+    for r in out:
+        exp_rk, exp_cum = expect[r.id]
+        assert (r.rk, r.cum_w) == (exp_rk, exp_cum), (r, exp_rk, exp_cum)
+
+
+def test_rank_is_dense_permutation(spark):
+    df = _fixture(spark, n=500, slices=3)
+    ranks = [
+        r.rk
+        for r in partitioned_prefix_sum(df, ["id"], rank_col="rk").collect()
+    ]
+    assert sorted(ranks) == list(range(1, 501))
+
+
+def test_invariant_to_input_partitioning_and_operator_partitions(spark):
+    a = partitioned_prefix_sum(
+        _fixture(spark, slices=2), ["v", "id"], sum_cols=("w",), rank_col="rk"
+    )
+    b = partitioned_prefix_sum(
+        _fixture(spark, slices=13),
+        ["v", "id"],
+        sum_cols=("w",),
+        rank_col="rk",
+        num_partitions=5,
+    )
+    ka = {(r.id, r.rk, r.cum_w) for r in a.collect()}
+    kb = {(r.id, r.rk, r.cum_w) for r in b.collect()}
+    assert ka == kb
+
+
+def test_fewer_rows_than_partitions(spark):
+    df = spark.range(0, 3, 1, 2).select("id", F.lit(1).alias("w"))
+    out = sorted(
+        (r.id, r.rk, r.cum_w)
+        for r in partitioned_prefix_sum(
+            df, ["id"], sum_cols=("w",), rank_col="rk"
+        ).collect()
+    )
+    assert out == [(0, 1, 1), (1, 2, 2), (2, 3, 3)]
