@@ -524,9 +524,10 @@ _BANDS_SQL = """
 """
 
 
-@register(
-    "dedup_simhash_hamming",
-    oracle=f"""
+# Shared by the batch query below and its streaming twin
+# (stream_simhash_near_dup): both emit the identical pair set, so both
+# check against this one oracle.
+SIMHASH_HAMMING_ORACLE = f"""
     WITH {_simhash_sigs_sql()},
     {_BANDS_SQL},
     cand AS (
@@ -539,7 +540,12 @@ _BANDS_SQL = """
            CAST(bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) AS INT) AS hamming
     FROM cand
     WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= {_HAMMING_MAX}
-    """,
+    """
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=SIMHASH_HAMMING_ORACLE,
     tags=("dedup", "lsh"),
     doc=(
         "SimHash near-duplicate PAIRS within Hamming distance "

@@ -311,3 +311,22 @@ register(
         "alarm a production stream watches."
     ),
 )(stream_late_data_audit)
+
+
+from ..streaming.docs_near_dup import stream_simhash_near_dup  # noqa: E402
+from .dedup import SIMHASH_HAMMING_ORACLE  # noqa: E402
+
+register(
+    "stream_simhash_near_dup",
+    oracle=SIMHASH_HAMMING_ORACLE,
+    tags=("streaming", "dedup", "lsh"),
+    doc=(
+        "Streaming banded-SimHash near-dup: document signatures arrive "
+        "in micro-batches; each (band, value) bucket keeps its members "
+        "in keyed GroupState and verifies arrivals against state only "
+        "(index-probe shape, never a corpus self-join).  Pigeonhole "
+        "completeness at Hamming<=3 is batch-identical, so the emitted "
+        "pair set equals dedup_simhash_hamming's and checks against the "
+        "SAME DuckDB oracle — batch and stream share one contract."
+    ),
+)(stream_simhash_near_dup)

@@ -392,3 +392,26 @@ def test_bench_tumbling_throughput_steady_state(spark, sf_dir):
     assert sum(b["num_input_rows"] for b in steady) == (
         (run["n_batches"] - 1) * run["events"]
     )
+
+
+def test_stream_simhash_near_dup_equals_batch_pairs(spark, sf_dir):
+    """Completeness contract of the streaming banded-SimHash near-dup:
+    the pair set emitted across micro-batches (bucket members carried
+    in keyed GroupState) must equal the batch self-join's pair set
+    EXACTLY — same pigeonhole completeness at Hamming<=3, arrival order
+    only decides WHEN a pair is emitted, never whether.  Also asserts
+    cross-batch pairs exist (state actually carried members forward;
+    with doc_id%4 slicing, most near-dup pairs span batches)."""
+    from form700_etl_spark.registry import all_queries
+    from form700_etl_spark.streaming.docs_near_dup import (
+        stream_simhash_near_dup,
+    )
+
+    out = stream_simhash_near_dup(spark, sf_dir, n_batches=4)
+    got = sorted((r.doc1, r.doc2, r.hamming) for r in out.collect())
+    batch = all_queries()["dedup_simhash_hamming"].fn(spark, sf_dir)
+    want = sorted((r.doc1, r.doc2, r.hamming) for r in batch.collect())
+    assert got == want
+    assert any(d1 % 4 != d2 % 4 for d1, d2, _ in got), (
+        "no cross-batch pair emitted — state not exercised"
+    )

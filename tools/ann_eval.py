@@ -104,39 +104,46 @@ def _fixture_diagnosis(sf_dir: str) -> dict:
 
 
 def _clustered_crossover(spark) -> dict:
-    """The same ivf_topk operator on a corpus whose neighbor structure
-    IS cluster-aligned (strong signal, same 2000x64 shape): recall at a
-    30% scan should be ~1.0, demonstrating the operator is sound and
-    the fixture is the adversarial case."""
-    import numpy as np
+    """IVF and PQ on a corpus whose neighbor structure IS
+    cluster-aligned (strong signal, same 2000x64 shape): IVF recall at
+    a 30% scan should be ~1.0, demonstrating the operators are sound
+    and the driver fixture is the adversarial case.  The corpus comes
+    from tools/clustered_fixture.py (the committed, reproducible
+    generator — VERDICT r13 growth item)."""
+    from form700_etl_spark.operators.similarity import ivf_topk, pq_topk
+    from tools.clustered_fixture import exact_topk, make_clustered_embeddings
 
-    from form700_etl_spark.operators.similarity import ivf_topk
-
-    rng = np.random.default_rng(7)
-    centers = rng.normal(size=(10, 64)) * 3.0
-    labels = np.arange(2000) % 10
-    V = centers[labels] + rng.normal(size=(2000, 64)) * 0.4
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    qmask = np.arange(2000) % 50 == 0
-    sims = Vn[qmask] @ Vn.T
-    truth = {}
-    for i, qid in enumerate(np.flatnonzero(qmask)):
-        s = sims[i].copy()
-        s[qid] = -9.0
-        truth[int(qid)] = set(int(x) for x in np.argsort(-s)[:5])
-    rows = [(int(i), [float(x) for x in V[i]]) for i in range(2000)]
+    V, _labels = make_clustered_embeddings()
+    truth = exact_topk(V, k=5)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(len(V))]
     df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
     q = df.filter("vec_id % 50 = 0").selectExpr("vec_id AS query_id", "vec AS qvec")
     c = df.selectExpr("vec_id AS neighbor_id", "vec AS nvec")
-    got = ivf_topk(q, c, k=5, n_centroids=10, n_probe=3).collect()
-    by_q: dict = {}
-    for r in got:
-        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
-    hits = sum(len(by_q.get(qid, set()) & t) for qid, t in truth.items())
+
+    def recall(got_rows) -> float:
+        by_q: dict = {}
+        for r in got_rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(by_q.get(qid, set()) & t) for qid, t in truth.items())
+        return round(hits / (5 * len(truth)), 3)
+
+    ivf = ivf_topk(q, c, k=5, n_centroids=10, n_probe=3).collect()
+    # PQ on clustered data exposes the textbook trade: 16-code
+    # quantization captures the CLUSTER structure but collapses
+    # within-cluster detail, so the shortlist samples the query's
+    # ~200-member cluster — recall is bought with rerank budget
+    # (measured r14: rerank 4/16/40 -> 0.125/0.395/1.0).
+    pq_sweep = {
+        f"rerank_{r}": recall(pq_topk(q, c, k=5, rerank=r).collect())
+        for r in (4, 16, 40)
+    }
     return {
-        "corpus": "synthetic 2000x64, 10 strong clusters (seed 7)",
-        "params": {"n_centroids": 10, "n_probe": 3, "scan_frac": 0.3},
-        "recall_at_5": round(hits / (5 * len(truth)), 3),
+        "corpus": "tools/clustered_fixture.py defaults (2000x64, 10 clusters, seed 7)",
+        "ivf": {
+            "params": {"n_centroids": 10, "n_probe": 3, "scan_frac": 0.3},
+            "recall_at_5": recall(ivf),
+        },
+        "pq": {"recall_at_5_by_rerank": pq_sweep},
     }
 
 
