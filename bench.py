@@ -280,6 +280,15 @@ HEADLINE = [
     "text_impact_sparse_retrieval",
     "sample_source_temperature_mix",
     "text_ngram_novelty_score",
+    # round-14: deterministic epoch shuffle + striped shard assignment
+    # (global position via the two-pass partitioned rank).  The other
+    # r14 debut, stream_simhash_near_dup, stays OUT of the suite for
+    # the same reason as the dual audit: its wall is dominated by the
+    # micro-batch replay harness (temp-dir writes + 4 stream triggers),
+    # which would measure the harness, not the operator; its engine
+    # cost is covered by dedup_simhash_hamming (same verify plan) and
+    # the streaming section measures throughput separately.
+    "sample_epoch_shuffle_shards",
 ]
 
 

@@ -1323,3 +1323,62 @@ def sample_source_temperature_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- epoch shuffle + sharding
+
+_SHUFFLE_EPOCH = 1
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "sample_epoch_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST({_SHUFFLE_EPOCH} AS VARCHAR) || ':' ||
+                           CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, k,
+               row_number() OVER (ORDER BY k, doc_id) AS pos
+        FROM keyed
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST((pos - 1) % {_SHUFFLE_SHARDS} AS INT) AS shard
+    FROM ranked
+    """,
+    tags=("pipeline", "sampling", "shuffle"),
+    doc=(
+        "Deterministic epoch shuffle + shard assignment — the data-"
+        "ordering step every pre-training run does per epoch: each doc "
+        "gets the permutation key md5(epoch:doc_id) (re-keying the "
+        "epoch yields an independent permutation; retries replay the "
+        "identical order, which rand() cannot promise), its GLOBAL "
+        "position in the shuffled order, and a striped shard id "
+        "(pos-1) % n_shards so every shard is a uniform sample of the "
+        "permutation — contiguous splits would make shard boundaries "
+        "correlate with the keyspace.  The global position comes from "
+        "the two-pass partitioned rank (operators/prefix.py), never a "
+        "single-partition sort: at 100 TB this is one range-partition "
+        "shuffle, each partition sorting only its slice."
+    ),
+)
+def sample_epoch_shuffle_shards(spark, sf_dir):
+    from ..operators.prefix import partitioned_prefix_sum
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit(_SHUFFLE_EPOCH), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    return (
+        partitioned_prefix_sum(keyed, ["k", "doc_id"], rank_col="pos")
+        .select(
+            "doc_id",
+            "pos",
+            ((F.col("pos") - 1) % _SHUFFLE_SHARDS).cast("int").alias("shard"),
+        )
+    )

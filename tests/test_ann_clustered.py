@@ -65,3 +65,19 @@ def test_fixture_writer_roundtrip(spark, tmp_path):
     assert df.count() == 120
     assert [f.name for f in df.schema.fields] == ["vec_id", "embedding", "label"]
     assert dict(df.dtypes)["embedding"] == "array<float>"
+
+
+def test_kmeans_seeding_survives_fewer_distinct_vectors_than_centroids(spark):
+    """ADVICE r13: with fewer distinct sample vectors than centroids,
+    farthest-point seeding used to argmax an all-zero distance vector
+    and emit duplicate index-0 centroids forever.  Now it stops seeding
+    and pads from the init rows — no crash, no infinite duplicates."""
+    from form700_etl_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float(i % 2), 1.0]) for i in range(10)]  # 2 distinct vecs
+    df = spark.createDataFrame(rows, "neighbor_id long, nvec array<double>")
+    cents = kmeans_centroids(df, n_centroids=4, iters=1)
+    assert 2 <= len(cents) <= 4
+    seen = {tuple(v) for _, v in cents}
+    # the 2 distinct input points must both be represented
+    assert len(seen) >= 2, cents

@@ -73,6 +73,12 @@ REPORT_QUERIES = [
     # round-13 additions
     ("contamination_longest_match", "seed-gram join (benchmark side broadcast); diagonal island window"),
     ("text_impact_sparse_retrieval", "pruned postings window; broadcast query vectors; exact bigint scores"),
+    # round-14 additions: the partitioned prefix-sum shape (range
+    # partition -> pid-grain offsets -> per-pid windows) and the
+    # explicit TakeOrdered-then-rank top-k
+    ("sample_epoch_shuffle_shards", "global shuffle rank via two-pass partitioned prefix; per-pid windows only"),
+    ("abc_pareto_parts_classification", "part-grain revenue cumsum via partitioned prefix; broadcast 1-row total"),
+    ("sample_weighted_topk_aes", "scan -> explicit TakeOrdered(50) -> rank survivors"),
 ]
 
 
