@@ -368,6 +368,18 @@ def _canary(spark) -> float:
     return round(best, 4)
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load at measurement time — round 14 observed the
+    canary itself swinging 0.22-0.49 s between processes minutes apart
+    on this shared host; recording co-tenant load with every canary
+    makes 'host was busy' adjudicable from the artifact instead of
+    inferred."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
 # Per-query override of the best-of-2 rule.  ref_pipeline_scheduleA2's
 # generated projection (~300-field nested tree -> 40-column clean/cast)
 # is so large that HotSpot takes several EXECUTIONS to finish compiling
@@ -688,6 +700,7 @@ def main() -> None:
                     "value_r4_query_set": subtotal,
                     "value_r4_cold_pass": round(sum(cold.values()), 3),
                     "canary_s": canary_s,
+                    "loadavg": _loadavg(),
                     "host_factor": host_factor,
                     "value_r4_normalized": round(subtotal / host_factor, 3),
                     "queries": timings,
@@ -809,8 +822,10 @@ def main() -> None:
                 # JVM that measured value_r4_query_set (its own canary is
                 # the one value_r4_normalized divides by).
                 "canary_s": canary_s,
+                "loadavg": _loadavg(),
                 "host_factor": host_factor,
                 "r4_canary_s": (r4_fresh or {}).get("canary_s", canary_s),
+                "r4_loadavg": (r4_fresh or {}).get("loadavg"),
                 "value_r4_normalized": round(r4_value / r4_host_factor, 3),
                 "r4_methodology": "warmed_v2",
                 "streaming_events_per_s": streaming["events_per_s"],
