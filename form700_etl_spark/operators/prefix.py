@@ -25,6 +25,19 @@ Requirements: `order_cols` must be a TOTAL order (include a unique
 tie-break column).  Range partitioning assigns equal keys to one
 partition, so with a total order the pid column is deterministic; the
 localCheckpoint pins it across the two consumers regardless.
+
+Known cost (deliberate): pass 2's per-pid window re-shuffles the rows
+by hash(pid) even though the checkpoint left them range-clustered —
+Spark has no API to assert an existing RDD's distribution, so the
+EnsureRequirements exchange is unavoidable while staying JVM-side.
+Two linear shuffles total.  The single-shuffle alternatives both trade
+worse: an Arrow mapInPandas pass-2 (running state across batches)
+would drop the exchange but push every row through Python, and a
+quantile-bucketed hash partitioning (reusing one exchange for agg and
+window) needs an extra approxQuantile action plus a numeric surrogate
+of the sort key.  At the measured 10x probe all consumers grow
+sub-linearly (SCALE.md round 14), so the second exchange is a constant
+factor, not a scale term.
 """
 
 from __future__ import annotations

@@ -292,22 +292,64 @@ _PYTHON_OK = {
 }
 
 
-def test_registry_wide_no_accidental_python_or_cartesian(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_plan_sweep(spark, sf_dir):
+    """ONE build pass over every non-streaming registered query, shared
+    by all registry-wide plan contracts (each query's plan construction
+    costs seconds of Catalyst work; two independent sweeps doubled the
+    suite's wall for no coverage gain).  Yields
+    (plans, streaming_skips, other_skips) where plans[name] =
+    {"formatted": analyzed formatted explain of the final frame,
+     "executed": [final executedPlan toString + every localCheckpoint'd
+                  subplan captured at checkpoint time]}."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    captured: list[str] = []
+    orig_ckpt = cdf.DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        try:
+            captured.append(
+                self._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            )
+        except Exception:  # noqa: BLE001 — capture is best-effort
+            pass
+        return orig_ckpt(self, eager)
+
+    plans: dict[str, dict] = {}
+    streaming_skips, other_skips = [], []
+    cdf.DataFrame.localCheckpoint = capturing
+    try:
+        for name in sorted(QUERIES):
+            if "stream" in QUERIES[name].tags or name.startswith("stream_"):
+                streaming_skips.append(name)  # streaming EXECUTES on build
+                continue
+            captured.clear()
+            try:
+                df = QUERIES[name].fn(spark, sf_dir)
+                qe = df._jdf.queryExecution()  # noqa: SLF001
+                plans[name] = {
+                    "formatted": df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                        qe, "formatted"
+                    ),
+                    "executed": [qe.executedPlan().toString()] + list(captured),
+                }
+            except Exception:  # noqa: BLE001 — queries needing extra setup
+                other_skips.append(name)
+    finally:
+        cdf.DataFrame.localCheckpoint = orig_ckpt
+    return plans, streaming_skips, other_skips
+
+
+def test_registry_wide_no_accidental_python_or_cartesian(registry_plan_sweep):
     """EVERY registered query's analyzed plan is screened: Python-eval
     nodes only in the declared Arrow-operator set, and no
     CartesianProduct anywhere (1-row combine crossJoins lower to
     broadcast nested loop, which is fine; a true cartesian is always a
-    bug).  One sweep, cheap (analysis only, no execution)."""
-    streaming_skips, other_skips = [], []
-    for name in sorted(QUERIES):
-        if "stream" in QUERIES[name].tags or name.startswith("stream_"):
-            streaming_skips.append(name)  # streaming queries EXECUTE on build
-            continue
-        try:
-            plan = plan_of(spark, sf_dir, name)
-        except Exception:  # noqa: BLE001 — queries needing extra setup
-            other_skips.append(name)
-            continue
+    bug)."""
+    plans, streaming_skips, other_skips = registry_plan_sweep
+    for name, p in plans.items():
+        plan = p["formatted"]
         if name not in _PYTHON_OK:
             assert "EvalPython" not in plan, f"{name}: unexpected Python node"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
@@ -1239,50 +1281,18 @@ def _single_partition_fed_windows(plan: str) -> list[str]:
     return flagged
 
 
-def test_registry_wide_no_single_partition_windows(spark, sf_dir):
+def test_registry_wide_no_single_partition_windows(registry_plan_sweep):
     """EVERY registered query (and every localCheckpoint'd subplan it
-    builds) is screened for the single-partition-window shape.  The
-    instrumented checkpoint captures subplans at checkpoint time and
-    then checkpoints eagerly as usual, so iterative queries keep their
-    bounded lineage."""
-    import pyspark.sql.classic.dataframe as cdf
-
-    captured: list[str] = []
-    orig_ckpt = cdf.DataFrame.localCheckpoint
-
-    def capturing(self, eager=True):
-        try:
-            captured.append(
-                self._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-            )
-        except Exception:  # noqa: BLE001 — capture is best-effort
-            pass
-        return orig_ckpt(self, eager)
-
-    cdf.DataFrame.localCheckpoint = capturing
+    builds, captured by the shared sweep's instrumented checkpoint) is
+    screened for the single-partition-window shape."""
+    plans, streaming_skips, other_skips = registry_plan_sweep
     offenders: dict[str, list[str]] = {}
-    streaming_skips, other_skips = [], []
-    try:
-        for name in sorted(QUERIES):
-            if "stream" in QUERIES[name].tags or name.startswith("stream_"):
-                streaming_skips.append(name)
-                continue
-            captured.clear()
-            try:
-                df = QUERIES[name].fn(spark, sf_dir)
-                plans = [
-                    df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-                ] + list(captured)
-            except Exception:  # noqa: BLE001 — queries needing extra setup
-                other_skips.append(name)
-                continue
-            hits: list[str] = []
-            for p in plans:
-                hits += _single_partition_fed_windows(p)
-            if hits and name not in _SINGLE_PARTITION_WINDOW_OK:
-                offenders[name] = hits
-    finally:
-        cdf.DataFrame.localCheckpoint = orig_ckpt
+    for name, p in plans.items():
+        hits: list[str] = []
+        for plan in p["executed"]:
+            hits += _single_partition_fed_windows(plan)
+        if hits and name not in _SINGLE_PARTITION_WINDOW_OK:
+            offenders[name] = hits
     assert not offenders, offenders
     assert all(
         "stream" in n for n in streaming_skips
