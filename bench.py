@@ -3,7 +3,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The LAST
 stdout line is ONE COMPACT JSON line (~300 bytes): {"metric": ...,
 "value": N, "unit": "sec", "value_r4_query_set": N, "sf": ...} — the
-111-entry per-query map lives in BENCH_DETAIL.json and on an earlier
+full per-query map lives in BENCH_DETAIL.json and on an earlier
 stdout line, so the driver's tail capture always parses the final line
 (round 5's single giant line overflowed it).  The round-comparable
 24-query r4 subtotal is measured in its own fresh JVM subprocess
