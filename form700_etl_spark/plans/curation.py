@@ -56,6 +56,7 @@ _KNOWN_STAGES = (
     "lang_keep",
     "exact_dedup",
     "split_keep",
+    "epoch_shard",
     "pack_budget",
 )
 
@@ -111,6 +112,7 @@ def compile_spark(spec: dict[str, Any]):
             (F.length("text").cast("double") / F.size(toks)).alias("cpt"),
         )
         pack_budget = None
+        pack_key = "source"
         for st in spec["stages"]:
             (kind, arg), = st.items()
             if kind == "min_tokens":
@@ -129,31 +131,55 @@ def compile_spark(spec: dict[str, Any]):
                 )
             elif kind == "split_keep":
                 df = df.filter(_split_pred_col(str(arg)))
+            elif kind == "epoch_shard":
+                # deterministic epoch shuffle + striped shard id (the
+                # sample_epoch_shuffle_shards discipline): global
+                # position via the two-pass partitioned rank, never an
+                # empty-partition-spec window.  Downstream packing and
+                # the audit re-key to the shard (training shards are
+                # the parallel units a run reads).
+                from ..operators.prefix import partitioned_prefix_sum
+
+                epoch, shards = int(arg["epoch"]), int(arg["shards"])
+                keyed = df.withColumn(
+                    "__k",
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(epoch), F.col("doc_id").cast("string")
+                        )
+                    ),
+                )
+                df = (
+                    partitioned_prefix_sum(
+                        keyed, ["__k", "doc_id"], rank_col="__pos"
+                    )
+                    .withColumn(
+                        "shard",
+                        ((F.col("__pos") - 1) % shards).cast("int"),
+                    )
+                    .drop("__k", "__pos")
+                )
+                pack_key = "shard"
             elif kind == "pack_budget":
                 pack_budget = int(arg)
         if pack_budget is None:
             raise ValueError("spec must end with a pack_budget stage")
-        wpack = (
-            W.partitionBy("source")
-            .orderBy("doc_id")
-            .rowsBetween(W.unboundedPreceding, -1)
-        )
         packed = df.withColumn(
             "pack_id",
             F.expr(
-                f"coalesce(sum(n_tokens) OVER (PARTITION BY source "
+                f"coalesce(sum(n_tokens) OVER (PARTITION BY {pack_key} "
                 f"ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
                 f"AND 1 PRECEDING), 0) div {pack_budget}"
             ),
         )
         return (
-            packed.groupBy("source")
+            packed.groupBy(pack_key)
             .agg(
                 F.count_distinct("pack_id").alias("n_packs"),
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_tokens").alias("total_tokens"),
             )
-            .orderBy("source")
+            .orderBy(pack_key)
         )
 
     return run
@@ -173,6 +199,7 @@ def compile_oracle(spec: dict[str, Any]) -> str:
     ]
     prev = "s0"
     pack_budget = None
+    pack_key = "source"
     for i, st in enumerate(spec["stages"], start=1):
         (kind, arg), = st.items()
         name = f"s{i}"
@@ -196,6 +223,17 @@ def compile_oracle(spec: dict[str, Any]) -> str:
             )
         elif kind == "split_keep":
             body = f"SELECT * FROM {prev} WHERE {_split_pred_sql(str(arg))}"
+        elif kind == "epoch_shard":
+            epoch, shards = int(arg["epoch"]), int(arg["shards"])
+            body = (
+                f"SELECT * EXCLUDE (__pos),"
+                f" CAST((__pos - 1) % {shards} AS INT) AS shard FROM ("
+                f"SELECT {prev}.*, row_number() OVER (ORDER BY"
+                f" md5(CAST({epoch} AS VARCHAR) || ':' ||"
+                f" CAST(doc_id AS VARCHAR)), doc_id) AS __pos"
+                f" FROM {prev})"
+            )
+            pack_key = "shard"
         elif kind == "pack_budget":
             pack_budget = int(arg)
             continue
@@ -208,8 +246,8 @@ def compile_oracle(spec: dict[str, Any]) -> str:
     ctes.append(
         (
             "packed",
-            f"SELECT source, n_tokens,"
-            f" COALESCE(SUM(n_tokens) OVER (PARTITION BY source"
+            f"SELECT {pack_key}, n_tokens,"
+            f" COALESCE(SUM(n_tokens) OVER (PARTITION BY {pack_key}"
             f" ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING"
             f" AND 1 PRECEDING), 0) // {pack_budget} AS pack_id"
             f" FROM {prev}",
@@ -218,9 +256,9 @@ def compile_oracle(spec: dict[str, Any]) -> str:
     cte_sql = ",\n".join(f"{n} AS ({b})" for n, b in ctes)
     return (
         f"WITH {cte_sql}\n"
-        "SELECT source,"
+        f"SELECT {pack_key},"
         " CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,"
         " CAST(COUNT(*) AS BIGINT) AS n_docs,"
         " CAST(SUM(n_tokens) AS BIGINT) AS total_tokens"
-        " FROM packed GROUP BY source ORDER BY source"
+        f" FROM packed GROUP BY {pack_key} ORDER BY {pack_key}"
     )

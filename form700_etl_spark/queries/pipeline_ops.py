@@ -1014,6 +1014,38 @@ def training_pipeline_from_config(spark, sf_dir):
     return compile_spark(_CURATION_SPEC)(spark, sf_dir)
 
 
+import os as _os  # noqa: E402
+
+_SHARDED_SPEC = load_spec(
+    _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources",
+        "curation_sharded.yaml",
+    )
+)
+
+
+@register(
+    "training_pipeline_sharded_from_config",
+    oracle=compile_oracle(_SHARDED_SPEC),
+    tags=("pipeline", "config", "sampling"),
+    doc=(
+        "Config-driven SHARDED curation: resources/curation_sharded.yaml "
+        "adds an epoch_shard stage (deterministic md5(epoch:doc_id) "
+        "shuffle, global position via the two-pass partitioned rank, "
+        "striped shard ids) after the filter/dedup/split gates, and "
+        "packing re-keys to the shard — the epoch-1 shard manifest a "
+        "training run actually reads.  Same compiler as "
+        "training_pipeline_from_config: the DuckDB oracle is derived "
+        "from the identical YAML, so the new stage is oracle-checked "
+        "for free; re-keying the epoch yields an independent "
+        "permutation with the same audit schema."
+    ),
+)
+def training_pipeline_sharded_from_config(spark, sf_dir):
+    return compile_spark(_SHARDED_SPEC)(spark, sf_dir)
+
+
 # ----------------------------------------- contrastive negative mining
 
 _NEG_K = 3        # negatives per anchor

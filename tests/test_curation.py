@@ -82,3 +82,43 @@ def test_stage_order_matters(spark, sf_dir):
     # order produces a deterministic result object
     assert ra == compile_spark(a)(spark, sf_dir).collect()
     assert rb == compile_spark(b)(spark, sf_dir).collect()
+
+
+def test_epoch_shard_stage_compiles_engine_identical(spark, sf_dir, oracle_con):
+    """An UNCOMMITTED spec with the epoch_shard stage at a different
+    epoch/shard count must hash-match its generated SQL — the compiler
+    property for the round-14 stage, not the committed YAML instance."""
+    spec = {
+        "stages": [
+            {"min_tokens": 10},
+            {"epoch_shard": {"epoch": 3, "shards": 5}},
+            {"pack_budget": 128},
+        ]
+    }
+    compare(
+        compile_spark(spec)(spark, sf_dir),
+        oracle_con,
+        compile_oracle(spec),
+        "curation-epoch-shard-spec",
+    )
+
+
+def test_epoch_shard_rekeying_epoch_changes_permutation(spark, sf_dir):
+    """Different epochs must yield different shard assignments (an
+    independent permutation per epoch) while keeping every shard
+    non-empty — the property a multi-epoch training run relies on."""
+    base = [{"min_tokens": 10}, {"pack_budget": 128}]
+    runs = {}
+    for epoch in (1, 2):
+        spec = {
+            "stages": base[:1]
+            + [{"epoch_shard": {"epoch": epoch, "shards": 4}}]
+            + base[1:]
+        }
+        rows = compile_spark(spec)(spark, sf_dir).collect()
+        runs[epoch] = {r.shard: (r.n_docs, r.total_tokens) for r in rows}
+        assert sorted(runs[epoch]) == [0, 1, 2, 3], rows
+    # striped assignment keeps per-shard doc counts near-equal within
+    # each epoch, but the token totals must differ between epochs
+    # (different permutation -> different docs per shard)
+    assert runs[1] != runs[2], runs
