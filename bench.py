@@ -287,7 +287,9 @@ HEADLINE = [
     # micro-batch replay harness (temp-dir writes + 4 stream triggers),
     # which would measure the harness, not the operator; its engine
     # cost is covered by dedup_simhash_hamming (same verify plan) and
-    # the streaming section measures throughput separately.
+    # the streaming section measures throughput separately.  (r15: the
+    # TTL-bounded sibling stream_simhash_near_dup_windowed stays out
+    # for the identical reason.)
     "sample_epoch_shuffle_shards",
 ]
 
@@ -368,6 +370,83 @@ def _canary(spark) -> float:
     return round(best, 4)
 
 
+# --- Self-qualifying bench (round-15, VERDICT r14 task 3) -------------------
+# Round 14's artifact was taken at loadavg 6-15 and host_factor 2.337; seven
+# consecutive suite rows (positions 16-23) regressed 3-6x on UNCHANGED code —
+# one co-tenant contention window, not seven regressions (run1~=run2 inside
+# the window, every row steady-normal on a quiet host).  Three defenses so
+# the committed artifact is the quiet-host run:
+#   (a) startup gate: wait (bounded) for 1-min loadavg to drop before any
+#       measurement, and re-measure the canary until host_factor <= 1.5 or
+#       attempts run out — both traces recorded in the artifact;
+#   (b) mid-suite mini-canaries every _MID_CANARY_EVERY queries: rows whose
+#       neighborhood canary exceeded 1.5x the run's best are REQUEUED and
+#       re-timed after the sweep (min wins), so a transient window can't
+#       poison their best-of;
+#   (c) r4 fresh-JVM spread: if rel_spread (ex-scheduleA2) > 0.35, run up to
+#       _R4_EXTRA more passes and re-summarize over all survivors.
+QUIET_GATE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_LOAD", "6"))
+QUIET_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "900"))
+MAX_HOST_FACTOR = 1.5
+_MID_CANARY_EVERY = 12
+_R4_EXTRA = 2
+_R4_TARGET_SPREAD = 0.35
+
+
+def _await_quiet_host() -> dict:
+    """Bounded wait for co-tenant load to drain BEFORE any measurement
+    (sampled pre-Spark, so the reading is co-tenants, not us)."""
+    samples = []
+    waited = 0
+    while True:
+        la = _loadavg()
+        samples.append({"waited_s": waited, "loadavg": la})
+        if not la or la[0] <= QUIET_GATE_LOAD1 or waited >= QUIET_GATE_WAIT_S:
+            break
+        time.sleep(60)
+        waited += 60
+    return {
+        "gate_load1": QUIET_GATE_LOAD1,
+        "max_wait_s": QUIET_GATE_WAIT_S,
+        "samples": samples,
+        "passed": bool(
+            samples and samples[-1]["loadavg"]
+            and samples[-1]["loadavg"][0] <= QUIET_GATE_LOAD1
+        ),
+    }
+
+
+def _qualified_canary(spark) -> tuple[float, dict]:
+    """The normalization canary, re-measured (bounded) until it
+    qualifies: a reading implying host_factor > MAX_HOST_FACTOR gets
+    up to 3 more attempts a minute apart; the BEST reading wins (the
+    canary measures the host's quiet capability, so min is the honest
+    statistic).  The attempt trace ships in the artifact."""
+    attempts = []
+    best = _canary(spark)
+    attempts.append({"canary_s": best, "loadavg": _loadavg()})
+    tries = 0
+    while best / CANARY_REF_S > MAX_HOST_FACTOR and tries < 3:
+        time.sleep(60)
+        c = _canary(spark)
+        attempts.append({"canary_s": c, "loadavg": _loadavg()})
+        best = min(best, c)
+        tries += 1
+    return best, {
+        "attempts": attempts,
+        "qualified": best / CANARY_REF_S <= MAX_HOST_FACTOR,
+    }
+
+
+def _mini_canary(spark) -> float:
+    """Single-shot 100M-range codegen sum (~1/3 the canary's work, one
+    run): cheap enough to interleave through the suite, sensitive
+    enough to see a co-tenant window."""
+    start = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+    return round(time.perf_counter() - start, 4)
+
+
 def _loadavg() -> list[float]:
     """1/5/15-min load at measurement time — round 14 observed the
     canary itself swinging 0.22-0.49 s between processes minutes apart
@@ -403,17 +482,28 @@ EXTRA_RUNS = {"ref_pipeline_scheduleA2": 4, "linkage_fs_scores": 4}
 
 def _run_suite(
     spark, queries, names, sf_dir: str
-) -> tuple[dict[str, float], dict[str, list[float]]]:
-    """Returns (best-per-query, all-run-walls-per-query).
+) -> tuple[dict[str, float], dict[str, list[float]], dict]:
+    """Returns (best-per-query, all-run-walls-per-query, quality dict).
 
     The full per-run walls make in-suite anomalies self-adjudicating:
     run1>>run2 is one-time codegen/JIT, run1~=run2 both slow is
     execution-level (queue pressure, spill, host) — the distinction
     VERDICT r13 could not make for dedup_simhash_hamming from a single
-    best-of number."""
+    best-of number.
+
+    Mid-suite mini-canaries (every _MID_CANARY_EVERY queries) detect a
+    co-tenant contention WINDOW (the r14 failure: suite positions 16-23
+    regressed 3-6x together); rows whose neighborhood canary exceeded
+    1.5x the run's best are re-timed once after the sweep and the min
+    wins.  The canary series, the requeued names, and their rescue
+    walls all ship in BENCH_DETAIL so adjudication reads from the
+    artifact."""
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in names:
+    _mini_canary(spark)  # warm-up: the first call pays its own codegen
+    canary_series: list[float] = [_mini_canary(spark)]
+    sample_of: dict[str, int] = {}  # query -> index of PRECEDING sample
+    for qi, name in enumerate(names):
         fn = queries[name].fn
         # force a collection between queries so each timing reflects the
         # query, not its predecessors' GC debt — standard trial hygiene;
@@ -421,6 +511,7 @@ def _run_suite(
         # the inter-query GC vs 20.9s without in the 87-query session,
         # while each query run ISOLATED beats its r4 time (0.91-0.97x).
         spark.sparkContext._jvm.System.gc()
+        sample_of[name] = len(canary_series) - 1
         walls: list[float] = []
         for _ in range(EXTRA_RUNS.get(name, 2)):
             start = time.perf_counter()
@@ -428,7 +519,37 @@ def _run_suite(
             walls.append(round(time.perf_counter() - start, 3))
         timings[name] = min(walls)
         all_runs[name] = walls
-    return timings, all_runs
+        if (qi + 1) % _MID_CANARY_EVERY == 0:
+            canary_series.append(_mini_canary(spark))
+    canary_series.append(_mini_canary(spark))
+    best_c = min(canary_series)
+    contended = [
+        name
+        for name in names
+        # a row is suspect if EITHER bracketing sample saw contention
+        if max(
+            canary_series[sample_of[name]],
+            canary_series[min(sample_of[name] + 1, len(canary_series) - 1)],
+        )
+        > MAX_HOST_FACTOR * best_c
+    ]
+    rescued: dict[str, float] = {}
+    for name in contended:
+        spark.sparkContext._jvm.System.gc()
+        start = time.perf_counter()
+        queries[name].fn(spark, sf_dir).count()
+        wall = round(time.perf_counter() - start, 3)
+        all_runs[name].append(wall)
+        rescued[name] = wall
+        timings[name] = min(timings[name], wall)
+    quality = {
+        "mid_canaries": canary_series,
+        "mid_canary_every": _MID_CANARY_EVERY,
+        "best_mid_canary": best_c,
+        "requeued": contended,
+        "requeued_walls": rescued,
+    }
+    return timings, all_runs, quality
 
 
 def _run_presteps(spark, sf_dir: str) -> dict[str, float]:
@@ -578,10 +699,30 @@ def _r4_fresh_jvm(sf_dir: str) -> tuple[dict | None, dict | None]:
     against the median, and any single-run artifact (the driver's or
     ours) should land inside the published spread.
 
+    Round 15 (VERDICT r14 task 3): if the ex-scheduleA2 relative spread
+    exceeds _R4_TARGET_SPREAD, up to _R4_EXTRA more passes run and the
+    summary recomputes over all survivors — a contention blip during
+    one pass widens the spread, and the extra passes let the quiet-host
+    majority outvote it; `extra_passes` in the spread dict records how
+    many were spent.
+
     Returns (median_run_payload, spread_dict)."""
     runs = [r for r in (_r4_fresh_jvm_once(sf_dir) for _ in range(_R4_RUNS)) if r]
     if not runs:
         return None, None
+    extra_spent = 0
+    while extra_spent < _R4_EXTRA:
+        ex = sorted(
+            r["value_r4_query_set"] - r["queries"]["ref_pipeline_scheduleA2"]
+            for r in runs
+            if "ref_pipeline_scheduleA2" in r.get("queries", {})
+        )
+        if len(ex) >= 2 and ex[0] and (ex[-1] - ex[0]) / ex[0] <= _R4_TARGET_SPREAD:
+            break
+        extra = _r4_fresh_jvm_once(sf_dir)
+        extra_spent += 1
+        if extra:
+            runs.append(extra)
     ordered = sorted(runs, key=lambda r: r["value_r4_query_set"])
     # lower-middle for even survivor counts: if a subprocess died and 2
     # runs remain, publishing the WORSE one would contradict the
@@ -594,13 +735,21 @@ def _r4_fresh_jvm(sf_dir: str) -> tuple[dict | None, dict | None]:
     # its own decomposed measurement (BENCH_DETAIL.scheduleA2_
     # decomposition) and dominated r13's 0.78 relative spread; the gate
     # ratio should be computed on the set that measures the engine.
+    # A run record missing the scheduleA2 timing must NOT silently
+    # subtract 0 — that would leave the pathology this series exists to
+    # exclude INSIDE the "stable" numbers (ADVICE r14).  Exclude such
+    # runs from the ex-A2 series and flag them.
+    ex_a2_missing = sum(
+        1 for r in runs if "ref_pipeline_scheduleA2" not in r.get("queries", {})
+    )
     ex_a2 = sorted(
         round(
             r["value_r4_query_set"]
-            - r.get("queries", {}).get("ref_pipeline_scheduleA2", 0.0),
+            - r["queries"]["ref_pipeline_scheduleA2"],
             3,
         )
         for r in runs
+        if "ref_pipeline_scheduleA2" in r.get("queries", {})
     )
     spread = {
         "runs": values,
@@ -616,12 +765,15 @@ def _r4_fresh_jvm(sf_dir: str) -> tuple[dict | None, dict | None]:
         if values[0]
         else None,
         "runs_ex_scheduleA2": ex_a2,
-        "median_ex_scheduleA2": ex_a2[(len(ex_a2) - 1) // 2],
+        "runs_ex_scheduleA2_missing": ex_a2_missing,
+        "median_ex_scheduleA2": ex_a2[(len(ex_a2) - 1) // 2] if ex_a2 else None,
         "rel_spread_ex_scheduleA2": round(
             (ex_a2[-1] - ex_a2[0]) / ex_a2[0], 4
         )
         if ex_a2 and ex_a2[0]
         else None,
+        "extra_passes": extra_spent,
+        "target_spread": _R4_TARGET_SPREAD,
     }
     return median, spread
 
@@ -636,12 +788,16 @@ def main() -> None:
     subset_a2 = "--subset" in sys.argv and "scheduleA2" in sys.argv
 
     if not (subset_r4 or subset_a2):
+        # Quiet-host gate BEFORE any measurement (r15 task 3): the r14
+        # artifact was committed off a loadavg-6-15 run; wait (bounded)
+        # for co-tenants to drain and record the trace.
+        host_gate = _await_quiet_host()
         # Fresh-JVM passes for the comparable subtotal BEFORE this process
         # builds up suite pressure (and so its JSON can't interleave).
         r4_fresh, r4_spread = _r4_fresh_jvm(sf_dir)
         a2_decomp = _r4_fresh_jvm_once(sf_dir, subset="scheduleA2")
     else:
-        r4_fresh, r4_spread, a2_decomp = None, None, None
+        host_gate, r4_fresh, r4_spread, a2_decomp = None, None, None, None
 
     spark = get_spark("form700-etl-spark-bench")
     queries = all_queries()
@@ -654,8 +810,14 @@ def main() -> None:
         spark.stop()
         return
 
-    # Host-speed canary FIRST — before any suite pressure (see CANARY_REF_S).
-    canary_s = _canary(spark)
+    # Host-speed canary FIRST — before any suite pressure (see
+    # CANARY_REF_S).  The full-suite path re-measures (bounded) until
+    # it qualifies at host_factor <= MAX_HOST_FACTOR (r15 task 3).
+    if subset_r4:
+        canary_s = _canary(spark)
+        canary_trace = None
+    else:
+        canary_s, canary_trace = _qualified_canary(spark)
     host_factor = round(canary_s / CANARY_REF_S, 3)
 
     # warm up the JVM / parquet footers
@@ -739,7 +901,9 @@ def main() -> None:
     # r12 task 2).
     presteps = _run_presteps(spark, sf_dir)
 
-    timings, query_runs = _run_suite(spark, queries, HEADLINE, sf_dir)
+    timings, query_runs, suite_quality = _run_suite(
+        spark, queries, HEADLINE, sf_dir
+    )
     # EXTRA_RUNS queries get best-of-4 while everything else is
     # best-of-2 (ADVICE r13): publish BOTH so per-row cross-round
     # comparison stays uniform — best2 is what a best-of-2 rule would
@@ -772,6 +936,9 @@ def main() -> None:
         "queries_runs": query_runs,
         "extra_runs_best2": extra_runs_best2,
         "presteps": presteps,
+        "host_gate": host_gate,
+        "canary_trace": canary_trace,
+        "suite_quality": suite_quality,
         "scheduleA2_decomposition": a2_decomp,
         "r4_fresh_jvm": r4_fresh,
         "r4_spread": r4_spread,
@@ -824,6 +991,12 @@ def main() -> None:
                 "canary_s": canary_s,
                 "loadavg": _loadavg(),
                 "host_factor": host_factor,
+                # self-qualification summary (r15 task 3): did the gate
+                # pass, did the canary qualify, and how many suite rows
+                # needed a post-sweep rescue run
+                "host_gate_passed": (host_gate or {}).get("passed"),
+                "canary_qualified": (canary_trace or {}).get("qualified"),
+                "n_requeued": len(suite_quality.get("requeued", [])),
                 "r4_canary_s": (r4_fresh or {}).get("canary_s", canary_s),
                 "r4_loadavg": (r4_fresh or {}).get("loadavg"),
                 "value_r4_normalized": round(r4_value / r4_host_factor, 3),

@@ -48,7 +48,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-DEFAULT_PARTITIONS = 32
+def _default_partitions(df: DataFrame) -> int:
+    """Pass-1 partition count when the caller does not size it: the
+    session's shuffle parallelism (`spark.sql.shuffle.partitions`,
+    falling back to `sc.defaultParallelism`).  A fixed constant here
+    (the pre-r15 `32`) made pass-2's per-task sort size corpus/32 — an
+    O(N) per-task term that silently undercut the operator's 100 TB
+    contract (ADVICE r14).  On a real cluster shuffle.partitions is
+    sized to the fleet, so deriving from it keeps each pass-2 sort at
+    corpus/parallelism; scale-sensitive callers with better knowledge
+    of their input size should still pass ``num_partitions``
+    explicitly."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
 
 
 def partitioned_prefix_sum(
@@ -56,7 +71,7 @@ def partitioned_prefix_sum(
     order_cols: Sequence[Column | str],
     sum_cols: Sequence[str] = (),
     rank_col: str | None = None,
-    num_partitions: int = DEFAULT_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All of ``df``'s columns plus, for each ``c`` in ``sum_cols``, a
     running total ``cum_<c>`` over the global order ``order_cols``
@@ -65,7 +80,10 @@ def partitioned_prefix_sum(
 
     No row-grain data ever crosses a SinglePartition exchange: the only
     single-partition window runs over the <= ``num_partitions``
-    per-partition totals."""
+    per-partition totals (defaulting to the session's shuffle
+    parallelism — see ``_default_partitions``)."""
+    if num_partitions is None:
+        num_partitions = _default_partitions(df)
     order_cols = list(order_cols)
     parts = (
         df.repartitionByRange(num_partitions, *order_cols)
@@ -76,13 +94,23 @@ def partitioned_prefix_sum(
     aggs = [F.count(F.lit(1)).cast("long").alias("__p_rows")]
     aggs += [F.sum(c).alias(f"__p_{c}") for c in sum_cols]
     stats = parts.groupBy("__pid").agg(*aggs)
-    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Offsets come from the STRICTLY-PRIOR partitions' totals (frame
+    # ends at -1, not the current row): a window SUM ignores NULLs and
+    # is NULL only when every prior total is NULL, which is exactly the
+    # global-window semantics being replaced.  The pre-r15 shape
+    # (inclusive sum minus own total) turned one all-NULL partition's
+    # NULL total into a NULL offset that poisoned every row of that
+    # partition — and arithmetic involving it — to NULL (ADVICE r14).
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     off_cols = [
         F.col("__pid"),
-        (F.sum("__p_rows").over(woff) - F.col("__p_rows")).alias("__row_off"),
+        F.coalesce(F.sum("__p_rows").over(woff), F.lit(0).cast("long")).alias(
+            "__row_off"
+        ),
     ]
     off_cols += [
-        (F.sum(f"__p_{c}").over(woff) - F.col(f"__p_{c}")).alias(f"__off_{c}")
+        # NULL iff no prior partition holds a non-null value of c
+        F.sum(f"__p_{c}").over(woff).alias(f"__off_{c}")
         for c in sum_cols
     ]
     offsets = stats.select(*off_cols)  # <= num_partitions rows
@@ -91,10 +119,17 @@ def partitioned_prefix_sum(
     )
     wrk = W.partitionBy("__pid").orderBy(*order_cols)
     out_cols = [F.col(c) for c in df.columns]
-    out_cols += [
-        (F.sum(c).over(wrow) + F.col(f"__off_{c}")).alias(f"cum_{c}")
-        for c in sum_cols
-    ]
+
+    def _cum(c: str) -> Column:
+        run = F.sum(c).over(wrow)  # NULL iff no non-null yet IN partition
+        off = F.col(f"__off_{c}")
+        return (
+            F.when(run.isNull() & off.isNull(), F.lit(None))
+            .otherwise(F.coalesce(run, F.lit(0)) + F.coalesce(off, F.lit(0)))
+            .alias(f"cum_{c}")
+        )
+
+    out_cols += [_cum(c) for c in sum_cols]
     if rank_col is not None:
         out_cols.append(
             (F.row_number().over(wrk).cast("long") + F.col("__row_off")).alias(

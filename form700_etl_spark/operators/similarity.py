@@ -153,11 +153,17 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 8, iters: int = 2,
                 # yielding duplicate centroids and permanently empty
                 # clusters (ADVICE r13) — pad from the lowest-id init
                 # rows instead and stop seeding.
-                pad = [
-                    v
-                    for _, v in init[1:]
-                    if not any(np.array_equal(np.asarray(v), c) for c in cm)
-                ]
+                # dedupe the pad against the chosen set AND against
+                # itself — duplicate vectors among init[1:] would
+                # otherwise still yield duplicate centroids, the exact
+                # condition this branch exists to avoid (ADVICE r14)
+                pad: list = []
+                seen = {tuple(np.asarray(c).tolist()) for c in cm}
+                for _, v in init[1:]:
+                    key = tuple(np.asarray(v, dtype=np.float64).tolist())
+                    if key not in seen:
+                        seen.add(key)
+                        pad.append(v)
                 need = n_centroids - 1 - j
                 cm = np.vstack([cm, np.array(pad[:need], dtype=np.float64)]) if pad else cm
                 break

@@ -3221,10 +3221,20 @@ def stats_roc_auc(spark, sf_dir):
         F.sum("pos").cast("long").alias("c1"),
         F.sum(1 - F.col("pos")).cast("long").alias("c2"),
     )
+    # score is a RAW double — the one allowlisted grain that was
+    # neither constant nor domain-quantized; the doubled-midrank
+    # cumulative now runs on the partitioned two-pass prefix sum
+    # instead of a single-partition window (r15).
+    from ..operators.prefix import partitioned_prefix_sum
+
     t = F.col("c1") + F.col("c2")
-    wv = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = s.select(
-        "c1", "c2", (2 * (F.sum(t).over(wv) - t) + t + 1).alias("r2")
+    cum = partitioned_prefix_sum(
+        s.withColumn("t", t.cast("long")), ["score"], sum_cols=["t"]
+    )
+    ranked = cum.select(
+        "c1",
+        "c2",
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("r2"),
     )
     m = ranked.agg(
         F.sum("c1").cast("long").alias("n_pos"),

@@ -1193,21 +1193,25 @@ def mlprep_conformal_intervals(spark, sf_dir):
         .groupBy("abs_r")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    wcum = W.orderBy("abs_r").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.orderBy("abs_r").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    calib_cum = calib.select(
-        "abs_r",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(wall).alias("n_calib"),
-    )
-    qhat = calib_cum.where(
-        F.col("cum")
-        >= F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
-    ).agg(
-        F.min("abs_r").alias("q_r"),
-        F.min("n_calib").cast("long").alias("n_calib"),
+    # |R| grain is a DECIMAL(38) residual domain — data-dependent, so
+    # the cumulative count runs on the partitioned two-pass prefix sum
+    # (operators/prefix.py), never a single-partition window; the
+    # calib total is a benign 1-row global agg broadcast to the scan
+    # (r15, closing the weakest _SINGLE_PARTITION_WINDOW_OK entry).
+    from ..operators.prefix import partitioned_prefix_sum
+
+    calib_cum = partitioned_prefix_sum(calib, ["abs_r"], sum_cols=["cnt"])
+    tot = calib.agg(F.sum("cnt").cast("long").alias("n_calib"))
+    qhat = (
+        calib_cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("cum_cnt")
+            >= F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
+        )
+        .agg(
+            F.min("abs_r").alias("q_r"),
+            F.min("n_calib").cast("long").alias("n_calib"),
+        )
     )
     cover = (
         resid.where(F.col("bucket") == 3)

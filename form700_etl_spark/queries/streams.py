@@ -313,7 +313,12 @@ register(
 )(stream_late_data_audit)
 
 
-from ..streaming.docs_near_dup import stream_simhash_near_dup  # noqa: E402
+from ..streaming.docs_near_dup import (  # noqa: E402
+    WINDOWED_N_BATCHES,
+    WINDOWED_WINDOW,
+    stream_simhash_near_dup,
+    stream_simhash_near_dup_windowed,
+)
 from .dedup import SIMHASH_HAMMING_ORACLE  # noqa: E402
 
 register(
@@ -330,3 +335,32 @@ register(
         "SAME DuckDB oracle — batch and stream share one contract."
     ),
 )(stream_simhash_near_dup)
+
+# TTL-bounded sibling (VERDICT r14 task 5): bucket state is a sliding
+# corpus window of the last WINDOWED_WINDOW+1 replay batches.  Because
+# the replay slices deterministically by doc_id % n, "members within
+# the window at arrival time" is exactly the batch pair set restricted
+# to abs(doc1 % n - doc2 % n) <= W — a FULL value-hash oracle, not a
+# rows-only check.  The unbounded query above stays registered as the
+# completeness-contract anchor.
+register(
+    "stream_simhash_near_dup_windowed",
+    oracle=SIMHASH_HAMMING_ORACLE.rstrip()
+    + (
+        f"\n      AND abs((doc1 % {WINDOWED_N_BATCHES})"
+        f" - (doc2 % {WINDOWED_N_BATCHES})) <= {WINDOWED_WINDOW}\n    "
+    ),
+    tags=("streaming", "dedup", "lsh", "state-bounded"),
+    doc=(
+        "Streaming banded-SimHash near-dup with BOUNDED keyed state: "
+        "each (band, value) bucket evicts members older than "
+        f"{WINDOWED_WINDOW} batch(es) before verifying arrivals, so "
+        "state holds at most the members of the last "
+        f"{WINDOWED_WINDOW + 1} micro-batches — the sliding-corpus-"
+        "window dedup a production feed runs (the unbounded sibling "
+        "keeps the completeness contract).  Oracle: the batch SimHash "
+        "pair set restricted to arrival batches within the window "
+        "(deterministic doc_id % n replay slicing makes the window "
+        "SQL-expressible)."
+    ),
+)(stream_simhash_near_dup_windowed)

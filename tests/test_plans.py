@@ -1196,23 +1196,26 @@ _PARTITIONED_EXCHANGE = re.compile(r"Exchange (hash|range)partitioning")
 # (abc_pareto, gini, ref_chunking_audit, zipf_slope, heaps).
 _SINGLE_PARTITION_WINDOW_OK = {
     # --- value grain: input is an aggregate over DISTINCT QUANTIZED
-    # VALUES, bounded by the value domain, not the corpus ---
-    "agg_weighted_percentiles": "distinct cents values",
-    "clean_quantile_bins": "distinct cents values",
-    "clean_quantile_normalize_groups": "distinct cents values",
-    "mlprep_decision_stump": "distinct rounded event values (candidate splits)",
-    "mlprep_conformal_intervals": "distinct integer-cent residual values",
+    # VALUES, bounded by the value domain, not the corpus.  Every bound
+    # below is DOMAIN-quantized (integer cents / integer µs / fixed
+    # resolution), never a raw continuous column: the two entries whose
+    # grain was genuinely data-dependent (mlprep_conformal_intervals'
+    # DECIMAL(38) residuals, stats_roc_auc's raw double scores) were
+    # rewritten onto operators/prefix.py in round 15 and removed. ---
+    "agg_weighted_percentiles": "integer-cent domain (round(price*100))",
+    "clean_quantile_bins": "integer-cent domain (round(price*100))",
+    "clean_quantile_normalize_groups": "integer-cent domain (round(value*100))",
+    "mlprep_decision_stump": "integer-cent split candidates (round(value*100))",
     "sketch_histogram_quantiles": "fixed histogram bins",
     "histogram_fixed_width": "fixed bin count",
     "text_quality_curriculum_bins": "quality scores quantized to 1e-6 in [0,1]",
     "training_pipeline_near_dedup_curriculum": "quality scores quantized to 1e-6",
-    "stats_kruskal_wallis": "distinct value grain (midranks)",
-    "stats_ks_exponential_interarrival": "distinct interarrival values",
-    "stats_ks_two_sample": "distinct value grain (ECDF steps)",
-    "stats_mann_whitney_u": "distinct value grain (rank sums)",
-    "stats_roc_auc": "distinct score values (quantized)",
-    "stats_spearman_rank_corr": "distinct value grain per variable",
-    "stats_wilcoxon_signed_rank": "distinct |diff| values",
+    "stats_kruskal_wallis": "integer-cent midrank grain (round(value*100))",
+    "stats_ks_exponential_interarrival": "integer-microsecond gap grain",
+    "stats_ks_two_sample": "integer-cent ECDF grain (round(value*100))",
+    "stats_mann_whitney_u": "integer-cent rank grain (round(value*100))",
+    "stats_spearman_rank_corr": "integer quantity / integer-cent grain",
+    "stats_wilcoxon_signed_rank": "integer-cent |diff| grain (round(value*100))",
     # --- calendar grain: day/month/hour spines, bounded by time ---
     "events_cumulative_new_users": "day grain",
     "events_kaplan_meier_conversion": "days-since-signup grain",

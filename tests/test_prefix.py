@@ -72,3 +72,29 @@ def test_fewer_rows_than_partitions(spark):
         ).collect()
     )
     assert out == [(0, 1, 1), (1, 2, 2), (2, 3, 3)]
+
+
+def test_null_runs_match_global_window_semantics(spark):
+    """ADVICE r14: an all-NULL range partition must not poison the
+    offsets.  Global-window parity: cum_w at a row is the running sum
+    of non-null w so far, and NULL only while NO non-null value has
+    appeared yet in the global order.  w is NULL in two 10-row runs
+    (ids 0-9 and 20-29); with 8 operator partitions over 40 rows, at
+    least one partition falls entirely inside a NULL run, exercising
+    the all-NULL-partition offset path."""
+    df = spark.range(0, 40, 1, 3).select(
+        "id",
+        F.when((F.col("id") % 20) >= 10, F.col("id")).alias("w"),
+    )
+    out = {
+        r.id: r.cum_w
+        for r in partitioned_prefix_sum(
+            df, ["id"], sum_cols=("w",), num_partitions=8
+        ).collect()
+    }
+    running, expect = None, {}
+    for i in range(40):
+        if (i % 20) >= 10:
+            running = (running or 0) + i
+        expect[i] = running
+    assert out == expect

@@ -415,3 +415,100 @@ def test_stream_simhash_near_dup_equals_batch_pairs(spark, sf_dir):
     assert any(d1 % 4 != d2 % 4 for d1, d2, _ in got), (
         "no cross-batch pair emitted — state not exercised"
     )
+
+
+def test_stream_simhash_near_dup_windowed_equals_window_restricted_pairs(
+    spark, sf_dir
+):
+    """TTL-bounded streaming near-dup (VERDICT r14 task 5): with bucket
+    state evicted to the last WINDOWED_WINDOW+1 batches, the emitted
+    pair set must equal the batch pair set restricted to arrival
+    batches within the window (batch index = doc_id % n under the
+    deterministic replay slicing) — and must be a STRICT subset of the
+    unbounded pair set (the fixture has cross-window pairs, so the
+    eviction is exercised, not vacuous)."""
+    from form700_etl_spark.registry import all_queries
+    from form700_etl_spark.streaming.docs_near_dup import (
+        WINDOWED_N_BATCHES,
+        WINDOWED_WINDOW,
+        stream_simhash_near_dup_windowed,
+    )
+
+    out = stream_simhash_near_dup_windowed(spark, sf_dir)
+    got = sorted((r.doc1, r.doc2, r.hamming) for r in out.collect())
+    batch = all_queries()["dedup_simhash_hamming"].fn(spark, sf_dir)
+    full = sorted((r.doc1, r.doc2, r.hamming) for r in batch.collect())
+    n, w = WINDOWED_N_BATCHES, WINDOWED_WINDOW
+    want = [p for p in full if abs(p[0] % n - p[1] % n) <= w]
+    assert got == want
+    assert len(got) < len(full), (
+        "window excluded nothing — eviction not exercised by fixture"
+    )
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in so the update closure's eviction
+    logic can be unit-tested deterministically without a stream."""
+
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def test_make_update_evicts_members_outside_window():
+    """State-bound law of the windowed variant, asserted directly on
+    the update closure: after each arrival batch, bucket state holds
+    ONLY members from the last window+1 batches, and pairs are emitted
+    iff their members' batches are within the window."""
+    import pandas as pd
+
+    from form700_etl_spark.streaming.docs_near_dup import _make_update
+
+    update = _make_update(1)
+    state = _FakeGroupState()
+    emitted = []
+    # identical signatures (hamming 0, lowest shared band 0): docs
+    # 0..3 arrive one per batch in this band-0 bucket
+    for batch in range(4):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [batch],
+                "simhash_lo": [0],
+                "simhash_hi": [0],
+                "arrival_batch": [batch],
+            }
+        )
+        for out in update((0,), [pdf], state):
+            emitted.extend(zip(out["doc1"], out["doc2"], out["hamming"]))
+        docs, _, _, bats = state.get
+        assert all(b >= batch - 1 for b in bats), (
+            f"stale member survived eviction at batch {batch}: {bats}"
+        )
+        assert len(docs) <= 2  # window+1 batches x 1 doc/batch
+    # only adjacent-batch pairs emitted; (0,2), (0,3), (1,3) evicted away
+    assert sorted(emitted) == [(0, 1, 0), (1, 2, 0), (2, 3, 0)]
+    # unbounded closure on the same feed emits all 6 pairs
+    update_all = _make_update(None)
+    state2, emitted2 = _FakeGroupState(), []
+    for batch in range(4):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [batch],
+                "simhash_lo": [0],
+                "simhash_hi": [0],
+                "arrival_batch": [batch],
+            }
+        )
+        for out in update_all((0,), [pdf], state2):
+            emitted2.extend(zip(out["doc1"], out["doc2"], out["hamming"]))
+    assert len(emitted2) == 6
