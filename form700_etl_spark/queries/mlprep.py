@@ -1174,6 +1174,14 @@ def mlprep_conformal_intervals(spark, sf_dir):
         .cast(dec)
         .alias("icept_num"),
     )
+    # the 1-row model and the calib+test residual split each embed a
+    # full lineitem scan in their lineage; both are consumed by
+    # multiple downstream branches (resid + the final select; calib +
+    # cover), so each materializes ONCE — without the checkpoints the
+    # plan re-scans lineitem 4-5x (measured 6.8-9.7 s steady at sf0.1
+    # vs ~4 s with them; the resid copy is the bounded calib+test
+    # sample, legitimate to pin at any SF)
+    model = model.localCheckpoint()
     resid = (
         li.where(F.col("bucket").isin(2, 3))
         .crossJoin(F.broadcast(model))
@@ -1187,6 +1195,7 @@ def mlprep_conformal_intervals(spark, sf_dir):
                 ).cast(dec)
             ).alias("abs_r"),
         )
+        .localCheckpoint()
     )
     calib = (
         resid.where(F.col("bucket") == 2)
@@ -1201,7 +1210,10 @@ def mlprep_conformal_intervals(spark, sf_dir):
     from ..operators.prefix import partitioned_prefix_sum
 
     calib_cum = partitioned_prefix_sum(calib, ["abs_r"], sum_cols=["cnt"])
-    tot = calib.agg(F.sum("cnt").cast("long").alias("n_calib"))
+    # total calib count = the LAST cumulative value — aggregating the
+    # prefix-sum output reuses its internal checkpoint instead of
+    # re-running the calib lineage
+    tot = calib_cum.agg(F.max("cum_cnt").cast("long").alias("n_calib"))
     qhat = (
         calib_cum.crossJoin(F.broadcast(tot))
         .where(
