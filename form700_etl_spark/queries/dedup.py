@@ -324,9 +324,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_clusters_connected",
-    oracle=f"""
+# Shared CTE chain: capped shingles -> Jaccard>=0.1 pairs -> true
+# reachability (recursive CTE) -> per-doc min-label component.  Used by
+# dedup_clusters_connected AND split_leakage_safe_assignment so the two
+# oracles can never drift apart.
+_COMPONENTS_WITH_SQL = f"""
     WITH shingles_all AS ({_SHINGLES_SQL}),
     shingles AS ({_CAPPED_SHINGLES_SQL.format(max_df=MAX_SHINGLE_DF)}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
@@ -357,10 +359,20 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
             SELECT doc, label FROM walk
         )
+    ),
+    comp AS (
+        SELECT doc AS doc_id,
+               CAST(MIN(label) AS BIGINT) AS component_id
+        FROM reach GROUP BY doc
     )
-    SELECT doc AS doc_id,
-           CAST(MIN(label) AS BIGINT) AS component_id
-    FROM reach GROUP BY doc
+"""
+
+
+@register(
+    "dedup_clusters_connected",
+    oracle=_COMPONENTS_WITH_SQL
+    + """
+    SELECT doc_id, component_id FROM comp
     """,
     tags=("dedup", "graph"),
     doc=(
@@ -1509,5 +1521,64 @@ def text_ngram_novelty_score(spark, sf_dir):
             "n_shingles",
             "n_novel",
             "CAST((n_novel * 1000000) DIV n_shingles AS BIGINT) AS novelty_e6",
+        )
+    )
+
+
+# --------------------------------------------- leakage-safe splitting
+
+
+@register(
+    "split_leakage_safe_assignment",
+    oracle=_COMPONENTS_WITH_SQL
+    + """
+    , assign AS (
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, CAST(component_id AS BIGINT) AS component_id,
+           """
+    + _split_case_sql("component_id")
+    + """ AS split
+    FROM assign
+    """,
+    tags=("dedup", "graph", "split", "curation"),
+    doc=(
+        "CONSTRUCTIVE leakage-safe train/val/test split: near-dup "
+        "clusters (connected components over the Jaccard>=0.1 pair "
+        "graph, same machinery as dedup_clusters_connected) are "
+        "assigned to a split as WHOLE UNITS — the split rule "
+        "(functions/splits.py, the single repo-wide definition) hashes "
+        "the COMPONENT id instead of the doc id, so no near-duplicate "
+        "pair can ever straddle train/test by construction.  "
+        "Complements dedup_cross_split_leakage, which DETECTS the "
+        "leakage this operator prevents; singleton docs (no near-dup) "
+        "get their own id as component and land exactly where the "
+        "plain split rule puts them.  Scale shape: the pair graph is "
+        "the similarity-pruned residue (never all-pairs), components "
+        "run driver-side union-find under the documented threshold / "
+        "Pregel above it, and the final assignment is one broadcast "
+        "join against the corpus scan."
+    ),
+)
+def split_leakage_safe_assignment(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("component_id"),
+        )
+        .select(
+            "doc_id",
+            "component_id",
+            _split_col("component_id").alias("split"),
         )
     )

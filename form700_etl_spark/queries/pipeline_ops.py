@@ -1414,3 +1414,76 @@ def sample_epoch_shuffle_shards(spark, sf_dir):
             ((F.col("pos") - 1) % _SHUFFLE_SHARDS).cast("int").alias("shard"),
         )
     )
+
+
+# Per-language epoch recipe for the repetition mix: down-sample the
+# high-resource language, repeat the low-resource ones >1 epoch — the
+# standard LLM-pretraining rebalancing move (fractional epochs realized
+# as floor(e) full copies + one more with probability frac(e), decided
+# by a deterministic per-doc hash so retries replay byte-identically).
+_EPOCH_RECIPE = {"en": 0.5, "de": 1.0, "fr": 1.75, "es": 2.25, "zh": 3.0}
+_EPOCH_MAX = 3  # ceil(max(_EPOCH_RECIPE.values())) — oracle series bound
+
+
+def _epoch_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_EPOCH_RECIPE.items())
+    )
+    return f"CASE lang {whens} ELSE 1.0 END"
+
+
+@register(
+    "sample_epoch_repetition_mix",
+    oracle=f"""
+    WITH rec AS (
+        SELECT doc_id, lang, {_epoch_case_sql()} AS e,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rep'), 1, 4))::BIGINT
+                   / 65536.0 AS u
+        FROM documents
+    ),
+    calc AS (
+        SELECT doc_id, lang,
+               CAST(floor(e) AS BIGINT)
+                 + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS copies
+        FROM rec
+    )
+    SELECT c.doc_id, c.lang, CAST(gs.g AS INT) AS epoch_copy
+    FROM calc c CROSS JOIN generate_series(1, {_EPOCH_MAX}) AS gs(g)
+    WHERE gs.g <= c.copies
+    """,
+    tags=("sampling", "mixing", "curation"),
+    doc=(
+        "Epoch-repetition mixture (the pretraining-recipe mechanism "
+        "behind 'books 2 epochs, web 0.5 epochs'): each language gets a "
+        "target epoch count e; every doc appears floor(e) times plus "
+        "one more iff its deterministic hash-uniform u(doc:rep) < "
+        "frac(e) — so expected per-lang volume is exactly e x corpus "
+        "and retries are byte-identical (rand() cannot promise "
+        "either).  Up-sampling is a per-row explode of a <= ceil(e) "
+        "sequence (linear, no shuffle); down-sampling is the same "
+        "filter as the hash-fraction sampler.  Scan-side at any SF."
+    ),
+)
+def sample_epoch_repetition_mix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    e = F.col("lang")
+    expr = F.lit(1.0)
+    for k, v in sorted(_EPOCH_RECIPE.items()):
+        expr = F.when(e == k, F.lit(float(v))).otherwise(expr)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rep")))
+    u = F.conv(F.substring(h, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+    copies = (
+        F.floor(expr).cast("long")
+        + F.when(u < expr - F.floor(expr), 1).otherwise(0)
+    )
+    return (
+        d.select("doc_id", "lang", copies.alias("copies"))
+        .filter(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.col("copies").cast("int"))
+            ).alias("epoch_copy"),
+        )
+    )

@@ -955,3 +955,63 @@ def test_temperature_mix_allocations_hit_budget_exactly(spark, sf_dir):
     )
     assert sum(r.alloc for r in rows) == _MIX_BUDGET
     assert all(r.alloc >= 0 for r in rows)
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """Constructive guarantee of split_leakage_safe_assignment: every
+    near-dup pair (the same Jaccard>=0.1 graph the assignment is built
+    from) lands with both members in the SAME split, and singleton
+    docs get exactly the plain doc_id split rule."""
+    from form700_etl_spark.functions.splits import split_col
+    from form700_etl_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    qs = all_queries()
+    assign = qs["split_leakage_safe_assignment"].fn(spark, sf_dir)
+    pairs = (
+        qs["dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc1", "doc2")
+    )
+    a1 = assign.select(
+        F.col("doc_id").alias("doc1"), F.col("split").alias("s1")
+    )
+    a2 = assign.select(
+        F.col("doc_id").alias("doc2"), F.col("split").alias("s2")
+    )
+    straddlers = (
+        pairs.join(a1, "doc1").join(a2, "doc2").filter("s1 <> s2").count()
+    )
+    assert straddlers == 0
+    # paired docs exist at this SF, so the guarantee is non-vacuous
+    assert pairs.count() > 0
+    # singletons: component_id == doc_id -> split == plain rule
+    single = assign.filter(F.col("component_id") == F.col("doc_id"))
+    mismatched = single.filter(
+        F.col("split") != split_col("doc_id")
+    ).count()
+    assert mismatched == 0
+
+
+def test_epoch_repetition_mix_copy_law(spark, sf_dir):
+    """Every doc appears floor(e) or ceil(e) times (e = its language's
+    recipe epochs), copies are numbered 1..n with no gaps, and the
+    realized per-lang volume is within the fractional-epoch tolerance
+    of e x corpus."""
+    from form700_etl_spark.queries.pipeline_ops import _EPOCH_RECIPE
+    from form700_etl_spark.registry import all_queries
+    from pyspark.sql import functions as F
+    import math
+
+    out = all_queries()["sample_epoch_repetition_mix"].fn(spark, sf_dir)
+    per_doc = (
+        out.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("epoch_copy").alias("lo"),
+            F.max("epoch_copy").alias("hi"),
+        )
+        .collect()
+    )
+    for r in per_doc:
+        e = _EPOCH_RECIPE.get(r.lang, 1.0)
+        assert r.n in {math.floor(e), math.ceil(e)}, (r, e)
+        assert (r.lo, r.hi) == (1, r.n)  # dense copy numbering
