@@ -522,6 +522,11 @@ def _run_suite(
         if (qi + 1) % _MID_CANARY_EVERY == 0:
             canary_series.append(_mini_canary(spark))
     canary_series.append(_mini_canary(spark))
+    # threshold against the MEDIAN sample, not the min: the ~0.1 s
+    # probe has 2-3x natural jitter (first run flagged 132/172 rows
+    # off a single fast outlier), while a real contention window (r14:
+    # canary 2-4x elevated for minutes) clears 2x median comfortably
+    med_c = sorted(canary_series)[len(canary_series) // 2]
     best_c = min(canary_series)
     contended = [
         name
@@ -531,7 +536,7 @@ def _run_suite(
             canary_series[sample_of[name]],
             canary_series[min(sample_of[name] + 1, len(canary_series) - 1)],
         )
-        > MAX_HOST_FACTOR * best_c
+        > 2.0 * med_c
     ]
     rescued: dict[str, float] = {}
     for name in contended:
@@ -546,6 +551,7 @@ def _run_suite(
         "mid_canaries": canary_series,
         "mid_canary_every": _MID_CANARY_EVERY,
         "best_mid_canary": best_c,
+        "median_mid_canary": med_c,
         "requeued": contended,
         "requeued_walls": rescued,
     }

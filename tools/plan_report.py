@@ -79,6 +79,11 @@ REPORT_QUERIES = [
     ("sample_epoch_shuffle_shards", "global shuffle rank via two-pass partitioned prefix; per-pid windows only"),
     ("abc_pareto_parts_classification", "part-grain revenue cumsum via partitioned prefix; broadcast 1-row total"),
     ("sample_weighted_topk_aes", "scan -> explicit TakeOrdered(50) -> rank survivors"),
+    # round-15 additions: the two allowlist closures (value-domain
+    # grains moved onto the partitioned prefix sum) and the new mixers
+    ("mlprep_conformal_intervals", "checkpointed model+residual split; calib quantile via partitioned prefix"),
+    ("stats_roc_auc", "doubled-midrank cumulative via partitioned prefix over the score grain"),
+    ("sample_epoch_repetition_mix", "scan-side fractional-epoch explode; no shuffle"),
 ]
 
 
