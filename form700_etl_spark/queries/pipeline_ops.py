@@ -1422,7 +1422,11 @@ def sample_epoch_shuffle_shards(spark, sf_dir):
 # as floor(e) full copies + one more with probability frac(e), decided
 # by a deterministic per-doc hash so retries replay byte-identically).
 _EPOCH_RECIPE = {"en": 0.5, "de": 1.0, "fr": 1.75, "es": 2.25, "zh": 3.0}
-_EPOCH_MAX = 3  # ceil(max(_EPOCH_RECIPE.values())) — oracle series bound
+# oracle generate_series bound — derived so a recipe edit can never
+# silently truncate the oracle's copy range
+import math as _math  # noqa: E402
+
+_EPOCH_MAX = _math.ceil(max(_EPOCH_RECIPE.values()))
 
 
 def _epoch_case_sql() -> str:
