@@ -506,40 +506,40 @@ def embedding_kmeans_lloyd(spark, sf_dir):
     }
 
     def assign(cents):
-        choices = []
+        # ONE SQL string -> one py4j round trip per round.  The
+        # column-object version of this expression (k x d F.lit calls
+        # plus zip_with/aggregate lambdas) cost ~1.3 s of pure DRIVER
+        # time per round at k=8, d=64 — half this query's wall
+        # (measured r15); the generated plan and arithmetic are
+        # byte-identical, only the construction path changes.
+        structs = []
         for j in sorted(cents):
             n, s = cents[j]
-            s_arr = F.array(*[F.lit(int(v)) for v in s])
-            diff = F.zip_with(
-                "xq", s_arr, lambda x, sv: F.lit(n).cast("long") * x - sv
+            s_sql = ",".join(str(int(v)) for v in s)
+            a_sq = (
+                f"aggregate(zip_with(xq, array({s_sql}), "
+                f"(x, sv) -> CAST({int(n)} AS BIGINT) * x - sv), "
+                f"CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
             )
-            a_sq = F.aggregate(
-                diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            structs.append(
+                f"named_struct('dist', CAST({a_sq} AS DOUBLE)"
+                f" / CAST({int(n) * int(n)} AS DOUBLE),"
+                f" 'j', CAST({int(j)} AS BIGINT))"
             )
-            choices.append(
-                F.struct(
-                    (a_sq.cast("double") / float(n * n)).alias("dist"),
-                    F.lit(j).cast("long").alias("j"),
-                )
-            )
-        m = F.array_min(F.array(*choices))
+        m = F.expr(f"array_min(array({','.join(structs)}))")
         return q.select(
             "vec_id", "xq", m["dist"].alias("dist"), m["j"].alias("j")
         )
 
+    # agg columns are position-only expressions — build once, reuse
+    # every round (they resolve against each round's frame)
+    upd_cols = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.sum(F.element_at("xq", i + 1)).cast("long").alias(f"s{i}")
+        for i in range(_KM_DIMS)
+    ]
     assigned = assign(centroids)
     for _ in range(_KM_ITERS - 1):
-        upd = (
-            assigned.groupBy("j")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                *[
-                    F.sum(F.element_at("xq", i + 1)).cast("long").alias(f"s{i}")
-                    for i in range(_KM_DIMS)
-                ],
-            )
-            .collect()
-        )
+        upd = assigned.groupBy("j").agg(*upd_cols).collect()
         new = dict(centroids)  # empty clusters carry forward
         for r in upd:
             new[r["j"]] = (r["n"], [r[f"s{i}"] for i in range(_KM_DIMS)])
