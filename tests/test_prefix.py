@@ -98,3 +98,50 @@ def test_null_runs_match_global_window_semantics(spark):
             running = (running or 0) + i
         expect[i] = running
     assert out == expect
+
+
+def test_prefix_sum_property_matches_reference(spark):
+    """Hypothesis: arbitrary (value, weight-with-NULLs) corpora, random
+    input slicing and operator partition counts — cum/rank must match
+    the exact Python reference under the total order (v, id), including
+    NULL-iff-no-prior-non-null semantics.  One Spark job per example
+    (small max_examples; the per-example frames are tiny)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-5, 5),
+                st.one_of(st.none(), st.integers(-1000, 1000)),
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        st.integers(1, 9),
+        st.integers(1, 6),
+    )
+    def run(rows, n_parts, slices):
+        df = spark.createDataFrame(
+            [(i, v, w) for i, (v, w) in enumerate(rows)],
+            "id long, v long, w long",
+        ).repartition(slices)
+        out = {
+            r.id: (r.rk, r.cum_w)
+            for r in partitioned_prefix_sum(
+                df,
+                ["v", "id"],
+                sum_cols=("w",),
+                rank_col="rk",
+                num_partitions=n_parts,
+            ).collect()
+        }
+        ordered = sorted(enumerate(rows), key=lambda t: (t[1][0], t[0]))
+        running = None
+        for rk, (rid, (v, w)) in enumerate(ordered, start=1):
+            if w is not None:
+                running = (running or 0) + w
+            assert out[rid] == (rk, running), (rid, out[rid], (rk, running))
+
+    run()
