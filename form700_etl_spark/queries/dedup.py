@@ -1382,21 +1382,28 @@ def dedup_lsh_recall_eval(spark, sf_dir):
 
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2"))
+    # materialized once: the exact arm now feeds n_exact AND the LSH
+    # arm's verification (below), and its lineage is the expensive
+    # inverted-index self-join
     exact_pairs = thresholded(
         a.join(b, (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("common"))
-    )
+    ).localCheckpoint()
     sig = minhash_signatures(sh, n_hashes=_N_HASHES)
     cand = lsh_candidates(sig, band_rows=_BAND_ROWS, n_hashes=_N_HASHES).localCheckpoint()
-    ca = cand.join(a, "doc1").select("doc1", "doc2", "s1")
-    b2 = sh.select(F.col("doc_id").alias("bd2"), F.col("shingle").alias("s2"))
-    lsh_pairs = thresholded(
-        ca.join(b2, (F.col("s1") == F.col("s2")) & (F.col("doc2") == F.col("bd2")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    common = exact_pairs.join(lsh_pairs, ["doc1", "doc2"])
+    # A candidate verified at J>=0.5 shares >=1 shingle, so it IS an
+    # exact-arm pair: lsh_pairs = candidates INTERSECT exact_pairs
+    # (both sides distinct, doc1 < doc2).  The semi-join replaces the
+    # candidate re-verification (shingle join + groupBy + two size
+    # joins) the old shape ran — identical rows, one less
+    # O(candidates x shingles) pass (r15; equivalence pinned by
+    # tests/test_functions.py::test_lsh_recall_eval_semi_join_equivalence
+    # and the unchanged DuckDB oracle).
+    lsh_pairs = cand.join(exact_pairs, ["doc1", "doc2"]).select("doc1", "doc2")
+    # lsh_pairs is a subset of exact_pairs by construction, so the
+    # intersection the report counts is lsh_pairs itself
+    common = lsh_pairs
     n_exact = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh_pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_common = common.agg(F.count(F.lit(1)).alias("n_common"))

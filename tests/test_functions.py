@@ -1015,3 +1015,74 @@ def test_epoch_repetition_mix_copy_law(spark, sf_dir):
         e = _EPOCH_RECIPE.get(r.lang, 1.0)
         assert r.n in {math.floor(e), math.ceil(e)}, (r, e)
         assert (r.lo, r.hi) == (1, r.n)  # dense copy numbering
+
+
+def test_lsh_recall_eval_semi_join_equivalence(spark, sf_dir):
+    """Pins the r15 rewrite of dedup_lsh_recall_eval: because J >= 0.5
+    implies at least one shared shingle, the verified LSH arm equals
+    candidates INTERSECT exact_pairs — so the semi-join shape must
+    produce exactly the pair set the old candidate re-verification
+    (shingle join + groupBy + size joins) produced."""
+    from pyspark.sql import functions as F
+
+    from form700_etl_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from form700_etl_spark.queries.dedup import (
+        MAX_SHINGLE_DF,
+        _BAND_ROWS,
+        _N_HASHES,
+        _RECALL_J,
+        _shingles_cached,
+    )
+
+    sh = _shingles_cached(spark, sf_dir, max_df=MAX_SHINGLE_DF).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    def thresholded(pairs):
+        s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+        s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+        return (
+            pairs.join(s1, "doc1")
+            .join(s2, "doc2")
+            .filter(
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+                >= _RECALL_J
+            )
+            .select("doc1", "doc2")
+        )
+
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    exact_pairs = thresholded(
+        a.join(
+            sh.select(F.col("doc_id").alias("doc2"), F.col("shingle").alias("s2")),
+            (F.col("s1") == F.col("s2")) & (F.col("doc1") < F.col("doc2")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = lsh_candidates(
+        minhash_signatures(sh, n_hashes=_N_HASHES),
+        band_rows=_BAND_ROWS,
+        n_hashes=_N_HASHES,
+    ).localCheckpoint()
+    # OLD shape: re-verify every candidate against the shingle table
+    ca = cand.join(a, "doc1").select("doc1", "doc2", "s1")
+    b2 = sh.select(F.col("doc_id").alias("bd2"), F.col("shingle").alias("s2"))
+    old_lsh = thresholded(
+        ca.join(b2, (F.col("s1") == F.col("s2")) & (F.col("doc2") == F.col("bd2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # NEW shape: semi-join the exact arm
+    new_lsh = cand.join(exact_pairs, ["doc1", "doc2"]).select("doc1", "doc2")
+
+    old_set = {(r.doc1, r.doc2) for r in old_lsh.collect()}
+    new_set = {(r.doc1, r.doc2) for r in new_lsh.collect()}
+    assert old_set == new_set
+    assert new_set  # non-vacuous at this SF
+    # and the subset law the rewrite rests on
+    exact_set = {(r.doc1, r.doc2) for r in exact_pairs.collect()}
+    assert new_set <= exact_set
