@@ -708,6 +708,34 @@ def synth_noise_wav_bytes(key: int) -> bytes:
     return buf.getvalue()
 
 
+def _synth_noise_wav_bytes_np(key: int) -> bytes:
+    """Byte-identical fast path of synth_noise_wav_bytes: the per-sample
+    ``int(v / 4)`` Python loop becomes one numpy truncate-toward-zero
+    (int(v/4) truncates; // floors — np.trunc matches the former), and
+    the PCM packs via tobytes (little-endian int16, exactly struct.pack
+    '<h').  Equality with the reference is law-tested."""
+    import hashlib
+    import io
+    import wave
+
+    import numpy as np
+
+    stream = b""
+    i = 0
+    while len(stream) < AFP_N_SAMPLES * 2:
+        stream += hashlib.sha256(f"wav:{key}:{i}".encode()).digest()
+        i += 1
+    vals = np.frombuffer(stream, dtype="<i2", count=AFP_N_SAMPLES)
+    samples = np.trunc(vals / 4.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def volume_scale_wav_bytes(buf: bytes, num: int = 49, den: int = 50) -> bytes:
     """Deterministic volume change (the near-duplicate generator)."""
     import io
@@ -726,6 +754,31 @@ def volume_scale_wav_bytes(buf: bytes, num: int = 49, den: int = 50) -> bytes:
         w.setsampwidth(2)
         w.setframerate(rate)
         w.writeframes(struct.pack(f"<{n}h", *scaled))
+    return out.getvalue()
+
+
+def _volume_scale_wav_bytes_np(buf: bytes, num: int = 49, den: int = 50) -> bytes:
+    """Byte-identical fast path of volume_scale_wav_bytes: int64
+    ``* num // den`` in numpy floors exactly like Python ``//``; the
+    shrink factor keeps every value in int16 range.  Equality with the
+    reference is law-tested."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf), "rb") as r:
+        n = r.getnframes()
+        rate = r.getframerate()
+        frames = r.readframes(n)
+    vals = np.frombuffer(frames, dtype="<i2", count=n).astype(np.int64)
+    scaled = (vals * num // den).astype("<i2")
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(scaled.tobytes())
     return out.getvalue()
 
 
@@ -751,19 +804,57 @@ def wav_energy_fp64(buf: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def _wav_energy_fp64_np(buf: bytes) -> int:
+    """Bit-identical fast path of wav_energy_fp64: the per-sample
+    Python sum-of-squares becomes one int64 numpy reduction (exact —
+    max window energy 32768^2 * 32 << 2^63).  Equality with the
+    reference is law-tested."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf), "rb") as r:
+        n = r.getnframes()
+        frames = r.readframes(n)
+    vals = np.frombuffer(frames, dtype="<i2", count=65 * AFP_WINDOW).astype(
+        np.int64
+    )
+    es = (vals * vals).reshape(65, AFP_WINDOW).sum(axis=1)
+    bits = 0
+    for c in es[:-1] < es[1:]:
+        bits = (bits << 1) | int(c)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def synthesize_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio corpus with injected duplicate structure (groups of 3
-    consecutive doc_ids; every 13th doc volume-scaled)."""
+    consecutive doc_ids; every 13th doc volume-scaled).
+
+    The doc-id list arrives as ONE parquet scan partition, which made
+    the whole synth+decode chain a single serial Python task; hash-
+    repartitioning on the CONTENT key (doc_id DIV group) spreads the
+    Python work across every core while keeping each dup group's 3
+    docs in one task, so the per-key WAV synthesizes once per group
+    (a generator-local memo — per task, never across runs) instead of
+    once per doc.  Row values are unchanged (fingerprints are order-
+    insensitive)."""
     d = table(spark, sf_dir, "documents").select("doc_id")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = d.repartition(nparts, (F.col("doc_id") / DHASH_GROUP).cast("long"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base: dict[int, bytes] = {}
         for pdf in batches:
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                buf = synth_noise_wav_bytes(i // DHASH_GROUP)
+                key = i // DHASH_GROUP
+                buf = base.get(key)
+                if buf is None:
+                    buf = base[key] = _synth_noise_wav_bytes_np(key)
                 if i % DHASH_PERTURB_EVERY == 0:
-                    buf = volume_scale_wav_bytes(buf)
+                    buf = _volume_scale_wav_bytes_np(buf)
                 payloads.append(buf)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -776,7 +867,9 @@ def audio_fingerprints(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "afp": [wav_energy_fp64(bytes(p)) for p in pdf["payload"]],
+                    "afp": [
+                        _wav_energy_fp64_np(bytes(p)) for p in pdf["payload"]
+                    ],
                 }
             )
 

@@ -849,6 +849,30 @@ class TestImageDhash:
 
 
 class TestAudioFingerprint:
+    def test_np_fast_paths_match_reference(self):
+        """The numpy fast paths the distributed operators run must be
+        byte/bit-identical to the per-sample reference implementations
+        (int(v/4) truncates toward zero, * num // den floors — the two
+        rounding modes the vectorization must reproduce exactly)."""
+        from form700_etl_spark.operators.multimodal import (
+            _synth_noise_wav_bytes_np,
+            _volume_scale_wav_bytes_np,
+            _wav_energy_fp64_np,
+            synth_noise_wav_bytes,
+            volume_scale_wav_bytes,
+            wav_energy_fp64,
+        )
+
+        for key in range(50):
+            ref = synth_noise_wav_bytes(key)
+            assert _synth_noise_wav_bytes_np(key) == ref, key
+            assert _volume_scale_wav_bytes_np(ref) == volume_scale_wav_bytes(
+                ref
+            ), key
+            assert _wav_energy_fp64_np(ref) == wav_energy_fp64(ref), key
+            scaled = volume_scale_wav_bytes(ref)
+            assert _wav_energy_fp64_np(scaled) == wav_energy_fp64(scaled), key
+
     def test_volume_invariance(self):
         from form700_etl_spark.operators.multimodal import (
             synth_noise_wav_bytes,
