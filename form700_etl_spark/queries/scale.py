@@ -719,19 +719,38 @@ def graph_personalized_pagerank(spark, sf_dir):
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     src = edges.filter(F.col("u") % 2 == 0).agg(F.min("u").alias("node"))
     ranks = src.select("node", F.lit(1000000).cast("long").alias("rank"))
-    restart = src.select("node", F.lit(150000).cast("long").alias("val"))
+    # the restart mass rides the SAME edge-grain aggregate as the walk
+    # (q = per-edge rank DIV d, rv = restart units): one groupBy per
+    # round replaces the former contrib-agg + union + re-agg pair —
+    # r = COALESCE((850*SUM(q)) DIV 1000, 0) + SUM(rv) is exactly the
+    # oracle's outer SUM over {walk val, restart val}, with the NULL
+    # SUM(q) case covering a restart-only node (round 1: the source has
+    # no incoming walk mass yet).  Saves one node-grain exchange + agg
+    # stage per iteration; every term stays exact BIGINT.
+    restart = src.select(
+        "node",
+        F.lit(None).cast("long").alias("q"),
+        F.lit(150000).cast("long").alias("rv"),
+    )
     for _ in range(_PPR_ITERS):
         contrib = (
             edges.join(ranks, edges.u == ranks.node)
             .join(deg, "u")
-            .groupBy("v")
-            .agg(F.expr("CAST((850 * SUM(rank DIV d)) DIV 1000 AS BIGINT)").alias("val"))
-            .select(F.col("v").alias("node"), "val")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank DIV d").alias("q"),
+                F.lit(0).cast("long").alias("rv"),
+            )
         )
         ranks = (
             contrib.unionByName(restart)
             .groupBy("node")
-            .agg(F.sum("val").cast("long").alias("rank"))
+            .agg(
+                F.expr(
+                    "CAST(COALESCE(CAST((850 * SUM(q)) DIV 1000 AS BIGINT), 0)"
+                    " + SUM(rv) AS BIGINT)"
+                ).alias("rank")
+            )
         )
     return (
         ranks.select(
