@@ -1065,15 +1065,48 @@ def test_prefix_filter_ssjoin_all_hash_no_python(spark, sf_dir):
 
 
 def test_bpe_heldout_iterations_checkpoint_and_topk_partial(spark, sf_dir):
-    """text_bpe_encode_heldout: each merge round re-reads the
-    checkpointed pair table (Scan ExistingRDD), the top-pair pick is a
-    partial top-k (TakeOrdered), and the only nested-loop join is the
-    1-row top-pair broadcast — iterative lineage must not re-derive."""
+    """text_bpe_encode_heldout: each merge round re-reads checkpointed
+    state (Scan ExistingRDD) and the 1-row top pair is itself lazily
+    checkpointed (round 15), so its full-corpus pair-count aggregate
+    executes ONCE per round instead of once per consumer plan — the
+    outer plan must therefore contain NO pair aggregation or top-k at
+    all (both live inside the checkpointed subplans), and the top-pair
+    subplan itself must pick its row via a partial top-k
+    (TakeOrdered), never a global sort."""
     plan = plan_of(spark, sf_dir, "text_bpe_encode_heldout")
     assert "Scan ExistingRDD" in plan, plan
-    assert "TakeOrderedAndProject" in plan, plan
+    # the expensive subtrees must NOT be embedded in the outer plan
+    assert "TakeOrderedAndProject" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert tree_nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
+    # the returned top frame must BE the checkpoint (Scan ExistingRDD,
+    # no recomputation), and the aggregate shape it pins must pick its
+    # row via a partial top-k (TakeOrdered), never a global sort
+    import pyspark.sql.functions as F
+
+    from form700_etl_spark.io import table
+    from form700_etl_spark.queries.textops import _bpe_merge_round, _bpe_pairs
+
+    toks = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS tk"
+    )
+    top, _ = _bpe_merge_round(toks)
+    top_plan = top._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        top._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in top_plan, top_plan
+    assert "HashAggregate" not in top_plan, top_plan
+    raw_top = (
+        _bpe_pairs(toks)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+    )
+    raw_plan = raw_top._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        raw_top._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in raw_plan, raw_plan
 
 
 def test_simhash_band_join_is_single_exchange_hash_join(spark, sf_dir):
