@@ -96,11 +96,22 @@ def synthesize_filings(
     named pipeline datasets: single-dataset callers get a source plan
     carrying only the filer columns plus their one schedule array.
     Catalyst's column pruning already removes the unused arrays from
-    the OPTIMIZED plan, but the driver still pays py4j construction +
+    the OPTIMIZED plan, but the driver still pays construction +
     analysis + codegen for the full ~300-field tree first — on a fresh
     JVM that cost ran 36 s for ref_pipeline_scheduleA2 at sf0.1 vs
     1.9 s warm (BENCH_DETAIL r10 queries_cold).  Pruned and unpruned
-    plans produce identical values for every retained column."""
+    plans produce identical values for every retained column.
+
+    Every synthesized expression is rendered as a SQL STRING and enters
+    the plan through ONE ``F.expr``/``selectExpr`` parse per output
+    column (round 15): the former per-field Column composition paid
+    thousands of py4j round trips through a cold JVM — measured
+    17.9 s → ~3 s fresh-JVM plan construction for the scheduleA2
+    pipeline, the dominant term of the fresh-JVM ritual
+    (BENCH_DETAIL.scheduleA2_decomposition ``plan_build_s``).  The
+    rendered strings parse to the same Catalyst expressions the Column
+    API built; every dataset cell stays pinned by the ref_* DuckDB
+    oracles (cell-exact at sf0.01 AND sf0.1)."""
     want = set(datasets) if datasets is not None else None
 
     def need(name: str) -> bool:
@@ -119,249 +130,227 @@ def synthesize_filings(
     # array build runs at full cluster parallelism.
     l = l.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
 
-    m = F.col("l_linenumber")
-    qty = F.col("l_quantity").cast("long")
-    qty_s = qty.cast("string")
-    rf = F.col("l_returnflag")
-    ship = F.col("l_linestatus")
-    pk = F.col("l_partkey")
-    okey_s = F.col("l_orderkey").cast("string")
+    m = "l_linenumber"
+    qty = "CAST(l_quantity AS BIGINT)"
+    qty_s = f"CAST({qty} AS STRING)"
+    rf = "l_returnflag"
+    ship = "l_linestatus"
+    pk = "l_partkey"
+    okey_s = "CAST(l_orderkey AS STRING)"
 
-    ship_ymd = F.date_format("l_shipdate", "yyyyMMdd")
-    disposed_ymd = F.when(
-        F.col("l_returnflag") == "R",
-        F.date_format(F.date_add("l_shipdate", 30), "yyyyMMdd"),
+    ship_ymd = "date_format(l_shipdate, 'yyyyMMdd')"
+    disposed_ymd = (
+        f"CASE WHEN {rf} = 'R' "
+        "THEN date_format(date_add(l_shipdate, 30), 'yyyyMMdd') END"
     )
     # full reference scheduleA1 item (form700_scheduleA1_schema.csv)
-    a1 = lambda: F.struct(
-        m.alias("id"),
-        F.concat(F.lit("Desc-"), rf).alias("businessDescription"),
-        ship_ymd.alias("dateAcquired"),
-        disposed_ymd.alias("dateDisposed"),
-        # dirty number string exercising the C2 cast:
-        # '12', '12k' (letter->0), '12%' (%->0)
-        F.concat(
-            qty_s,
-            F.when(m % 3 == 0, "k").otherwise(""),
-            F.when(rf == "R", "%").otherwise(""),
-        ).alias("fairMarketValue"),
-        F.when(qty > 30, "100001-1000000")
-        .otherwise("10001-100000")
-        .alias("fairMarketValueAsRange"),
-        F.concat(F.lit("Ent-"), ship).alias("nameOfBusinessEntity"),
-        rf.alias("natureOfInvestment"),
-        F.when(rf == "N", "Other investment").alias("natureOfInvestmentOtherDescription"),
-        (qty * 7).alias("partnershipAmount"),
-        F.when(qty > 35, "10001-100000")
-        .otherwise("1001-10000")
-        .alias("partnershipAmountAsRange"),
-        ship.alias("transactionType"),
-    )
+    a1 = lambda: f"""named_struct(
+        'id', {m},
+        'businessDescription', concat('Desc-', {rf}),
+        'dateAcquired', {ship_ymd},
+        'dateDisposed', {disposed_ymd},
+        'fairMarketValue', concat({qty_s},
+            CASE WHEN {m} % 3 = 0 THEN 'k' ELSE '' END,
+            CASE WHEN {rf} = 'R' THEN '%' ELSE '' END),
+        'fairMarketValueAsRange',
+            CASE WHEN {qty} > 30 THEN '100001-1000000' ELSE '10001-100000' END,
+        'nameOfBusinessEntity', concat('Ent-', {ship}),
+        'natureOfInvestment', {rf},
+        'natureOfInvestmentOtherDescription',
+            CASE WHEN {rf} = 'N' THEN 'Other investment' END,
+        'partnershipAmount', {qty} * 7,
+        'partnershipAmountAsRange',
+            CASE WHEN {qty} > 35 THEN '10001-100000' ELSE '1001-10000' END,
+        'transactionType', {ship})"""
 
-    income = lambda src, amt: F.struct(src.alias("source"), amt.alias("amount"))
+    def income(src: str, amt: str) -> str:
+        return f"named_struct('source', {src}, 'amount', {amt})"
+
     # full reference realProperties element (the 11 realProperty*
     # children of form700_scheduleA2_schema.csv:30-40, pre-E2-prefix)
-    rp_elem = lambda i: F.struct(
-        F.concat(F.lit("RP-Biz-"), ship).alias("businessName"),
-        ship_ymd.alias("dateAcquired"),
-        (
-            F.date_format(F.date_add("l_shipdate", 60), "yyyyMMdd")
+    def rp_elem(i: int) -> str:
+        disposed = (
+            "date_format(date_add(l_shipdate, 60), 'yyyyMMdd')"
             if i == 2
-            else F.lit(None).cast("string")
-        ).alias("dateDisposed"),
-        ship.alias("descriptionOrCityOrLocation"),
-        (qty * 1000 + i).alias("fairMarketValue"),
-        F.when(qty > 30, "1000001-2000000")
-        .otherwise("100001-1000000")
-        .alias("fairMarketValueAsRange"),
-        F.lit("SOLE" if i == 1 else "PARTNERSHIP").alias("investmentType"),
-        F.lit("Ownership/Deed of Trust").alias("natureOfInterest"),
-        F.when(qty > 45, qty_s).alias("natureOfInterest_LeaseYearsRemaining"),
-        F.lit(None).cast("string").alias("natureOfInterest_OtherDescription"),
-        F.concat(
-            F.lit("P-"), okey_s, F.lit("-"), m.cast("string"), F.lit(f"-{i}")
-        ).alias("parcelAddress"),
-    )
+            else "CAST(NULL AS STRING)"
+        )
+        inv_type = "SOLE" if i == 1 else "PARTNERSHIP"
+        return f"""named_struct(
+        'businessName', concat('RP-Biz-', {ship}),
+        'dateAcquired', {ship_ymd},
+        'dateDisposed', {disposed},
+        'descriptionOrCityOrLocation', {ship},
+        'fairMarketValue', {qty} * 1000 + {i},
+        'fairMarketValueAsRange',
+            CASE WHEN {qty} > 30 THEN '1000001-2000000' ELSE '100001-1000000' END,
+        'investmentType', '{inv_type}',
+        'natureOfInterest', 'Ownership/Deed of Trust',
+        'natureOfInterest_LeaseYearsRemaining',
+            CASE WHEN {qty} > 45 THEN {qty_s} END,
+        'natureOfInterest_OtherDescription', CAST(NULL AS STRING),
+        'parcelAddress',
+            concat('P-', {okey_s}, '-', CAST({m} AS STRING), '-{i}'))"""
+
+    zip_s = f"concat('9410', CAST({m} AS STRING))"
+    term_s = f"CASE WHEN {qty} > 30 THEN '30 years' ELSE '15 years' END"
     # full reference scheduleA2 item (form700_scheduleA2_schema.csv) —
     # every scalar the schema declares, so the P1 projection over the
     # full 38-column inventory resolves
-    a2 = lambda: F.struct(
-        m.alias("id"),
-        F.concat(okey_s, F.lit(" Commerce Way")).alias("address"),
-        F.when(pk % 2 == 0, "Owner").otherwise("Partner").alias("businessPosition"),
-        F.concat(F.lit("Type-"), rf).alias("businessType"),
-        ship.alias("city"),
-        ship_ymd.alias("dateAcquired"),
-        F.when(rf == "R", F.date_format(F.date_add("l_shipdate", 30), "yyyyMMdd")).alias(
-            "dateDisposed"
-        ),
-        F.concat(F.lit("Desc "), qty_s).alias("description"),
-        F.concat(F.lit("Biz-"), ship).alias("entityName"),
-        # dirty number string exercising the C2 cast ('%' -> '0')
-        F.concat(qty_s, F.when(rf == "A", "%").otherwise("")).alias(
-            "fairMarketValueScheduleA2"
-        ),
-        F.when(qty > 30, "100001-1000000")
-        .otherwise("10001-100000")
-        .alias("fairMarketValueScheduleA2AsRange"),
-        (qty * 10).alias("grossIncomeReceived"),
-        F.when(qty > 25, "10001-100000")
-        .otherwise("1001-10000")
-        .alias("grossIncomeReceivedAsRange"),
-        F.when(
-            rf == "R",
-            F.array(income(ship, qty), income(F.lit("ROYALTY"), qty * 2)),
-        )
-        .otherwise(F.array(income(ship, qty)))
-        .alias("incomeSources"),
-        rf.alias("natureOfInvestment"),
-        F.when(rf == "N", "Other investment").alias("natureOfInvestment_OtherDescription"),
-        F.lit("CA").alias("state"),
-        ship.alias("transactionType"),
-        F.concat(F.lit("9410"), m.cast("string")).alias("zip"),
-        # 0/1/2 real properties: exercises explode_outer incl. the
-        # empty-array -> one-NULL-child-row path (Form700.py:366,380)
-        F.slice(
-            F.array(rp_elem(1), rp_elem(2)),
-            F.lit(1),
-            F.when(qty > 30, 2).when(pk % 2 == 0, 1).otherwise(0),
-        ).alias("realProperties"),
-    )
+    a2 = lambda: f"""named_struct(
+        'id', {m},
+        'address', concat({okey_s}, ' Commerce Way'),
+        'businessPosition',
+            CASE WHEN {pk} % 2 = 0 THEN 'Owner' ELSE 'Partner' END,
+        'businessType', concat('Type-', {rf}),
+        'city', {ship},
+        'dateAcquired', {ship_ymd},
+        'dateDisposed', {disposed_ymd},
+        'description', concat('Desc ', {qty_s}),
+        'entityName', concat('Biz-', {ship}),
+        'fairMarketValueScheduleA2',
+            concat({qty_s}, CASE WHEN {rf} = 'A' THEN '%' ELSE '' END),
+        'fairMarketValueScheduleA2AsRange',
+            CASE WHEN {qty} > 30 THEN '100001-1000000' ELSE '10001-100000' END,
+        'grossIncomeReceived', {qty} * 10,
+        'grossIncomeReceivedAsRange',
+            CASE WHEN {qty} > 25 THEN '10001-100000' ELSE '1001-10000' END,
+        'incomeSources',
+            CASE WHEN {rf} = 'R'
+                 THEN array({income(ship, qty)}, {income("'ROYALTY'", f"{qty} * 2")})
+                 ELSE array({income(ship, qty)}) END,
+        'natureOfInvestment', {rf},
+        'natureOfInvestment_OtherDescription',
+            CASE WHEN {rf} = 'N' THEN 'Other investment' END,
+        'state', 'CA',
+        'transactionType', {ship},
+        'zip', {zip_s},
+        'realProperties',
+            slice(array({rp_elem(1)}, {rp_elem(2)}), 1,
+                  CASE WHEN {qty} > 30 THEN 2
+                       WHEN {pk} % 2 = 0 THEN 1 ELSE 0 END))"""
 
-    zip_s = F.concat(F.lit("9410"), m.cast("string"))
-    term_s = F.when(qty > 30, "30 years").otherwise("15 years")
     # full reference scheduleB item (form700_scheduleB_schema.csv)
-    b = lambda: F.struct(
-        m.alias("id"),
-        ship.alias("city"),
-        ship_ymd.alias("dateAcquired"),
-        disposed_ymd.alias("dateDisposed"),
-        F.concat(qty_s, F.when(rf == "A", "%").otherwise("")).alias(
-            "fairMarketValueScheduleB"
-        ),
-        F.when(qty > 30, "100001-1000000")
-        .otherwise("10001-100000")
-        .alias("fairMarketValueScheduleBAsRange"),
-        F.concat(qty_s, F.when(pk % 3 == 0, "k").otherwise("")).alias(
-            "grossIncomeReceived"
-        ),
-        F.when(qty > 25, "10001-100000")
-        .otherwise("1001-10000")
-        .alias("grossIncomeReceivedAsRange"),
-        # doubly-nested struct -> dotted loan.* columns after N1 flatten
-        # (reference scheduleB schema declares loan.address et al.)
-        F.struct(
-            F.concat(F.lit("Lender Plaza "), m.cast("string")).alias("address"),
-            F.lit("Lending").alias("businessActivity"),
-            ship.alias("city"),
-            F.when(pk % 2 == 0, F.concat(F.lit("Guarantor-"), rf)).alias("guarantor"),
-            (qty * 100).alias("highestBalance"),
-            F.when(qty > 30, "100001-1000000")
-            .otherwise("10001-100000")
-            .alias("highestBalanceAsRange"),
-            F.concat(qty_s, F.lit("%")).alias("interestRate"),
-            F.concat(F.lit("Bank-"), rf).alias("nameOfLender"),
-            F.lit("CA").alias("state"),
-            term_s.alias("term"),
-            zip_s.alias("zip"),
-        ).alias("loan"),
-        F.array(income(ship, qty * 3)).alias("incomeSources"),
-        F.lit("Ownership/Deed of Trust").alias("natureOfInterest"),
-        F.when(qty > 45, qty_s).alias("natureOfInterest_LeaseYearsRemaining"),
-        F.lit(None).cast("string").alias("natureOfInterest_OtherDescription"),
-        F.concat(okey_s, F.lit(" Main St")).alias("parcelOrAddress"),
-        ship.alias("transactionType"),
-    )
+    b = lambda: f"""named_struct(
+        'id', {m},
+        'city', {ship},
+        'dateAcquired', {ship_ymd},
+        'dateDisposed', {disposed_ymd},
+        'fairMarketValueScheduleB',
+            concat({qty_s}, CASE WHEN {rf} = 'A' THEN '%' ELSE '' END),
+        'fairMarketValueScheduleBAsRange',
+            CASE WHEN {qty} > 30 THEN '100001-1000000' ELSE '10001-100000' END,
+        'grossIncomeReceived',
+            concat({qty_s}, CASE WHEN {pk} % 3 = 0 THEN 'k' ELSE '' END),
+        'grossIncomeReceivedAsRange',
+            CASE WHEN {qty} > 25 THEN '10001-100000' ELSE '1001-10000' END,
+        'loan', named_struct(
+            'address', concat('Lender Plaza ', CAST({m} AS STRING)),
+            'businessActivity', 'Lending',
+            'city', {ship},
+            'guarantor',
+                CASE WHEN {pk} % 2 = 0 THEN concat('Guarantor-', {rf}) END,
+            'highestBalance', {qty} * 100,
+            'highestBalanceAsRange',
+                CASE WHEN {qty} > 30 THEN '100001-1000000' ELSE '10001-100000' END,
+            'interestRate', concat({qty_s}, '%'),
+            'nameOfLender', concat('Bank-', {rf}),
+            'state', 'CA',
+            'term', {term_s},
+            'zip', {zip_s}),
+        'incomeSources', array({income(ship, f"{qty} * 3")}),
+        'natureOfInterest', 'Ownership/Deed of Trust',
+        'natureOfInterest_LeaseYearsRemaining',
+            CASE WHEN {qty} > 45 THEN {qty_s} END,
+        'natureOfInterest_OtherDescription', CAST(NULL AS STRING),
+        'parcelOrAddress', concat({okey_s}, ' Main St'),
+        'transactionType', {ship})"""
 
     # full reference scheduleC item (form700_scheduleC_schema.csv; the
     # reference's C loan* fields are FLAT names, unlike B's dotted loan.*)
-    c_item = lambda: F.struct(
-        m.alias("id"),
-        F.concat(okey_s, F.lit(" Income Ave")).alias("incomeAddress"),
-        F.lit("Consulting").alias("incomeBusinessActivity"),
-        F.when(pk % 2 == 0, "Owner").otherwise("Advisor").alias("incomeBusinessPosition"),
-        ship.alias("incomeCity"),
-        (qty * 12).alias("incomeGrossIncome"),
-        F.when(qty > 25, "10001-100000")
-        .otherwise("1001-10000")
-        .alias("incomeGrossIncomeAsRange"),
-        F.when(
-            pk % 2 == 1,
-            F.array(income(rf, qty), income(F.lit("SPOUSE"), qty + 5)),
-        )
-        .otherwise(F.array(income(rf, qty)))
-        .alias("incomeSources"),
-        F.lit("CA").alias("incomeState"),
-        zip_s.alias("incomeZip"),
-        F.concat(F.lit("Loan Plaza "), m.cast("string")).alias("loanAddress"),
-        F.lit("Lending").alias("loanBusinessActivity"),
-        ship.alias("loanCity"),
-        (qty * 50).alias("loanHighestBalance"),
-        F.when(qty > 30, "100001-1000000")
-        .otherwise("10001-100000")
-        .alias("loanHighestBalanceAsRange"),
-        F.concat(qty_s, F.lit("%")).alias("loanInterestRate"),
-        F.concat(F.lit("Bank-"), rf).alias("loanNameOfLender"),
-        F.when(pk % 2 == 0, "None").otherwise("Personal residence").alias("loanSecurity"),
-        F.lit("CA").alias("loanState"),
-        term_s.alias("loanTerm"),
-        zip_s.alias("loanZip"),
-        F.concat(F.lit("Emp-"), ship).alias("nameOfIncomeSource"),
-        rf.alias("reasonForIncome"),
-        F.when(rf == "N", "Other reason").alias("reasonForIncomeOther"),
-        F.when(rf == "R", "Sale of property").alias("reasonForIncomeSale"),
-        ship.alias("transactionType"),
-    )
+    c_item = lambda: f"""named_struct(
+        'id', {m},
+        'incomeAddress', concat({okey_s}, ' Income Ave'),
+        'incomeBusinessActivity', 'Consulting',
+        'incomeBusinessPosition',
+            CASE WHEN {pk} % 2 = 0 THEN 'Owner' ELSE 'Advisor' END,
+        'incomeCity', {ship},
+        'incomeGrossIncome', {qty} * 12,
+        'incomeGrossIncomeAsRange',
+            CASE WHEN {qty} > 25 THEN '10001-100000' ELSE '1001-10000' END,
+        'incomeSources',
+            CASE WHEN {pk} % 2 = 1
+                 THEN array({income(rf, qty)}, {income("'SPOUSE'", f"{qty} + 5")})
+                 ELSE array({income(rf, qty)}) END,
+        'incomeState', 'CA',
+        'incomeZip', {zip_s},
+        'loanAddress', concat('Loan Plaza ', CAST({m} AS STRING)),
+        'loanBusinessActivity', 'Lending',
+        'loanCity', {ship},
+        'loanHighestBalance', {qty} * 50,
+        'loanHighestBalanceAsRange',
+            CASE WHEN {qty} > 30 THEN '100001-1000000' ELSE '10001-100000' END,
+        'loanInterestRate', concat({qty_s}, '%'),
+        'loanNameOfLender', concat('Bank-', {rf}),
+        'loanSecurity',
+            CASE WHEN {pk} % 2 = 0 THEN 'None' ELSE 'Personal residence' END,
+        'loanState', 'CA',
+        'loanTerm', {term_s},
+        'loanZip', {zip_s},
+        'nameOfIncomeSource', concat('Emp-', {ship}),
+        'reasonForIncome', {rf},
+        'reasonForIncomeOther', CASE WHEN {rf} = 'N' THEN 'Other reason' END,
+        'reasonForIncomeSale', CASE WHEN {rf} = 'R' THEN 'Sale of property' END,
+        'transactionType', {ship})"""
 
     # full reference scheduleD item (form700_scheduleD_schema.csv);
     # amount/description/giftDate are gift-level (explode, no prefix)
-    gift = lambda i: F.struct(
-        (qty + i).alias("amount"),
-        F.concat(ship, F.lit(f" gift {i}")).alias("description"),
-        F.date_format(F.date_add("l_shipdate", i), "yyyyMMdd").alias("giftDate"),
-    )
-    d = lambda: F.struct(
-        m.alias("id"),
-        F.concat(okey_s, F.lit(" Gift Ln")).alias("address"),
-        F.lit("Retail").alias("businessActivity"),
-        ship.alias("city"),
-        F.concat(F.lit("Donor-"), rf).alias("nameOfSource"),
-        F.lit("CA").alias("state"),
-        ship.alias("transactionType"),
-        zip_s.alias("zip"),
-        F.slice(
-            F.array(gift(1), gift(2)), F.lit(1), F.when(qty > 40, 2).otherwise(1)
-        ).alias("gifts"),
-    )
+    def gift(i: int) -> str:
+        return (
+            f"named_struct('amount', {qty} + {i}, "
+            f"'description', concat({ship}, ' gift {i}'), "
+            f"'giftDate', date_format(date_add(l_shipdate, {i}), 'yyyyMMdd'))"
+        )
+
+    d = lambda: f"""named_struct(
+        'id', {m},
+        'address', concat({okey_s}, ' Gift Ln'),
+        'businessActivity', 'Retail',
+        'city', {ship},
+        'nameOfSource', concat('Donor-', {rf}),
+        'state', 'CA',
+        'transactionType', {ship},
+        'zip', {zip_s},
+        'gifts', slice(array({gift(1)}, {gift(2)}), 1,
+                       CASE WHEN {qty} > 40 THEN 2 ELSE 1 END))"""
 
     # full reference scheduleE item (form700_scheduleE_schema.csv)
-    e = lambda: F.struct(
-        m.alias("id"),
-        F.concat(okey_s, F.lit(" Travel Rd")).alias("address"),
-        F.concat(qty_s, F.when(rf == "N", "n").otherwise("")).alias("amount"),
-        F.lit("Advocacy").alias("businessActivity"),
-        ship.alias("city"),
-        F.when(qty > 20, F.date_format(F.date_add("l_shipdate", 5), "yyyyMMdd")).alias(
-            "endDate"
-        ),
-        (pk % 2 == 0).alias("isNonprofit"),
-        F.when(pk % 7 == 0, True).alias("isOther"),
-        (qty > 25).alias("madeSpeech"),
-        F.concat(F.lit("Src-"), rf).alias("nameOfSource"),
-        F.when(pk % 7 == 0, "Other payment").alias("otherDescription"),
-        ship_ymd.alias("startDate"),
-        F.lit("CA").alias("state"),
-        ship.alias("transactionType"),
-        F.concat(F.lit("Travel to "), ship).alias("travelDescription"),
-        F.when(qty > 15, "REIMBURSEMENT").otherwise("ADVANCE").alias("typeOfPayment"),
-        zip_s.alias("zip"),
-    )
+    e = lambda: f"""named_struct(
+        'id', {m},
+        'address', concat({okey_s}, ' Travel Rd'),
+        'amount', concat({qty_s}, CASE WHEN {rf} = 'N' THEN 'n' ELSE '' END),
+        'businessActivity', 'Advocacy',
+        'city', {ship},
+        'endDate',
+            CASE WHEN {qty} > 20
+                 THEN date_format(date_add(l_shipdate, 5), 'yyyyMMdd') END,
+        'isNonprofit', ({pk} % 2 = 0),
+        'isOther', CASE WHEN {pk} % 7 = 0 THEN true END,
+        'madeSpeech', ({qty} > 25),
+        'nameOfSource', concat('Src-', {rf}),
+        'otherDescription', CASE WHEN {pk} % 7 = 0 THEN 'Other payment' END,
+        'startDate', {ship_ymd},
+        'state', 'CA',
+        'transactionType', {ship},
+        'travelDescription', concat('Travel to ', {ship}),
+        'typeOfPayment',
+            CASE WHEN {qty} > 15 THEN 'REIMBURSEMENT' ELSE 'ADVANCE' END,
+        'zip', {zip_s})"""
 
-    def sched(cond: Column, item: Column) -> Column:
+    def sched(cond: str, item: str) -> str:
         # collect_list skips NULLs -> per-schedule filter without a
         # second shuffle; sort_array on the unique leading id makes the
         # array order deterministic.
-        return F.sort_array(F.collect_list(F.when(cond, item)))
+        return f"sort_array(collect_list(CASE WHEN {cond} THEN {item} END))"
 
     # The schedule*Count audit columns are their own count(when)
     # aggregates, NOT size() over the collected arrays: cover's plan
@@ -369,122 +358,113 @@ def synthesize_filings(
     # Catalyst prune all seven array builds out of that plan (a
     # size(collect_list) formulation would force the full nested
     # payload to materialize just to be counted).
-    # Each item builder is a zero-arg lambda: a pruned construction
-    # (``datasets``) never pays the py4j expression building for the
-    # schedules it skips.
+    # Each item builder is a zero-arg lambda rendering a SQL string: a
+    # pruned construction (``datasets``) never pays even the string
+    # formatting for the schedules it skips, and each kept schedule is
+    # ONE F.expr parse.
     arr_defs = (
-        ("scheduleA1", F.lit(True), a1),
-        ("scheduleA2", m % 2 == 0, a2),
-        ("scheduleB", m % 3 == 1, b),
-        ("scheduleC", m % 3 == 2, c_item),
-        ("scheduleD", m % 4 == 1, d),
-        ("scheduleE", m % 5 == 2, e),
+        ("scheduleA1", "true", a1),
+        ("scheduleA2", f"{m} % 2 = 0", a2),
+        ("scheduleB", f"{m} % 3 = 1", b),
+        ("scheduleC", f"{m} % 3 = 2", c_item),
+        ("scheduleD", f"{m} % 4 = 1", d),
+        ("scheduleE", f"{m} % 5 = 2", e),
     )
     agg_exprs = [
-        sched(cond, mk()).alias(nm)
+        F.expr(f"{sched(cond, mk())} AS {nm}")
         for nm, cond, mk in arr_defs
         if nm in wanted_arrays
     ]
     if need_cover:
         agg_exprs += [
-            F.count(F.lit(1)).alias("__nA1"),
-            F.count(F.when(m % 2 == 0, 1)).alias("__nA2"),
-            F.count(F.when(m % 3 == 1, 1)).alias("__nB"),
-            F.count(F.when(m % 3 == 2, 1)).alias("__nC"),
-            F.count(F.when(m % 4 == 1, 1)).alias("__nD"),
-            F.count(F.when(m % 5 == 2, 1)).alias("__nE"),
+            F.expr(s)
+            for s in (
+                "count(1) AS __nA1",
+                f"count(CASE WHEN {m} % 2 = 0 THEN 1 END) AS __nA2",
+                f"count(CASE WHEN {m} % 3 = 1 THEN 1 END) AS __nB",
+                f"count(CASE WHEN {m} % 3 = 2 THEN 1 END) AS __nC",
+                f"count(CASE WHEN {m} % 4 = 1 THEN 1 END) AS __nD",
+                f"count(CASE WHEN {m} % 5 = 2 THEN 1 END) AS __nE",
+            )
         ]
     items = l.groupBy("l_orderkey").agg(*agg_exprs) if agg_exprs else None
 
-    year_start = F.date_trunc("year", F.col("o_orderdate"))
-    okey = F.col("o_orderkey")
-    custkey_s = F.col("o_custkey").cast("string")
-    filing_ymd = F.date_format("o_orderdate", "yyyyMMdd")
-    period_start = F.date_format(year_start, "yyyyMMdd")
+    filing_ymd = "date_format(o_orderdate, 'yyyyMMdd')"
+    period_start = "date_format(date_trunc('year', o_orderdate), 'yyyyMMdd')"
     cover_exprs = [
         # keys stay LONG in the nested source (join key below); the
         # clean pass casts them to the schema's declared text type
-        okey.alias("filingId"),
-        F.col("o_custkey").alias("filerId"),
-        F.coalesce(F.col("c_name"), F.lit("")).alias("filerName"),
-        F.coalesce(F.col("c_mktsegment"), F.lit("")).alias("departmentName"),
-        F.concat(F.lit("Pos-"), F.col("o_orderstatus")).alias("positionName"),
-        period_start.alias("periodStart"),
-        F.date_format(
-            F.date_sub(F.add_months(year_start, 12), 1), "yyyyMMdd"
-        ).alias("periodEnd"),
-        filing_ymd.alias("filingDate"),
+        "o_orderkey AS filingId",
+        "o_custkey AS filerId",
+        "coalesce(c_name, '') AS filerName",
+        "coalesce(c_mktsegment, '') AS departmentName",
+        "concat('Pos-', o_orderstatus) AS positionName",
+        f"{period_start} AS periodStart",
+        "date_format(date_sub(add_months(date_trunc('year', o_orderdate), 12), 1),"
+        " 'yyyyMMdd') AS periodEnd",
+        f"{filing_ymd} AS filingDate",
     ]
     if need_cover:
         cover_exprs += [
             # full reference cover inventory (form700_cover_schema.csv) —
             # deterministic functions of the order row so the DuckDB
             # oracle mirrors each cell exactly
-            F.concat(F.lit("AGY-"), F.col("o_orderpriority")).alias("agency"),
-            F.concat(F.lit("Agency "), F.col("o_orderpriority")).alias("agencyName"),
-            F.substring(F.col("o_orderpriority"), 1, 1).alias("agencyPrefix"),
-            period_start.alias("annualStartDate"),
-            F.when(okey % 11 == 0, F.date_format("o_orderdate", "yyyy")).alias(
-                "candidateElectionYear"
-            ),
-            F.when(okey % 11 == 0, F.concat(F.lit("Office-"), F.col("o_orderstatus"))).alias(
-                "candidateOfficeSought"
-            ),
-            F.lit("ethics").alias("categories"),
-            F.when(okey % 7 == 0, filing_ymd).alias("dateAssumedOffice"),
-            F.when(okey % 17 == 0, filing_ymd).alias("dateLeftOffice"),
-            F.when(okey % 3 == 0, "City description").alias("descriptionCity"),
-            F.when(okey % 5 == 0, "County description").alias("descriptionCounty"),
-            F.when(okey % 19 == 0, "Multi-county description").alias(
-                "descriptionMultiCounty"
-            ),
-            F.when(okey % 23 == 0, "Other description").alias("descriptionOther"),
-            F.concat(F.lit("First-"), custkey_s).alias("firstName"),
-            F.concat(F.lit("Last-"), custkey_s).alias("lastName"),
-            F.when(okey % 2 == 0, "M").alias("middleName"),
-            F.lit("700").alias("form"),
-            okey.alias("id"),
-            F.concat(F.lit("INT-"), okey.cast("string")).alias("internalId"),
-            (F.col("o_orderstatus") == "F").alias("isAnnual"),
-            (okey % 7 == 0).alias("isAssuming"),
+            "concat('AGY-', o_orderpriority) AS agency",
+            "concat('Agency ', o_orderpriority) AS agencyName",
+            "substring(o_orderpriority, 1, 1) AS agencyPrefix",
+            f"{period_start} AS annualStartDate",
+            "CASE WHEN o_orderkey % 11 = 0 THEN date_format(o_orderdate, 'yyyy')"
+            " END AS candidateElectionYear",
+            "CASE WHEN o_orderkey % 11 = 0 THEN concat('Office-', o_orderstatus)"
+            " END AS candidateOfficeSought",
+            "'ethics' AS categories",
+            f"CASE WHEN o_orderkey % 7 = 0 THEN {filing_ymd} END AS dateAssumedOffice",
+            f"CASE WHEN o_orderkey % 17 = 0 THEN {filing_ymd} END AS dateLeftOffice",
+            "CASE WHEN o_orderkey % 3 = 0 THEN 'City description' END"
+            " AS descriptionCity",
+            "CASE WHEN o_orderkey % 5 = 0 THEN 'County description' END"
+            " AS descriptionCounty",
+            "CASE WHEN o_orderkey % 19 = 0 THEN 'Multi-county description' END"
+            " AS descriptionMultiCounty",
+            "CASE WHEN o_orderkey % 23 = 0 THEN 'Other description' END"
+            " AS descriptionOther",
+            "concat('First-', CAST(o_custkey AS STRING)) AS firstName",
+            "concat('Last-', CAST(o_custkey AS STRING)) AS lastName",
+            "CASE WHEN o_orderkey % 2 = 0 THEN 'M' END AS middleName",
+            "'700' AS form",
+            "o_orderkey AS id",
+            "concat('INT-', CAST(o_orderkey AS STRING)) AS internalId",
+            "(o_orderstatus = 'F') AS isAnnual",
+            "(o_orderkey % 7 = 0) AS isAssuming",
             # NULL-unless-true checkbox: C4 coalesces NULL -> False
-            F.when(okey % 11 == 0, True).alias("isCandidate"),
-            F.lit(1).alias("commentCount"),
-            (okey % 3 == 0).alias("isCity"),
-            (okey % 5 == 0).alias("isCounty"),
-            (okey % 13 == 0).alias("isJudgeOrCourt"),
-            (okey % 17 == 0).alias("isLeaving"),
-            (okey % 19 == 0).alias("isMultiCounty"),
-            (okey % 23 == 0).alias("isOther"),
-            (okey % 29 == 0).alias("isState"),
-            F.when(okey % 17 == 0, period_start).alias("leavingStatementStartDate"),
-            F.col("o_orderstatus").alias("transactionType"),
-            F.date_format("o_orderdate", "yyyy").alias("year"),
+            "CASE WHEN o_orderkey % 11 = 0 THEN true END AS isCandidate",
+            "1 AS commentCount",
+            "(o_orderkey % 3 = 0) AS isCity",
+            "(o_orderkey % 5 = 0) AS isCounty",
+            "(o_orderkey % 13 = 0) AS isJudgeOrCourt",
+            "(o_orderkey % 17 = 0) AS isLeaving",
+            "(o_orderkey % 19 = 0) AS isMultiCounty",
+            "(o_orderkey % 23 = 0) AS isOther",
+            "(o_orderkey % 29 = 0) AS isState",
+            f"CASE WHEN o_orderkey % 17 = 0 THEN {period_start} END"
+            " AS leavingStatementStartDate",
+            "o_orderstatus AS transactionType",
+            "date_format(o_orderdate, 'yyyy') AS year",
         ]
     # offices rides with FILER_COLS onto every schedule row, so it is
     # unconditional; comments is its own dataset (cover DROPS it)
     cover_exprs.append(
-        F.array(
-            F.struct(
-                F.concat(F.lit("Office-"), F.col("o_orderpriority")).alias("office"),
-                F.col("o_orderstatus").alias("position"),
-            )
-        ).alias("offices")
+        "array(named_struct('office', concat('Office-', o_orderpriority),"
+        " 'position', o_orderstatus)) AS offices"
     )
     if need("comments"):
         # comments: one per filing, embedded newline exercises C7
         cover_exprs.append(
-            F.array(
-                F.struct(
-                    okey.alias("id"),
-                    F.concat(F.lit("Line1\nLine2-"), F.col("o_orderstatus")).alias(
-                        "comment"
-                    ),
-                    F.col("o_orderstatus").alias("transactionType"),
-                )
-            ).alias("comments")
+            "array(named_struct('id', o_orderkey,"
+            " 'comment', concat('Line1\\nLine2-', o_orderstatus),"
+            " 'transactionType', o_orderstatus)) AS comments"
         )
-    cover = o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+    cover = o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "left").selectExpr(
         *cover_exprs
     )
     if items is None:
