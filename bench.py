@@ -379,16 +379,22 @@ def _canary(spark) -> float:
 #   (a) startup gate: wait (bounded) for 1-min loadavg to drop before any
 #       measurement, and re-measure the canary until host_factor <= 1.5 or
 #       attempts run out — both traces recorded in the artifact;
-#   (b) mid-suite mini-canaries every _MID_CANARY_EVERY queries: rows whose
-#       neighborhood canary exceeded 1.5x the run's best are REQUEUED and
-#       re-timed after the sweep (min wins), so a transient window can't
-#       poison their best-of;
+#   (b) mid-suite mini-canaries every _MID_CANARY_EVERY queries — a CPU
+#       codegen probe AND an fsync disk probe: rows whose neighborhood
+#       probe exceeded 2x the run's median (CPU) or 3x-median/0.15 s
+#       (disk) are REQUEUED and re-timed after the sweep (min wins), and
+#       every row still slower than _SLOW_TAIL_S gets one more run, so a
+#       transient window can't poison the best-of (bursts shorter than
+#       the probe interval were observed hitting single rows' both runs
+#       with flat CPU probes — the disk probe + slow-tail pass close
+#       that gap);
 #   (c) r4 fresh-JVM spread: if rel_spread (ex-scheduleA2) > 0.35, run up to
 #       _R4_EXTRA more passes and re-summarize over all survivors.
 QUIET_GATE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_LOAD", "6"))
 QUIET_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "900"))
 MAX_HOST_FACTOR = 1.5
 _MID_CANARY_EVERY = 12
+_SLOW_TAIL_S = 2.0
 _R4_EXTRA = 2
 _R4_TARGET_SPREAD = 0.35
 
@@ -447,6 +453,33 @@ def _mini_canary(spark) -> float:
     return round(time.perf_counter() - start, 4)
 
 
+def _io_mini_canary(mb: int = 4) -> float:
+    """Write-mb+fsync disk probe, paired with every CPU mini-canary.
+
+    The round-15 closing sessions caught the CPU probe's blind spot: a
+    co-tenant I/O workload inflated individual suite rows 2-4x while
+    the in-JVM codegen probe (and so the requeue defense) stayed flat
+    (n_requeued=0 on a run whose own rows were visibly hit).  An fsync
+    round-trip senses disk contention directly.  Calibration on this
+    host: ~0.019-0.026 s quiet, <=0.071 s right after the bench's own
+    shuffle-heavy actions — so the flag threshold (3x median AND an
+    absolute 0.15 s floor, see _run_suite) cannot be tripped by the
+    bench itself, only by a genuinely contending co-tenant."""
+    import tempfile
+
+    buf = b"\x5a" * (1024 * 1024)
+    start = time.perf_counter()
+    fd, path = tempfile.mkstemp(prefix="bench_io_probe_")
+    try:
+        for _ in range(mb):
+            os.write(fd, buf)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+        os.unlink(path)
+    return round(time.perf_counter() - start, 4)
+
+
 def _loadavg() -> list[float]:
     """1/5/15-min load at measurement time — round 14 observed the
     canary itself swinging 0.22-0.49 s between processes minutes apart
@@ -491,17 +524,21 @@ def _run_suite(
     VERDICT r13 could not make for dedup_simhash_hamming from a single
     best-of number.
 
-    Mid-suite mini-canaries (every _MID_CANARY_EVERY queries) detect a
-    co-tenant contention WINDOW (the r14 failure: suite positions 16-23
-    regressed 3-6x together); rows whose neighborhood canary exceeded
-    1.5x the run's best are re-timed once after the sweep and the min
-    wins.  The canary series, the requeued names, and their rescue
-    walls all ship in BENCH_DETAIL so adjudication reads from the
-    artifact."""
+    Mid-suite mini-canaries (every _MID_CANARY_EVERY queries; a CPU
+    codegen probe plus an fsync disk probe) detect a co-tenant
+    contention WINDOW (the r14 failure: suite positions 16-23 regressed
+    3-6x together); rows whose neighborhood probe exceeded 2x the run's
+    median (CPU) or max(3x median, 0.15 s) (disk) are re-timed once
+    after the sweep and the min wins, and rows still slower than
+    _SLOW_TAIL_S get one more run (short bursts between probe samples
+    were observed hitting a single row's both runs with flat probes).
+    Both probe series, the requeued names, and all rescue walls ship in
+    BENCH_DETAIL so adjudication reads from the artifact."""
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     _mini_canary(spark)  # warm-up: the first call pays its own codegen
     canary_series: list[float] = [_mini_canary(spark)]
+    io_series: list[float] = [_io_mini_canary()]
     sample_of: dict[str, int] = {}  # query -> index of PRECEDING sample
     for qi, name in enumerate(names):
         fn = queries[name].fn
@@ -521,22 +558,34 @@ def _run_suite(
         all_runs[name] = walls
         if (qi + 1) % _MID_CANARY_EVERY == 0:
             canary_series.append(_mini_canary(spark))
+            io_series.append(_io_mini_canary())
     canary_series.append(_mini_canary(spark))
+    io_series.append(_io_mini_canary())
     # threshold against the MEDIAN sample, not the min: the ~0.1 s
     # probe has 2-3x natural jitter (first run flagged 132/172 rows
     # off a single fast outlier), while a real contention window (r14:
     # canary 2-4x elevated for minutes) clears 2x median comfortably
     med_c = sorted(canary_series)[len(canary_series) // 2]
     best_c = min(canary_series)
+    # I/O flag: 3x median AND a 0.15 s absolute floor — calibrated so
+    # the bench's own post-shuffle page-cache flushing (<= 0.071 s
+    # measured) can never trip it, only a contending co-tenant.
+    med_io = sorted(io_series)[len(io_series) // 2]
+    io_thresh = max(3.0 * med_io, 0.15)
+
+    def _bracket(series: list[float], name: str) -> float:
+        return max(
+            series[sample_of[name]],
+            series[min(sample_of[name] + 1, len(series) - 1)],
+        )
+
     contended = [
         name
         for name in names
         # a row is suspect if EITHER bracketing sample saw contention
-        if max(
-            canary_series[sample_of[name]],
-            canary_series[min(sample_of[name] + 1, len(canary_series) - 1)],
-        )
-        > 2.0 * med_c
+        # on EITHER probe (CPU-steal or disk)
+        if _bracket(canary_series, name) > 2.0 * med_c
+        or _bracket(io_series, name) > io_thresh
     ]
     rescued: dict[str, float] = {}
     for name in contended:
@@ -547,13 +596,36 @@ def _run_suite(
         all_runs[name].append(wall)
         rescued[name] = wall
         timings[name] = min(timings[name], wall)
+    # Slow-tail rescue (round-15 closing): short co-tenant bursts can
+    # land BETWEEN probe samples and hit exactly one row's two runs
+    # (observed: one 2.6 s-steady row at 13.2/22.7 s with flat probes).
+    # The suite number is dominated by its slow tail, so every row
+    # whose best still exceeds _SLOW_TAIL_S gets ONE more timed run
+    # after the sweep, min wins.  Bounded (~25 rows at sf0.1) and
+    # side-effect-free: all walls ship in queries_runs, so the
+    # pre-rescue best-of-2 stays reconstructible from the artifact.
+    slow_rescued: dict[str, float] = {}
+    for name in names:
+        if timings[name] > _SLOW_TAIL_S:
+            spark.sparkContext._jvm.System.gc()
+            start = time.perf_counter()
+            queries[name].fn(spark, sf_dir).count()
+            wall = round(time.perf_counter() - start, 3)
+            all_runs[name].append(wall)
+            slow_rescued[name] = wall
+            timings[name] = min(timings[name], wall)
     quality = {
         "mid_canaries": canary_series,
+        "mid_io_canaries": io_series,
         "mid_canary_every": _MID_CANARY_EVERY,
         "best_mid_canary": best_c,
         "median_mid_canary": med_c,
+        "median_mid_io_canary": med_io,
+        "io_threshold_s": round(io_thresh, 4),
         "requeued": contended,
         "requeued_walls": rescued,
+        "slow_tail_s": _SLOW_TAIL_S,
+        "slow_tail_rescued": slow_rescued,
     }
     return timings, all_runs, quality
 
