@@ -395,6 +395,7 @@ QUIET_GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "900"))
 MAX_HOST_FACTOR = 1.5
 _MID_CANARY_EVERY = 12
 _SLOW_TAIL_S = 2.0
+_SLOW_TAIL_MAX = 32
 _R4_EXTRA = 2
 _R4_TARGET_SPREAD = 0.35
 
@@ -601,19 +602,24 @@ def _run_suite(
     # (observed: one 2.6 s-steady row at 13.2/22.7 s with flat probes).
     # The suite number is dominated by its slow tail, so every row
     # whose best still exceeds _SLOW_TAIL_S gets ONE more timed run
-    # after the sweep, min wins.  Bounded (~25 rows at sf0.1) and
-    # side-effect-free: all walls ship in queries_runs, so the
+    # after the sweep, min wins — capped at the _SLOW_TAIL_MAX slowest
+    # rows so a lower-core run (where most rows clear 2 s honestly)
+    # adds at most a bounded, tail-focused number of extra runs.
+    # Side-effect-free: all walls ship in queries_runs, so the
     # pre-rescue best-of-2 stays reconstructible from the artifact.
     slow_rescued: dict[str, float] = {}
-    for name in names:
-        if timings[name] > _SLOW_TAIL_S:
-            spark.sparkContext._jvm.System.gc()
-            start = time.perf_counter()
-            queries[name].fn(spark, sf_dir).count()
-            wall = round(time.perf_counter() - start, 3)
-            all_runs[name].append(wall)
-            slow_rescued[name] = wall
-            timings[name] = min(timings[name], wall)
+    slow_tail = sorted(
+        (n for n in names if timings[n] > _SLOW_TAIL_S),
+        key=lambda n: -timings[n],
+    )[:_SLOW_TAIL_MAX]
+    for name in slow_tail:
+        spark.sparkContext._jvm.System.gc()
+        start = time.perf_counter()
+        queries[name].fn(spark, sf_dir).count()
+        wall = round(time.perf_counter() - start, 3)
+        all_runs[name].append(wall)
+        slow_rescued[name] = wall
+        timings[name] = min(timings[name], wall)
     quality = {
         "mid_canaries": canary_series,
         "mid_io_canaries": io_series,
@@ -625,6 +631,7 @@ def _run_suite(
         "requeued": contended,
         "requeued_walls": rescued,
         "slow_tail_s": _SLOW_TAIL_S,
+        "slow_tail_max": _SLOW_TAIL_MAX,
         "slow_tail_rescued": slow_rescued,
     }
     return timings, all_runs, quality
