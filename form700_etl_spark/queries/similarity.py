@@ -889,8 +889,12 @@ def mlprep_knn_classifier_eval(spark, sf_dir):
         F.col("vec").alias("va"),
     )
     # BroadcastNLJ parallelism follows the stream (corpus) side; the sf
-    # parquet is a single split, so spread the cosine work across cores.
-    b = v.repartition(16).select(
+    # parquet is a single split, so spread the cosine work across the
+    # configured shuffle width (fleet-sized on a real cluster, = core
+    # count under the local bench conf) rather than a hard-coded 16
+    # that would cap the dominant stage at half this host's cores.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = v.repartition(nparts).select(
         F.col("vec_id").alias("j"),
         F.col("label").alias("nbr_label"),
         F.col("vec").alias("vb"),
