@@ -454,7 +454,56 @@ def _mini_canary(spark) -> float:
     return round(time.perf_counter() - start, 4)
 
 
-def _io_mini_canary(mb: int = 4) -> float:
+def _fs_type(path: str) -> str:
+    """Filesystem type of the mount holding ``path`` (longest-prefix
+    match over /proc/mounts), or '' when unreadable."""
+    best, fstype = "", ""
+    try:
+        real = os.path.realpath(path)
+        with open("/proc/mounts") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    mnt = parts[1]
+                    if real.startswith(mnt.rstrip("/") + "/") or real == mnt:
+                        if len(mnt) > len(best):
+                            best, fstype = mnt, parts[2]
+    except OSError:
+        pass
+    return fstype
+
+
+def _io_probe_dir(spark) -> str:
+    """Directory for the disk probe: the same filesystem the bench's
+    own I/O hits (ADVICE r15).  $TMPDIR/tempfile.gettempdir() can be a
+    tmpfs on some hosts, where an fsync probe never touches disk and
+    the contention defense is blind — so prefer spark.local.dir (where
+    shuffle files land), then the JVM's java.io.tmpdir, then this
+    repo's directory, skipping RAM-backed filesystems when a
+    disk-backed candidate exists."""
+    import tempfile
+
+    candidates = []
+    try:
+        candidates.append(spark.conf.get("spark.local.dir"))
+    except Exception:
+        pass
+    try:
+        candidates.append(
+            spark.sparkContext._jvm.System.getProperty("java.io.tmpdir")
+        )
+    except Exception:
+        pass
+    candidates.append(os.path.dirname(os.path.abspath(__file__)))
+    candidates.append(tempfile.gettempdir())
+    usable = [c for c in candidates if c and os.path.isdir(c)]
+    for c in usable:
+        if _fs_type(c) not in ("tmpfs", "ramfs"):
+            return c
+    return usable[0] if usable else tempfile.gettempdir()
+
+
+def _io_mini_canary(mb: int = 4, probe_dir: str | None = None) -> float:
     """Write-mb+fsync disk probe, paired with every CPU mini-canary.
 
     The round-15 closing sessions caught the CPU probe's blind spot: a
@@ -465,12 +514,16 @@ def _io_mini_canary(mb: int = 4) -> float:
     host: ~0.019-0.026 s quiet, <=0.071 s right after the bench's own
     shuffle-heavy actions — so the flag threshold (3x median AND an
     absolute 0.15 s floor, see _run_suite) cannot be tripped by the
-    bench itself, only by a genuinely contending co-tenant."""
+    bench itself, only by a genuinely contending co-tenant.
+
+    ``probe_dir`` pins the probe file to the filesystem the bench
+    actually uses (see _io_probe_dir); default stays $TMPDIR for
+    standalone callers."""
     import tempfile
 
     buf = b"\x5a" * (1024 * 1024)
     start = time.perf_counter()
-    fd, path = tempfile.mkstemp(prefix="bench_io_probe_")
+    fd, path = tempfile.mkstemp(prefix="bench_io_probe_", dir=probe_dir)
     try:
         for _ in range(mb):
             os.write(fd, buf)
@@ -537,9 +590,13 @@ def _run_suite(
     BENCH_DETAIL so adjudication reads from the artifact."""
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    io_dir = _io_probe_dir(spark)
     _mini_canary(spark)  # warm-up: the first call pays its own codegen
+    # the I/O probe warms up too (ADVICE r15): sample 0 otherwise
+    # includes first-call overhead (tempfile import, allocator touch)
+    _io_mini_canary(probe_dir=io_dir)
     canary_series: list[float] = [_mini_canary(spark)]
-    io_series: list[float] = [_io_mini_canary()]
+    io_series: list[float] = [_io_mini_canary(probe_dir=io_dir)]
     sample_of: dict[str, int] = {}  # query -> index of PRECEDING sample
     for qi, name in enumerate(names):
         fn = queries[name].fn
@@ -559,9 +616,9 @@ def _run_suite(
         all_runs[name] = walls
         if (qi + 1) % _MID_CANARY_EVERY == 0:
             canary_series.append(_mini_canary(spark))
-            io_series.append(_io_mini_canary())
+            io_series.append(_io_mini_canary(probe_dir=io_dir))
     canary_series.append(_mini_canary(spark))
-    io_series.append(_io_mini_canary())
+    io_series.append(_io_mini_canary(probe_dir=io_dir))
     # threshold against the MEDIAN sample, not the min: the ~0.1 s
     # probe has 2-3x natural jitter (first run flagged 132/172 rows
     # off a single fast outlier), while a real contention window (r14:
@@ -621,6 +678,16 @@ def _run_suite(
         slow_rescued[name] = wall
         timings[name] = min(timings[name], wall)
     quality = {
+        # methodology stamp (ADVICE r15): per-row statistic is min over
+        # initial best-of-N runs PLUS requeue/slow-tail rescue runs; a
+        # BENCH_DETAIL from harness_version < 3 is plain best-of-N, so
+        # adjudication scripts comparing across versions should fall
+        # back to the reconstructible pre-rescue best (queries_runs
+        # first-N minima — shipped as value_best2 on the contract line)
+        "harness_version": 3,
+        "statistic": "best-of-2 + probe-requeue + slow-tail rescue (v3)",
+        "io_probe_dir": io_dir,
+        "io_probe_fstype": _fs_type(io_dir),
         "mid_canaries": canary_series,
         "mid_io_canaries": io_series,
         "mid_canary_every": _MID_CANARY_EVERY,
@@ -998,6 +1065,18 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Pre-rescue total (VERDICT r15): what the r14-era best-of-N rule
+    # (2 runs, or EXTRA_RUNS for the JIT-ramp rows) would have recorded
+    # — the requeue/slow-tail rescues only ever lower `value`, so
+    # cross-round comparison against a pre-v3-harness artifact should
+    # use THIS number; both ride the contract line.
+    value_best2 = round(
+        sum(
+            min(query_runs[n][: EXTRA_RUNS.get(n, 2)])
+            for n in timings
+        ),
+        3,
+    )
     in_suite_r4 = round(sum(timings[n] for n in R4_SET), 3)
     # value_r4_query_set: the apples-to-apples round-over-round number,
     # measured in its own fresh JVM (see _r4_fresh_jvm).  Falls back to
@@ -1041,20 +1120,46 @@ def main() -> None:
         # <=9 were cold-inclusive = "cold_v1").
         "r4_methodology": "warmed_v2",
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Compact per-query map (VERDICT r15 task 2): one flat {name: best_s}
+    # dict, 0.01 s resolution, as BOTH a small committed artifact
+    # (BENCH_QUERIES.json, referenced from the contract line) and its own
+    # stdout line — so per-query speedup/scaling comparison never needs
+    # BENCH_DETAIL archaeology.  It stays OFF the final contract line:
+    # the driver's tail capture holds ~2000 bytes (round 5's giant final
+    # line overflowed it and killed that round's bench record), and 172
+    # query names alone exceed that.
+    per_query = {n: round(t, 2) for n, t in sorted(timings.items())}
+    with open(os.path.join(repo_dir, "BENCH_QUERIES.json"), "w") as f:
+        json.dump(
+            {"metric": "per_query_seconds", "queries": per_query,
+             "value_best2": value_best2, "sf": sf},
+            f, indent=1, sort_keys=True,
+        )
     # Per-query map on an EARLIER stdout line (round 5's single giant line
     # overflowed the driver's tail capture and killed the bench record);
-    # the LAST line below stays compact (~300 bytes) and fully parseable.
+    # the LAST line below stays compact (~1 KB) and fully parseable.
     print(json.dumps({"bench_detail": detail}))
+    print(
+        json.dumps(
+            {"metric": "per_query_seconds", "queries": per_query, "sf": sf},
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
+                # pre-rescue best-of-N total (same rows): the number a
+                # harness_version<3 run would have recorded — use for
+                # cross-round comparison against pre-rescue artifacts
+                "value_best2": value_best2,
                 "unit": "sec",
                 "n_queries": len(HEADLINE),
+                "queries_file": "BENCH_QUERIES.json",
                 # shared-cache populates: timed separately, not in value
                 "presteps_s": round(
                     sum(v for v in presteps.values() if v > 0), 3
