@@ -72,11 +72,22 @@ def partitioned_prefix_sum(
     sum_cols: Sequence[str] = (),
     rank_col: str | None = None,
     num_partitions: int | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """All of ``df``'s columns plus, for each ``c`` in ``sum_cols``, a
     running total ``cum_<c>`` over the global order ``order_cols``
     (inclusive of the current row), and — when ``rank_col`` is given —
     the global 1-based row number under that order.
+
+    ``with_totals`` additionally attaches the GRAND total ``tot_<c>``
+    (``SUM(c) OVER ()`` semantics: NULL iff every value is NULL) to
+    every output row.  It rides the fix-up pass for free: the full-frame
+    sum runs over the same <= ``num_partitions``-row per-partition
+    totals the offsets window already sorts, and reaches the rows
+    through the same broadcast join — consumers that previously paid a
+    whole extra aggregate-plus-join pass over this function's output
+    just to learn the total (r15's conformal ``tot``) read a column
+    instead (guide §2.4: remove a pass outright).
 
     No row-grain data ever crosses a SinglePartition exchange: the only
     single-partition window runs over the <= ``num_partitions``
@@ -113,6 +124,15 @@ def partitioned_prefix_sum(
         F.sum(f"__p_{c}").over(woff).alias(f"__off_{c}")
         for c in sum_cols
     ]
+    if with_totals:
+        # full-frame sum over the SAME <= num_partitions-row window
+        # input (same exchange, same sort — zero extra passes)
+        wtot = W.orderBy("__pid").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        off_cols += [
+            F.sum(f"__p_{c}").over(wtot).alias(f"tot_{c}") for c in sum_cols
+        ]
     offsets = stats.select(*off_cols)  # <= num_partitions rows
     wrow = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -130,6 +150,8 @@ def partitioned_prefix_sum(
         )
 
     out_cols += [_cum(c) for c in sum_cols]
+    if with_totals:
+        out_cols += [F.col(f"tot_{c}") for c in sum_cols]
     if rank_col is not None:
         out_cols.append(
             (F.row_number().over(wrk).cast("long") + F.col("__row_off")).alias(

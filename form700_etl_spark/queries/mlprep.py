@@ -1209,20 +1209,22 @@ def mlprep_conformal_intervals(spark, sf_dir):
     # (r15, closing the weakest _SINGLE_PARTITION_WINDOW_OK entry).
     from ..operators.prefix import partitioned_prefix_sum
 
-    calib_cum = partitioned_prefix_sum(calib, ["abs_r"], sum_cols=["cnt"])
-    # total calib count = the LAST cumulative value — aggregating the
-    # prefix-sum output reuses its internal checkpoint instead of
-    # re-running the calib lineage
-    tot = calib_cum.agg(F.max("cum_cnt").cast("long").alias("n_calib"))
+    # with_totals rides the calib total (SUM(cnt) OVER () — the oracle's
+    # n_calib) on the prefix sum's own <= 32-row fix-up aggregate, so the
+    # r15 shape's extra full pass over calib_cum (agg(max(cum_cnt)) +
+    # crossJoin) disappears: one window pass computes the cumulative
+    # count AND the quantile threshold's denominator (guide §2.4)
+    calib_cum = partitioned_prefix_sum(
+        calib, ["abs_r"], sum_cols=["cnt"], with_totals=True
+    )
     qhat = (
-        calib_cum.crossJoin(F.broadcast(tot))
-        .where(
+        calib_cum.where(
             F.col("cum_cnt")
-            >= F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
+            >= F.ceil((F.col("tot_cnt") + 1) * 0.9).cast("long")
         )
         .agg(
             F.min("abs_r").alias("q_r"),
-            F.min("n_calib").cast("long").alias("n_calib"),
+            F.min("tot_cnt").cast("long").alias("n_calib"),
         )
     )
     cover = (

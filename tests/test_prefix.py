@@ -100,6 +100,35 @@ def test_null_runs_match_global_window_semantics(spark):
     assert out == expect
 
 
+def test_with_totals_matches_global_sum_semantics(spark):
+    """tot_<c> must equal SUM(c) OVER () — the grand total over ALL rows
+    (NULLs ignored; NULL iff every value is NULL) — attached identically
+    to every output row, for any operator partition count, including
+    partitions that are entirely NULL (the ADVICE-r14 offset fixture)."""
+    df = spark.range(0, 40, 1, 3).select(
+        "id",
+        F.when((F.col("id") % 20) >= 10, F.col("id")).alias("w"),
+    )
+    out = partitioned_prefix_sum(
+        df, ["id"], sum_cols=("w",), num_partitions=8, with_totals=True
+    ).collect()
+    expected_tot = sum(i for i in range(40) if (i % 20) >= 10)
+    assert len(out) == 40
+    assert {r.tot_w for r in out} == {expected_tot}
+    # all-NULL input: tot must be NULL, matching SUM(w) OVER ()
+    nul = spark.range(0, 7, 1, 2).select(
+        "id", F.lit(None).cast("long").alias("w")
+    )
+    out2 = partitioned_prefix_sum(
+        nul, ["id"], sum_cols=("w",), num_partitions=3, with_totals=True
+    ).collect()
+    assert len(out2) == 7 and {r.tot_w for r in out2} == {None}
+    # default stays off: no tot_* column in the classic shape
+    assert "tot_w" not in partitioned_prefix_sum(
+        df, ["id"], sum_cols=("w",)
+    ).columns
+
+
 def test_prefix_sum_property_matches_reference(spark):
     """Hypothesis: arbitrary (value, weight-with-NULLs) corpora, random
     input slicing and operator partition counts — cum/rank must match
