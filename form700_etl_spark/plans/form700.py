@@ -78,6 +78,19 @@ FILER_COLS = (
     "filingDate",
 )
 
+# Which lineitem rows feed each schedule's array (the CASE condition
+# inside the collect_list; FIXTURES.md §F1).  Module-level so the
+# single-schedule pre-filter in synthesize_filings and the arr_defs
+# below can never drift apart.
+SCHEDULE_CONDS = (
+    ("scheduleA1", "true"),
+    ("scheduleA2", "l_linenumber % 2 = 0"),
+    ("scheduleB", "l_linenumber % 3 = 1"),
+    ("scheduleC", "l_linenumber % 3 = 2"),
+    ("scheduleD", "l_linenumber % 4 = 1"),
+    ("scheduleE", "l_linenumber % 5 = 2"),
+)
+
 
 def synthesize_filings(
     spark: SparkSession, sf_dir: str, datasets: tuple[str, ...] | None = None
@@ -122,6 +135,25 @@ def synthesize_filings(
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     l = table(spark, sf_dir, "lineitem")
+    # Single-schedule construction (the shape every per-schedule
+    # pipeline_dataset call takes): rows failing the schedule's
+    # l_linenumber condition only ever produce the NULL arm of the
+    # CASE inside collect_list — which collect_list drops — so filter
+    # them BEFORE the repartition instead (r16, guide §2.3: shuffle
+    # fewer rows).  Equivalence: for groups with a qualifying row the
+    # collected array is identical; a group with NO qualifying rows
+    # yields an empty array here vs no group row there, and after the
+    # LEFT join both arrive at explode_outer as []/NULL, which produce
+    # the same single NULL-children row.  Cover is untouched (its
+    # count(1) audit needs every row), as is any multi-schedule build.
+    # At sf0.1 this halves the scheduleA2 shuffle/agg rows (600k→300k;
+    # B/C 1/3, D 1/4, E 1/5) — the same fraction at 100 TB.
+    single_cond: str | None = None
+    if not need_cover and len(wanted_arrays) == 1:
+        cond = dict(SCHEDULE_CONDS)[wanted_arrays[0]]
+        if cond != "true":
+            single_cond = cond
+            l = l.filter(cond)
     # Pre-shuffle on the group key: the seven collect_list aggregates are
     # compute-heavy per row but compress nothing map-side, so the partial
     # agg on the (few, byte-sized) scan partitions is a serial bottleneck.
@@ -349,7 +381,11 @@ def synthesize_filings(
     def sched(cond: str, item: str) -> str:
         # collect_list skips NULLs -> per-schedule filter without a
         # second shuffle; sort_array on the unique leading id makes the
-        # array order deterministic.
+        # array order deterministic.  cond == "true" (scheduleA1, or a
+        # single-schedule build whose rows were pre-filtered above)
+        # skips the CASE wrapper outright.
+        if cond == "true":
+            return f"sort_array(collect_list({item}))"
         return f"sort_array(collect_list(CASE WHEN {cond} THEN {item} END))"
 
     # The schedule*Count audit columns are their own count(when)
@@ -362,16 +398,21 @@ def synthesize_filings(
     # pruned construction (``datasets``) never pays even the string
     # formatting for the schedules it skips, and each kept schedule is
     # ONE F.expr parse.
-    arr_defs = (
-        ("scheduleA1", "true", a1),
-        ("scheduleA2", f"{m} % 2 = 0", a2),
-        ("scheduleB", f"{m} % 3 = 1", b),
-        ("scheduleC", f"{m} % 3 = 2", c_item),
-        ("scheduleD", f"{m} % 4 = 1", d),
-        ("scheduleE", f"{m} % 5 = 2", e),
+    makers = {
+        "scheduleA1": a1,
+        "scheduleA2": a2,
+        "scheduleB": b,
+        "scheduleC": c_item,
+        "scheduleD": d,
+        "scheduleE": e,
+    }
+    arr_defs = tuple(
+        (nm, cond, makers[nm]) for nm, cond in SCHEDULE_CONDS
     )
     agg_exprs = [
-        F.expr(f"{sched(cond, mk())} AS {nm}")
+        F.expr(
+            f"{sched('true' if cond == single_cond else cond, mk())} AS {nm}"
+        )
         for nm, cond, mk in arr_defs
         if nm in wanted_arrays
     ]
