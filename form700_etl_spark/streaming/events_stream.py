@@ -121,6 +121,33 @@ def run_to_completion(agg: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def derive_stream_state_partitions(
+    rows_per_batch: int, session_partitions: int, target_rows: int = 25_000
+) -> int:
+    """State-store partition count for a stateful streaming query, derived
+    from per-batch input volume instead of the blanket batch
+    ``spark.sql.shuffle.partitions`` (VERDICT r15 task 5).
+
+    Every state partition pays a fixed per-micro-batch term — state store
+    load/commit + task scheduling, O(5-15 ms) each — REGARDLESS of how many
+    rows it processes, so when ``rows_per_batch / partitions`` is small the
+    query spends its trigger budget on commits, not compute: the r15 driver
+    measured 180k ev/s at 8 cores (8 partitions) vs 106k at 32 cores (32
+    partitions) on the same fixture — anti-scaling from pure partition
+    overhead.  Sizing rule: enough rows per partition that compute dominates
+    the fixed term (``target_rows`` ~25k at ~1 µs/row ≈ 25 ms >> commit),
+    capped by the session's shuffle parallelism so a genuinely large stream
+    still fans out to the full cluster: at 100 TB/day the derivation yields
+    the cap, locally it yields a handful.  The count only changes HOW the
+    state is sharded, never the aggregation result (asserted by the
+    streaming equivalence tests).
+    """
+    if rows_per_batch <= 0:
+        return max(1, session_partitions)
+    want = (rows_per_batch + target_rows - 1) // target_rows
+    return max(1, min(int(session_partitions), int(want)))
+
+
 def _tumbling_hourly_agg(events: DataFrame) -> DataFrame:
     """The tumbling-hourly aggregation shared by the oracle-checked
     query and the bench throughput drive."""
@@ -203,13 +230,23 @@ def bench_tumbling_throughput(
         name = f"bench_stream_{uuid.uuid4().hex[:12]}"
         import time as _time
 
+        # the stateful operator's partition count is pinned from
+        # spark.sql.shuffle.partitions at query START; derive it from the
+        # per-batch volume (one full-table replay per micro-batch) and
+        # restore the session value right after start
+        sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        state_parts = derive_stream_state_partitions(n_events, sess_parts)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
         start = _time.perf_counter()
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
         try:
             q.processAllAvailable()
             total_sec = _time.perf_counter() - start
@@ -240,6 +277,7 @@ def bench_tumbling_throughput(
     return {
         "query": "stream_tumbling_hourly",
         "sec": round(total_sec, 3),
+        "state_partitions": state_parts,
         "events": n_events,
         "events_processed": total_rows,  # n_batches full-table replays
         "result_rows": n_rows,

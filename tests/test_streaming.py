@@ -392,6 +392,29 @@ def test_bench_tumbling_throughput_steady_state(spark, sf_dir):
     assert sum(b["num_input_rows"] for b in steady) == (
         (run["n_batches"] - 1) * run["events"]
     )
+    # the drive derives its state-partition count from batch volume and
+    # must restore the session's shuffle.partitions afterwards (r16)
+    assert 1 <= run["state_partitions"] <= int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
+def test_derive_stream_state_partitions_bounds():
+    """Volume-derived state sharding (r16): ~1 partition per 25k
+    rows/batch, never 0, never above the session cap — so tiny batches
+    stop paying 32 state-store commits for 3k rows of work, and a
+    100 TB stream still fans out to the full cluster."""
+    from form700_etl_spark.streaming.events_stream import (
+        derive_stream_state_partitions,
+    )
+
+    assert derive_stream_state_partitions(0, 32) == 32  # unknown -> cap
+    assert derive_stream_state_partitions(1, 32) == 1
+    assert derive_stream_state_partitions(25_000, 32) == 1
+    assert derive_stream_state_partitions(100_000, 32) == 4
+    assert derive_stream_state_partitions(100_000, 8) == 4
+    assert derive_stream_state_partitions(10_000_000, 32) == 32  # capped
+    assert derive_stream_state_partitions(10_000_000, 2000) == 400
 
 
 def test_stream_simhash_near_dup_equals_batch_pairs(spark, sf_dir):
